@@ -1,0 +1,73 @@
+"""SparkSession factory.
+
+Centralizes the conf that matters at scale so every entry point (tests,
+bench, driver contract) runs with the same, deliberately chosen
+settings. On a real cluster only ``master`` and the memory sizing
+change; the SQL conf below is sized by ``shuffle_partitions`` which
+should be ~2-3x total cores on a large cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    """Worker threads for local mode: $SPARK_GRAFT_CPUS or all cores."""
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return os.cpu_count() or 4
+
+
+def get_spark(
+    app_name: str = "kafka_streams_reorder_timestamp_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-aware defaults.
+
+    Defaults encode the engine's performance posture:
+      - AQE on (runtime coalescing, skew-join splitting, plan re-opt)
+      - shuffle partitions sized to the machine, not the 200 default
+      - UTC session timezone (oracle comparison + event-time sanity)
+      - Arrow enabled for every pandas-UDF boundary
+      - RocksDB state store for streaming state (same durability model
+        as the reference's persistent KV store, Application.java:132-136)
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS); Spark has
+        # no nanos timestamp, so read as long and convert in the catalog.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config("spark.sql.shuffle.spill.compress", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
