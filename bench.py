@@ -1,0 +1,70 @@
+"""Benchmark harness: run every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line:
+
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is timed over a full materialization
+(``df.write.format("noop")``) so the measured cost includes the whole
+physical plan but no driver-side collect of result rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+    from kafka_streams_reorder_timestamp_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers once so per-query times measure the
+    # plan, not first-touch JIT/IO noise.
+    t_warm = time.perf_counter()
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    warm_sec = time.perf_counter() - t_warm
+
+    times: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name, builder in registry.all_queries().items():
+        t0 = time.perf_counter()
+        try:
+            df = builder(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # keep benching the rest
+            failed[name] = f"{type(e).__name__}: {e}"[:200]
+            print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "warm_sec": round(warm_sec, 3),
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
+    return 0 if not failed else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

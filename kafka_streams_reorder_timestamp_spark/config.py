@@ -24,11 +24,15 @@ def load_properties(path: str | Path) -> dict[str, str]:
         line = raw.strip()
         if not line or line.startswith(("#", "!")):
             continue
-        for sep in ("=", ":"):
-            if sep in line:
-                key, _, value = line.partition(sep)
-                props[key.strip()] = value.strip()
-                break
+        # Java properties split on the FIRST occurring separator, so
+        # `key:a=b` is ("key", "a=b"), not ("key:a", "b").
+        seps = [s for s in ("=", ":") if s in line]
+        if seps:
+            sep = min(seps, key=line.find)
+            key, _, value = line.partition(sep)
+            props[key.strip()] = value.strip()
+        else:
+            props[line] = ""
     return props
 
 

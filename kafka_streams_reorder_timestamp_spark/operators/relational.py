@@ -27,19 +27,37 @@ from pyspark.sql import functions as F
 from ..sources.catalog import load_table
 from .registry import register
 
+# Money arithmetic: the synthetic data's money/discount/tax columns are
+# exact 2-decimal values, so products have ≤6 true decimal digits and a
+# per-row cast to decimal(25,6) recovers the exact value on both Spark
+# and DuckDB. Summing decimals is exact integer arithmetic — the result
+# is independent of partitioning/summation order, unlike double sums,
+# which drift by ulps and flip the cent after ROUND (the round-1
+# hash-mismatch on q3/q10). Every money aggregate below follows:
+#   ROUND(SUM(CAST(expr AS DECIMAL(25,6))), 2)::DOUBLE
+# identically on the Spark and oracle sides.
+DEC = "decimal(25,6)"
+
+
+def _money_sum(expr: F.Column, scale: int = 2) -> F.Column:
+    """Order-independent money sum: exact decimal sum, rounded, as double."""
+    return F.round(F.sum(expr.cast(DEC)), scale).cast("double")
+
 
 @register(
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-           COUNT(*)                                                         AS count_order
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE      AS sum_qty,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE AS sum_base_price,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(25,6))), 2)::DOUBLE                 AS sum_disc_price,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          AS DECIMAL(25,6))), 2)::DOUBLE                 AS sum_charge,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4)      AS avg_qty,
+           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4) AS avg_price,
+           ROUND(SUM(CAST(l_discount AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4)      AS avg_disc,
+           COUNT(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -49,18 +67,19 @@ from .registry import register
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.round(F.sum(F.col("l_quantity").cast(DEC)).cast("double") / cnt, 4).alias("avg_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / cnt, 4).alias("avg_price"),
+            F.round(F.sum(F.col("l_discount").cast(DEC)).cast("double") / cnt, 4).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -69,8 +88,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_segment_revenue",
     oracle="""
     SELECT o.o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           CAST(o.o_orderdate AS DATE) AS order_date
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
@@ -93,12 +113,18 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
+        # Emit the date as a yyyy-MM-dd string: DATE round-trips through
+        # pandas differently in Spark (datetime.date) vs DuckDB
+        # (datetime64), which breaks value-hash comparison even when the
+        # values agree.
         .select(
-            "o_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("order_date")
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         )
     )
 
@@ -107,7 +133,8 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
     FROM region r
       JOIN nation n   ON n.n_regionkey = r.r_regionkey
       JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -131,17 +158,21 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     li = load_table(spark, sf_dir, "lineitem")
+    # supplier scales with SF (10k rows/SF) so it gets NO broadcast hint
+    # — at cluster scale a forced broadcast would OOM; AQE/the 64MB
+    # autoBroadcastJoinThreshold decide at runtime. Only the fixed-size
+    # dims (region=5, nation=25 rows at every SF) are hinted.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (s.s_nationkey == c.c_nationkey))
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
     )
 
@@ -149,7 +180,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2)::DOUBLE
+             AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -169,9 +201,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         ).agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -181,7 +211,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal,
            n.n_name
     FROM customer c
@@ -209,9 +240,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .select(
             "c_custkey",
@@ -252,9 +283,10 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
-                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
              AS running_spend
     FROM orders
     """,
@@ -267,10 +299,15 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # DuckDB evaluates window sums with a segment tree (different
+    # addition order than Spark's sequential accumulation), so the sum
+    # runs in exact decimal on both sides.
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
@@ -279,14 +316,19 @@ def running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n_customers
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
     GROUP BY c.c_mktsegment
     """,
-    doc="Anti join (NOT EXISTS) + agg.",
+    doc="Anti join (NOT EXISTS) + agg; orders side date-restricted so the "
+    "result is non-empty (every customer has SOME order in the test data).",
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -315,7 +357,7 @@ def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -327,7 +369,7 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .select(
@@ -344,7 +386,8 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, n.n_name,
            COUNT(o.o_orderkey) AS n_orders,
-           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+           ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))),
+                          0), 2)::DOUBLE AS total_spend
     FROM customer c
       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
       JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -362,8 +405,11 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "n_name")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spend"
-            ),
+            F.round(
+                F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC)),
+                2,
+            )
+            .cast("double")
+            .alias("total_spend"),
         )
     )
