@@ -1,0 +1,124 @@
+"""Streaming port of the reference's topology test plus the edge cases
+it lacks (duplicate event timestamps, straggler within grace).
+
+ApplicationTest.java:104-127 pipes 12 out-of-order records through the
+TopologyTestDriver and asserts the sorted value list. Here the same
+records flow through a file source → reorder_stream → parquet sink
+with Trigger.AvailableNow; the run's trailing no-data micro-batch
+advances the watermark and fires the punctuation timer, the analog of
+pipeInput advancing stream time and firing punctuation synchronously.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_reorder_timestamp_spark.schemas import ELECTRONIC_ORDER
+from kafka_streams_reorder_timestamp_spark.streaming import reorder_stream
+from tests.test_reorder_batch import EXPECTED_ORDER_IDS, GOLDEN_INPUT, ts
+
+STREAM_SCHEMA = T.StructType(
+    ELECTRONIC_ORDER.fields + [T.StructField("event_time", T.TimestampType(), True)]
+)
+
+
+def write_input(spark, rows, path, n):
+    df = spark.createDataFrame(rows, schema=ELECTRONIC_ORDER).withColumn(
+        "event_time", F.timestamp_millis(F.col("time"))
+    )
+    df.coalesce(1).write.mode("append").parquet(str(path))
+    assert spark.read.parquet(str(path)).count() == n
+
+
+def run_once(spark, in_dir, out_dir, ckpt):
+    src = spark.readStream.schema(STREAM_SCHEMA).parquet(str(in_dir))
+    out = reorder_stream(src, ts_col="event_time", grace="10 hours")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
+def read_output(out_dir) -> pd.DataFrame:
+    """Concatenate sink part-files preserving within-file row order
+    (each flush is one task writing one file, so file order IS emission
+    order)."""
+    # Filenames are UUID-random; modification time orders the flushes.
+    parts = sorted(glob.glob(f"{out_dir}/part-*.parquet"), key=os.path.getmtime)
+    frames = [pq.read_table(p).to_pandas() for p in parts]
+    frames = [f for f in frames if len(f)]
+    if not frames:
+        return pd.DataFrame(columns=[f.name for f in STREAM_SCHEMA.fields])
+    return pd.concat(frames, ignore_index=True)
+
+
+def test_golden_reorder_stream(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+
+    # All 12 golden records in one run. The data batch buffers them
+    # (timer at first_ts + 10h = 11-04T09:00); after the batch the
+    # watermark advances to 11-05T00:00 - grace = 11-04T14:00, past the
+    # timer, so the trailing no-data batch fires punctuation: the whole
+    # buffer drains in event-time order.
+    write_input(spark, GOLDEN_INPUT, in_dir, 12)
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    assert list(got["order_id"]) == EXPECTED_ORDER_IDS
+    # Values are untouched (no key rewriting, no restamping).
+    golden = {r[0]: r for r in GOLDEN_INPUT}
+    for _, row in got.iterrows():
+        exp = golden[row["order_id"]]
+        assert (row["electronic_id"], row["user_id"], row["price"], row["time"]) == (
+            exp[1],
+            exp[2],
+            exp[3],
+            exp[4],
+        )
+
+
+def test_duplicate_timestamp_dropped(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    dup = ("13-dup", "one", "impostor", 999.0, GOLDEN_INPUT[3][4])  # same ts as "4"
+    write_input(spark, GOLDEN_INPUT + [dup], in_dir, 13)
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    # first-writer-wins: the duplicate-timestamp record is dropped
+    # (Application.java:89-93)
+    assert list(got["order_id"]) == EXPECTED_ORDER_IDS
+    assert "13-dup" not in set(got["order_id"])
+
+
+def test_straggler_lands_in_next_flush(spark, tmp_path):
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    write_input(spark, GOLDEN_INPUT, in_dir, 12)
+    run_once(spark, in_dir, out_dir, ckpt)
+    assert list(read_output(out_dir)["order_id"]) == EXPECTED_ORDER_IDS
+
+    # Straggler: within the grace horizon (watermark is 11-04T14:00)
+    # but older than already-flushed records — it arrived after its
+    # epoch's flush, so it is buffered for the NEXT flush, reordered
+    # only locally (SURVEY §2.1 note 4, the reference's exact behavior).
+    straggler = ("0-late", "one", "tardy", 1.0, ts("2021-11-04T18:00:00Z"))
+    write_input(spark, [straggler], in_dir, 13)
+    run_once(spark, in_dir, out_dir, ckpt)
+    assert len(read_output(out_dir)) == 12  # no new flush yet
+
+    # A later record advances the watermark past the new timer; the
+    # second flush drains straggler AND the fresh record (flush-all,
+    # Application.java:73-81 drains the entire store).
+    late_sentinel = ("13", "one", "closer", 5.0, ts("2021-11-06T00:00:00Z"))
+    write_input(spark, [late_sentinel], in_dir, 14)
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    assert len(got) == 14
+    assert list(got["order_id"])[12:] == ["0-late", "13"]
