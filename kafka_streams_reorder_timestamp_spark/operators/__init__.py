@@ -1,4 +1,4 @@
-from . import relational  # noqa: F401  (imports run @register decorators)
+from . import events_queries, relational  # noqa: F401  (@register decorators)
 from .reorder import reorder_batch
 
-__all__ = ["reorder_batch", "relational", "registry"]
+__all__ = ["events_queries", "reorder_batch", "relational", "registry"]

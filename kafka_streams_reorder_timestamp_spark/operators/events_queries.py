@@ -1,0 +1,201 @@
+"""Registry queries over the `events` table — the reorder operator's
+driver-checkable surface plus event-time analytics.
+
+The reference's only operator is the event-time re-sequencer
+(reference: src/main/java/org/example/Application.java:86-94 ingest,
+72-83 ordered flush). `reorder_events` runs its batch form over the
+driver's events table with a DuckDB oracle, so the core semantics
+(first-arrival dedup on event timestamp + chronological emission) get a
+per-round correctness row, not just a pytest.
+
+Timestamp parity: Spark timestamps are epoch-µs; the DuckDB views read
+the same parquet as TIMESTAMP(NANOS). Both sides emit `epoch_us` BIGINT
+so the driver's value-hash compares integers, never tz-rendered strings.
+
+Scale notes (100 TB posture):
+  - reorder_events: dedup is one shuffle on ts (high-cardinality key, no
+    skew); ordered emission range-partitions on the same column. AQE
+    coalesces both.
+  - hourly rollup: map-side partial agg on (hour, type) — tiny group
+    cardinality, one shuffle of partial aggregates only.
+  - user sessionization: one shuffle on user_id; the session walk is a
+    window lag/cumsum, all JVM-side, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+from .reorder import reorder_batch
+
+
+@register(
+    "reorder_events",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY ts ORDER BY event_id) = 1
+    ORDER BY ts
+    """,
+    doc="The reference's reorder semantics (batch): first-arrival dedup "
+    "on event timestamp + chronological order (Application.java:86-94,72-83).",
+)
+def reorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = reorder_batch(ev, ts_col="ts", arrival_col="event_id")
+    return out.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+@register(
+    "events_hourly_by_type",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour event-time rollup per event type (the batch "
+    "analog of a streaming windowed aggregation) + distinct agg.",
+)
+def events_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("hour_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: 30-min inactivity gap via lag + running sum "
+    "(the batch analog of session_window); one shuffle on user_id.",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_us = 30 * 60 * 1_000_000
+    marked = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        marked.withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.unix_micros(F.max("ts")).alias("session_end_us"),
+        )
+    )
+
+
+@register(
+    "event_type_transitions",
+    oracle="""
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Per-user event-type transition matrix (lag window + agg).",
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "events_json_props",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Semi-structured access: JSON field extraction from the props "
+    "column + agg (scalar JSON functions).",
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket",
+            F.get_json_object("props", "$.k").cast("bigint") % 10,
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

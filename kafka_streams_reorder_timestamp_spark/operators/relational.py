@@ -382,6 +382,117 @@ def rollup_lineitem_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "suppliers_with_returns",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+    """,
+    doc="Left semi join (EXISTS): suppliers with at least one returned item.",
+)
+def suppliers_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+
+
+@register(
+    "all_account_parties",
+    oracle="""
+    SELECT party_key, ROUND(acctbal, 2) AS acctbal, kind FROM (
+      SELECT c_custkey AS party_key, c_acctbal AS acctbal, 'customer' AS kind
+      FROM customer
+      UNION ALL
+      SELECT s_suppkey, s_acctbal, 'supplier' FROM supplier
+    )
+    """,
+    doc="UNION ALL of customers and suppliers into one party ledger.",
+)
+def all_account_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("party_key"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("party_key"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionAll(s)
+
+
+@register(
+    "urgent_not_low_customers",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="Set operation: EXCEPT (distinct semantics).",
+)
+def urgent_not_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep rows
+    # whose multiplicity in `urgent` merely exceeds that in `low`.
+    return urgent.subtract(low)
+
+
+@register(
+    "cube_order_priority_status",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE: all grouping-set combinations over priority x status.",
+)
+def cube_order_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "top10_orders_global",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="Global top-k: ORDER BY + LIMIT (Spark plans TakeOrderedAndProject — "
+    "per-partition top-k then a k-row merge on the driver, no full sort).",
+)
+def top10_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+@register(
     "customer_order_profile",
     oracle="""
     SELECT c.c_custkey, n.n_name,
