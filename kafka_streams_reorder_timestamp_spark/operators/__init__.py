@@ -1,4 +1,20 @@
-from . import events_queries, relational  # noqa: F401  (@register decorators)
+from . import (  # noqa: F401  (imports run @register decorators)
+    dedup,
+    events_queries,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 from .reorder import reorder_batch
 
-__all__ = ["events_queries", "reorder_batch", "relational", "registry"]
+__all__ = [
+    "dedup",
+    "events_queries",
+    "multimodal",
+    "reorder_batch",
+    "relational",
+    "registry",
+    "similarity",
+    "text",
+]

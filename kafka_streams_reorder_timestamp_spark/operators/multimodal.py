@@ -1,0 +1,186 @@
+"""Multimodal columns: image/audio/video as opaque `binary` payloads
+with typed metadata (schemas.MEDIA_BLOB).
+
+Spark-side plumbing is real and tested: schema, partitioning, Arrow
+batch shape, `mapInPandas` feature extraction (numpy over binary
+payloads — vectorized, no per-row Python function calls), and built-in
+binary slicing for frame sampling. The actual image/audio CODECS are
+stubbed: this container has no media libraries, so `decode_media`
+raises NotImplementedError for real mime types and only decodes the
+deterministic `application/x-raw-bytes` fake format. Swapping in a real
+decoder changes ONE function body; every plan around it stays.
+
+Scale notes: payloads never cross a shuffle unless an operator needs
+them (features are extracted before any groupBy, so shuffles move small
+feature rows, not blobs); `mapInPandas` streams Arrow batches, bounding
+executor memory by batch size, not partition size.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.catalog import load_table
+from .registry import register
+
+FAKE_MIME = "application/x-raw-bytes"
+N_HIST_BINS = 16
+
+MEDIA_FEATURES = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("mean_byte", T.DoubleType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+        T.StructField("histogram", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Deterministic fake media rows derived from `documents`: payload =
+    UTF-8 bytes of the text, kind cycles image/audio/video by doc_id.
+    Gives every test and demo a reproducible binary corpus without
+    media libraries."""
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "UTF-8").cast("binary").alias("payload"),
+        F.lit(FAKE_MIME).alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Byte-level features per payload via `mapInPandas`: length, mean
+    byte value, shannon entropy, 16-bin histogram. All numpy over the
+    Arrow batch — the model for a real decode/feature-extract stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [],
+                "mean_byte": [],
+                "byte_entropy": [],
+                "histogram": [],
+            }
+            for payload in pdf["payload"]:
+                if payload is None or len(payload) == 0:
+                    out["n_bytes"].append(0)
+                    out["mean_byte"].append(None)
+                    out["byte_entropy"].append(None)
+                    out["histogram"].append([0] * N_HIST_BINS)
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BINS)
+                p = hist[hist > 0] / arr.size
+                out["n_bytes"].append(int(arr.size))
+                out["mean_byte"].append(float(arr.mean()))
+                out["byte_entropy"].append(float(-(p * np.log2(p)).sum()))
+                out["histogram"].append(hist.astype("int64").tolist())
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        run, schema=MEDIA_FEATURES
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode payloads into pixel/sample arrays.
+
+    STUB for real codecs: jpeg/png/wav/mp4 would need libraries absent
+    from this container, so those mimes raise NotImplementedError at
+    executor time. The deterministic fake format decodes bytes as one
+    u8 channel so downstream plumbing (schema, batching) is exercised
+    for real.
+    """
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("samples", T.ArrayType(T.IntegerType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            samples = []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                if mime != FAKE_MIME:
+                    raise NotImplementedError(
+                        f"no codec for {mime!r} in this environment; "
+                        f"only {FAKE_MIME} decodes"
+                    )
+                samples.append(
+                    np.frombuffer(payload, dtype=np.uint8).astype("int32").tolist()
+                    if payload is not None
+                    else None
+                )
+            yield pd.DataFrame({"media_id": pdf["media_id"], "samples": samples})
+
+    return media.select("media_id", "mime", "payload").mapInPandas(run, schema=schema)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64, stride: int = 4) -> DataFrame:
+    """Frame sampling with built-in binary slicing — every `stride`-th
+    `frame_bytes` chunk of the payload becomes a row (frame_no, frame).
+    JVM-side (`substring` on binary), no Python: sampling shrinks data
+    BEFORE any expensive decode stage touches it."""
+    n_frames = F.floor(F.length("payload") / F.lit(frame_bytes)).cast("int")
+    frames = F.transform(
+        F.filter(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+            lambda i: i % stride == 0,
+        ),
+        lambda i: F.struct(
+            i.alias("frame_no"),
+            F.substring(F.col("payload"), i * frame_bytes + 1, frame_bytes).alias(
+                "frame"
+            ),
+        ),
+    )
+    return (
+        media.filter(F.length("payload") >= frame_bytes)
+        .select("media_id", "kind", F.explode(frames).alias("f"))
+        .select(
+            "media_id",
+            "kind",
+            F.col("f.frame_no").alias("frame_no"),
+            F.col("f.frame").alias("frame"),
+        )
+    )
+
+
+@register(
+    "media_feature_stats",
+    oracle=None,  # binary feature extraction is not SQL-expressible in
+    # DuckDB; pytest verifies the numpy features against a
+    # pure-Python recomputation.
+    doc="Multimodal pipeline: documents → binary payload synthesis → "
+    "mapInPandas byte features → per-kind rollup. Blobs stay columnar "
+    "until features shrink them; only feature rows shuffle.",
+)
+def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(synthesize_media(docs))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg("mean_byte"), 4).alias("avg_mean_byte"),
+        F.round(F.avg("byte_entropy"), 4).alias("avg_entropy"),
+    )

@@ -1,0 +1,206 @@
+"""Similarity search over the `embeddings` table (array<float> column).
+
+Two paths:
+  - `knn_brute_force`: exact cosine top-k. The probe set is tiny and
+    broadcast; the scan side streams once through a codegen'd cosine
+    expression and a per-probe top-k window. Exact — and at 100 TB the
+    shape still works (one scan, no all-pairs), it is the per-probe
+    candidate RANKING that LSH exists to shrink.
+  - `ann_lsh`: random-hyperplane LSH. Each vector hashes to a sign
+    bucket per hash table; candidates are same-bucket rows only, so the
+    join fan-out is (tables x bucket size), independent of corpus size.
+    Hyperplanes are generated deterministically (seeded numpy) at plan
+    build and shipped as literals — no per-row Python anywhere.
+
+Probe vectors come from the corpus itself (lowest `n_probes` vec_ids),
+so queries are self-contained over driver tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+from ..sources.catalog import load_table
+from .registry import register
+
+DIM = 64  # embeddings table vector width (schemas.EMBEDDINGS)
+
+
+def knn_brute_force(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "emb",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_emb",
+) -> DataFrame:
+    """Exact cosine top-k per probe. `probes` must be small (broadcast)."""
+    cos = cosine(F.col(vec_col), F.col(probe_vec_col))
+    joined = (
+        corpus.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            F.col(probe_id_col),
+            F.col(id_col),
+            cos.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(probe_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "knn_topk_cosine",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_emb
+      FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+      SELECT p.probe_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(e.embedding::DOUBLE[], p.probe_emb) AS c
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT probe_id, neighbor_id, ROUND(c, 6) AS cos_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id)
+                AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+    doc="Exact cosine top-10 for 5 probe vectors: broadcast probes, one "
+    "corpus scan, per-probe top-k window. The brute-force ANN baseline.",
+)
+def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    out = knn_brute_force(e, probes, k=10)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+
+
+def _hyperplanes(n_tables: int, planes_per_table: int, dim: int, seed: int = 42):
+    """Deterministic random hyperplanes, one matrix per hash table."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_tables, planes_per_table, dim))
+
+
+def _bucket_expr(vec_col, planes: np.ndarray):
+    """Sign-bit bucket id of one hash table: fold plane dot-product signs
+    into an integer. Pure Column arithmetic — planes are literals."""
+    bits = []
+    for p, plane in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    n_tables: int = 8,
+    planes_per_table: int = 6,
+    dim: int = DIM,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the probe
+    in at least one hash table; exact cosine ranks the candidates.
+
+    Column contract: corpus(vec_id, emb), probes(probe_id, probe_emb).
+    """
+    planes = _hyperplanes(n_tables, planes_per_table, dim, seed)
+
+    def with_buckets(df: DataFrame, vec: str, out_prefix: str) -> DataFrame:
+        table_buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    _bucket_expr(F.col(vec), planes[t]).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            df["*"], F.explode(table_buckets).alias(f"{out_prefix}tb")
+        ).select(
+            df["*"],
+            F.col(f"{out_prefix}tb.table").alias("table"),
+            F.col(f"{out_prefix}tb.bucket").alias("bucket"),
+        )
+
+    c_b = with_buckets(corpus, "emb", "c")
+    p_b = with_buckets(probes, "probe_emb", "p")
+
+    cand = (
+        c_b.join(F.broadcast(p_b), on=["table", "bucket"])
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "probe_emb", "vec_id", "emb")
+        .dropDuplicates(["probe_id", "vec_id"])
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("emb"), F.col("probe_emb")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # bucket membership is hash-specific; pytest asserts
+    # planted-neighbor recall and subset-of-corpus validity.
+    doc="LSH-bucketed approximate top-10 for 5 probes: 8 hash tables x "
+    "6 hyperplanes; candidate set = union of probe buckets, exact "
+    "cosine re-rank. Join fan-out bounded by bucket size at any scale.",
+)
+def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    return ann_lsh_topk(e, probes, k=10)

@@ -1,0 +1,221 @@
+"""Text analysis over the `documents` table: token counting, quality
+scoring, language ID, corpus stats.
+
+Everything is ``pyspark.sql.functions`` — regex + arithmetic inside
+whole-stage codegen; no Python in the row path. Each query has a DuckDB
+oracle that mirrors the expression tree exactly (same regexes, same
+integer→double division order), so results value-hash-match.
+
+Scale notes (100 TB posture):
+  - per-doc queries are embarrassingly parallel scans: no shuffle at
+    all, pushdown prunes to the `text`/`n_chars` columns actually used;
+  - the aggregates shuffle only partial aggregates of tiny group
+    cardinality (languages × sources);
+  - regex evaluation is per-row CPU, the classic corpus-scan shape —
+    linear scaling with executors, no skew (docs are size-bounded).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# Patterns shared verbatim between Spark (Java regex) and DuckDB (RE2):
+# both support \b, \s, character classes, and alternation identically
+# for these simple shapes.
+WORD = "[A-Za-z0-9]+"
+NON_ALNUM = "[^A-Za-z0-9]"
+PUNCT = r"[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword inventories for the n-gram/stopword
+# language-ID heuristic. Deliberately minimal and deterministic — the
+# oracle mirrors them token for token.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to", "is"],
+    "es": ["el", "la", "de", "los", "que", "por"],
+    "fr": ["le", "la", "les", "des", "une", "est"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+}
+
+
+def _stop_pat(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def _count_matches(col: Column, pattern: str) -> Column:
+    # idx=0 → whole match; Spark's default idx=1 requires a group.
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{WORD}')) AS n_tokens,
+           length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) AS n_alnum_chars,
+           ROUND(length(regexp_replace(text, '{NON_ALNUM}', '', 'g'))
+                 / len(regexp_extract_all(text, '{WORD}')), 4) AS avg_token_len,
+           n_chars
+    FROM documents
+    WHERE text IS NOT NULL AND len(regexp_extract_all(text, '{WORD}')) > 0
+    """,
+    doc="Per-document token counting: regex word tokens, alnum mass, "
+    "average token length. Pure scan, no shuffle.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tokens = _count_matches(F.col("text"), WORD)
+    n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
+    return (
+        d.select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            n_alnum.alias("n_alnum_chars"),
+            F.round(n_alnum / n_tokens, 4).alias("avg_token_len"),
+            "n_chars",
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@register(
+    "text_quality_flags",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{WORD}')) AS n_tokens,
+             len(regexp_extract_all(text, '{PUNCT}')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b'))
+               AS n_stop,
+             n_chars
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, lang, n_tokens,
+           ROUND(n_punct / GREATEST(n_chars, 1), 4) AS punct_ratio,
+           ROUND(n_stop / GREATEST(n_tokens, 1), 4) AS stop_ratio,
+           CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                     AND n_punct / GREATEST(n_chars, 1) < 0.2
+                THEN 'keep' ELSE 'drop' END AS quality
+    FROM scored
+    """,
+    doc="Quality scoring: length / punctuation-ratio / stopword-ratio "
+    "gates — the standard pretraining corpus filter shape.",
+)
+def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tokens = _count_matches(F.col("text"), WORD)
+    n_punct = _count_matches(F.col("text"), PUNCT)
+    n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
+    punct_ratio = n_punct / F.greatest(F.col("n_chars"), F.lit(1))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 4).alias("stop_ratio"),
+        F.when(
+            (n_tokens >= 10) & (n_tokens <= 100_000) & (punct_ratio < 0.2),
+            "keep",
+        )
+        .otherwise("drop")
+        .alias("quality"),
+    )
+    return scored
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH scored AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|de|los|que|por)\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est)\\b')) AS s_fr,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS s_de
+      FROM documents WHERE text IS NOT NULL
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'unknown'
+                  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                  WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                  WHEN s_fr >= s_de THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM scored
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    doc="Stopword-count language ID (deterministic heuristic) → "
+    "confusion counts vs the labeled lang column.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    low = F.lower(F.col("text"))
+    s = {k: _count_matches(low, _stop_pat(k)) for k in STOPWORDS}
+    pred = (
+        F.when(
+            (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0),
+            "unknown",
+        )
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]), "en")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]), "es")
+        .when(s["fr"] >= s["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        d.select("lang", pred.alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_corpus_stats",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{WORD}'))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY lang, source
+    """,
+    doc="Corpus-level rollup per (lang, source): doc counts, token mass, "
+    "size distribution. Map-side partial agg, tiny shuffle.",
+)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_tokens = _count_matches(F.col("text"), WORD)
+    return (
+        d.select("lang", "source", n_tokens.alias("n_tokens"), "n_chars")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+    FROM documents WHERE text IS NOT NULL
+    """,
+    doc="Document fingerprinting: md5 of whitespace-normalized lowercase "
+    "text — the exact-dedup key. md5 is the one hash both engines share.",
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import normalize_text
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint"))

@@ -1,0 +1,166 @@
+"""Tests for the LLM-data-pipeline operators that the DuckDB oracle
+can't express: MinHash+LSH near-dup, LSH ANN recall, multimodal
+feature plumbing. (The SQL-expressible text/dedup/similarity queries
+are covered by test_oracle_parity.py automatically.)"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+from kafka_streams_reorder_timestamp_spark.operators.multimodal import (
+    FAKE_MIME,
+    decode_media,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+    ann_lsh_topk,
+    knn_brute_force,
+)
+from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Planted pairs (same text minus last word) must be detected;
+    unrelated docs must not pair up at threshold 0.7."""
+    base = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(10)
+    ]  # 10 mutually-disjoint docs
+    near = [(100 + i, " ".join(f"tok{i}_{j}" for j in range(29))) for i in range(10)]
+    df = spark.createDataFrame(base + near, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.7).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert got == {(i, 100 + i) for i in range(10)}
+    for r in pairs:
+        # true shingle jaccard of 28 shared / 30 union (3-shingles: 26/28+2)
+        assert r.jaccard > 0.85
+
+
+def test_minhash_registry_query_detects_planted(spark, sf_dir):
+    out = dedup_minhash_lsh(spark, sf_dir)
+    rows = out.collect()
+    planted = {(r.doc_a, r.doc_b) for r in rows if r.doc_b >= 1_000_000_000}
+    # every planted perturbation (drop last 2 words) is a near-dup of its
+    # source at 3-shingle jaccard >= ~0.9
+    assert {(i, 1_000_000_000 + i) for i in range(20)} <= planted
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        ["doc_id", "text"],
+    )
+    out = exact_dedup(df, "text", "doc_id").orderBy("doc_id").collect()
+    assert [(r.doc_id, r.group_size) for r in out] == [(1, 2), (3, 1)]
+
+
+# ---------------------------------------------------------------------------
+# ANN
+
+
+def _perturb(vec, eps=0.01, seed=7):
+    rng = np.random.RandomState(seed)
+    v = np.array(vec) + eps * rng.standard_normal(len(vec))
+    return [float(x) for x in v]
+
+
+def test_ann_lsh_recalls_planted_neighbor(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    base = {r.vec_id: r.emb for r in e.filter(F.col("vec_id") < 3).collect()}
+    # plant a ~0.999-cosine twin of each probe into the corpus
+    twins = [(10_000 + pid, _perturb(v, seed=pid)) for pid, v in base.items()]
+    corpus = e.unionByName(spark.createDataFrame(twins, ["vec_id", "emb"]))
+    probes = spark.createDataFrame(
+        [(pid, v) for pid, v in base.items()], ["probe_id", "probe_emb"]
+    )
+    got = ann_lsh_topk(corpus, probes, k=10).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r.probe_id, []).append(r)
+    for pid in base:
+        neigh = by_probe[pid]
+        ids = [r.neighbor_id for r in sorted(neigh, key=lambda r: r.rank)]
+        # the planted twin hashes to the probe's bucket w.h.p. and must
+        # rank first
+        assert ids[0] == 10_000 + pid
+        assert neigh[0].cos_sim is not None
+
+
+def test_ann_results_subset_of_brute_force_corpus(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    ann = ann_lsh_topk(e, probes, k=10)
+    exact = knn_brute_force(e, probes, k=10)
+    ann_rows = ann.collect()
+    # sanity: every ANN hit is a valid corpus row with correct cosine
+    exact_cos = {
+        (r.probe_id, r.neighbor_id): r.cos_sim for r in exact.collect()
+    }
+    for r in ann_rows:
+        assert r.neighbor_id != r.probe_id
+        if (r.probe_id, r.neighbor_id) in exact_cos:
+            assert math.isclose(
+                r.cos_sim, exact_cos[(r.probe_id, r.neighbor_id)], abs_tol=1e-6
+            )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+
+
+def test_media_features_match_python(spark):
+    texts = [(0, "abcd" * 10), (1, "zzzz"), (2, None)]
+    docs = spark.createDataFrame(texts, ["doc_id", "text"]).withColumn(
+        "lang", F.lit("en")
+    )
+    feats = extract_features(synthesize_media(docs)).orderBy("media_id").collect()
+    assert len(feats) == 2  # null text filtered
+    for r in feats:
+        raw = dict(texts)[r.media_id].encode()
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        assert r.n_bytes == len(raw)
+        assert math.isclose(r.mean_byte, float(arr.mean()), rel_tol=1e-9)
+        hist = np.bincount(arr >> 4, minlength=16)
+        assert r.histogram == hist.tolist()
+        p = hist[hist > 0] / arr.size
+        assert math.isclose(r.byte_entropy, float(-(p * np.log2(p)).sum()), abs_tol=1e-9)
+
+
+def test_decode_media_stub_contract(spark):
+    docs = spark.createDataFrame([(0, "hello")], ["doc_id", "text"])
+    media = synthesize_media(docs)
+    out = decode_media(media).collect()
+    assert out[0].samples == [104, 101, 108, 108, 111]
+
+    real = media.withColumn("mime", F.lit("image/jpeg"))
+    with pytest.raises(Exception, match="no codec"):
+        decode_media(real).collect()
+
+
+def test_sample_frames_slices_payload(spark):
+    docs = spark.createDataFrame([(0, "x" * 300)], ["doc_id", "text"])
+    media = synthesize_media(docs)
+    frames = sample_frames(media, frame_bytes=64, stride=2).collect()
+    # 300 bytes → 4 full frames (0..3), stride 2 keeps frames 0 and 2
+    assert [r.frame_no for r in frames] == [0, 2]
+    assert all(len(r.frame) == 64 for r in frames)
