@@ -7,6 +7,7 @@ usable inside any DataFrame plan. No Python row UDFs.
 
 from .texthash import (
     char_shingles,
+    minhash_band_buckets,
     minhash_signature,
     normalize_text,
     tokens,
@@ -20,6 +21,7 @@ __all__ = [
     "cosine",
     "dot",
     "l2_norm",
+    "minhash_band_buckets",
     "minhash_signature",
     "normalize_text",
     "tokens",

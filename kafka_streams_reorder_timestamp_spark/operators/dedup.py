@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texthash import minhash_signature, normalize_text, tokens, word_shingles
+from ..functions.texthash import (
+    minhash_band_buckets,
+    normalize_text,
+    tokens,
+    word_shingles,
+)
 from ..functions.vectors import as_double, cosine
 from ..sources.catalog import load_table
 from .registry import register
@@ -158,36 +163,19 @@ def minhash_lsh_pairs(
     the standard 1-(1-j^r)^bands S-curve; defaults (128/32 → r=4) catch
     j>=0.7 with >99% probability.
     """
-    rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.array_distinct(word_shingles(tokens(F.col(text_col)), shingle_n)).alias(
-            "_sh"
-        ),
-    ).filter(F.size("_sh") > 0)
-    sig = base.withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
-
-    banded = sig.select(
+    docs = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).filter(F.col("_text").isNotNull())
+    # Normalize → shingle → MinHash → band in one Arrow-batched pass
+    # (see minhash_band_buckets). Band rows carry ONLY (_id, band,
+    # bucket) — no text/shingles ride through the bands-times explode
+    # and its shuffle.
+    banded = docs.select(
         "_id",
-        "_sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda v: v.cast("string"),
-                            ),
-                            ",",
-                        )
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", "_sh", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        F.posexplode(
+            minhash_band_buckets(F.col("_text"), num_hashes, bands, shingle_n)
+        ).alias("band", "bucket"),
+    )
 
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -197,19 +185,27 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            F.col("a._sh").alias("sh_a"),
-            F.col("b._sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Verify with exact shingle-set Jaccard. Shingles are computed
+    # AFTER the candidate join, so only candidate rows (a tiny set) pay
+    # the shingling cost.
+    def _sh(col: str):
+        return F.array_distinct(word_shingles(tokens(F.col(col)), shingle_n))
+
+    txt_a = docs.select(F.col("_id").alias("doc_a"), F.col("_text").alias("text_a"))
+    txt_b = docs.select(F.col("_id").alias("doc_b"), F.col("_text").alias("text_b"))
+    paired = (
+        cand.join(txt_a, "doc_a")
+        .join(txt_b, "doc_b")
+        .select("doc_a", "doc_b", _sh("text_a").alias("sh_a"), _sh("text_b").alias("sh_b"))
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
     return (
-        cand.filter(jac >= threshold)
+        paired.filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
