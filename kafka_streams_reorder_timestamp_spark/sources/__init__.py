@@ -1,3 +1,4 @@
+from . import avro_codec, kafka
 from .catalog import TABLES, load_table, register_views
 
-__all__ = ["TABLES", "load_table", "register_views"]
+__all__ = ["TABLES", "avro_codec", "kafka", "load_table", "register_views"]
