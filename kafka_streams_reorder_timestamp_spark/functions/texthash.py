@@ -56,15 +56,23 @@ def char_shingles(col: Column, k: int = 8) -> Column:
     return F.when(ln >= k, sh).otherwise(F.array(norm))
 
 
+_MERSENNE31 = (1 << 31) - 1
+
+
 def _minhash_coeffs(num_hashes: int, seed: int = 0x5EED):
-    """Deterministic odd multipliers / offsets for the k universal hash
-    functions h_j(x) = a_j*x + b_j. Coefficients are 31-bit and x is
-    masked to 32 bits, so a*x+b < 2^63 — no ANSI-mode long overflow."""
+    """Deterministic coefficients for the k universal hash functions
+    h_j(x) = (a_j*x + b_j) mod p with p = 2^31-1 (Mersenne prime) and
+    a,b,x all < p, so a*x+b < 2^62 — no ANSI-mode long overflow. The
+    modulus is essential and must dominate a*x (a near-miss like
+    mod 2^61-1 over 2^63-range products wraps at most a few times,
+    leaving the function mostly monotone in x — every 'hash function'
+    then selects the same minimum shingle and the signature is
+    degenerate)."""
     import random
 
     rng = random.Random(seed)
-    a = [rng.getrandbits(31) | 1 for _ in range(num_hashes)]
-    b = [rng.getrandbits(31) for _ in range(num_hashes)]
+    a = [rng.getrandbits(31) % (_MERSENNE31 - 1) + 1 for _ in range(num_hashes)]
+    b = [rng.getrandbits(31) % _MERSENNE31 for _ in range(num_hashes)]
     return a, b
 
 
@@ -81,14 +89,19 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     a, b = _minhash_coeffs(num_hashes)
     a_lit = F.array(*[F.lit(x) for x in a])
     b_lit = F.array(*[F.lit(x) for x in b])
-    base = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+    base = F.transform(
+        shingles, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)) % _MERSENNE31
+    )
     return F.when(F.size(shingles) == 0, F.array().cast("array<bigint>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
             lambda j: F.array_min(
                 F.transform(
                     base,
-                    lambda h: F.element_at(a_lit, j + 1) * h + F.element_at(b_lit, j + 1),
+                    lambda h: (
+                        F.element_at(a_lit, j + 1) * h + F.element_at(b_lit, j + 1)
+                    )
+                    % F.lit(_MERSENNE31),
                 )
             ),
         )
@@ -104,42 +117,87 @@ def minhash_band_buckets(
 
     Spark does not codegen higher-order array lambdas, so the
     pure-Column `minhash_signature` path pays interpreted-eval per
-    shingle x hash; this pandas UDF hashes each shingle once (crc32 —
-    C-speed, deterministic across workers, unlike Python's salted
-    hash()), derives all `num_hashes` functions with one numpy
-    broadcast per document, and collapses each band to one bucket
-    hash. Tokenization mirrors `tokens()` (lowercase, \\s+ split).
-    Empty/None text yields NULL (callers drop).
+    shingle x hash; this pandas UDF builds the shingle hash set with
+    one crc32 per TOKEN plus vectorized numpy combination
+    (`_shingle_hash_set`), derives all `num_hashes` functions with one
+    numpy broadcast per document, and collapses each band to one
+    bucket hash. Tokenization mirrors `tokens()` (lowercase, \\s+
+    split). Empty/None text yields NULL (callers drop).
     """
-    import re
-
     a, b = _minhash_coeffs(num_hashes)
     a_arr = np.array(a, dtype=np.int64)
     b_arr = np.array(b, dtype=np.int64)
     rows_per_band = num_hashes // bands
-    ws = re.compile(r"\s+")
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def _buckets(texts: pd.Series) -> pd.Series:
         out = []
         for txt in texts:
-            if txt is None or not txt.strip():
+            h = _shingle_hash_set(txt, shingle_n)
+            if h is None:
                 out.append(None)
                 continue
-            tok = ws.split(txt.strip().lower())
-            if len(tok) >= shingle_n:
-                sh = {
-                    " ".join(tok[i : i + shingle_n])
-                    for i in range(len(tok) - shingle_n + 1)
-                }
-            else:
-                sh = {" ".join(tok)}
-            h = np.fromiter(
-                (zlib.crc32(s.encode()) for s in sh), dtype=np.int64, count=len(sh)
+            sig = ((a_arr[None, :] * (h % _MERSENNE31)[:, None] + b_arr) % _MERSENNE31).min(
+                axis=0
             )
-            sig = (a_arr[None, :] * h[:, None] + b_arr).min(axis=0)
             bb = sig.reshape(bands, rows_per_band)
             out.append([zlib.crc32(bb[i].tobytes()) for i in range(bands)])
         return pd.Series(out)
 
     return _buckets(text)
+
+
+# Rolling-combine mixing constants for token→shingle hashing.
+_C1 = np.int64(0x9E3779B1)
+_C2 = np.int64(0x85EBCA77)
+_MASK32 = np.int64(0xFFFFFFFF)
+_WS = None  # compiled lazily (regex import kept local to call sites)
+
+
+def _shingle_hash_set(txt, shingle_n: int):
+    """Distinct 32-bit shingle hashes of one document, or None.
+
+    Tokens are crc32-hashed once (C speed, deterministic) and combined
+    into shingle hashes with a rolling numpy expression — the whole
+    shingle set costs one hash per token plus vectorized arithmetic.
+    Hashing the shingle *identity* rather than its string is fine for
+    Jaccard purposes: any deterministic uniform hash estimates set
+    overlap equally (32-bit collisions are noise at corpus shingle
+    counts).
+    """
+    global _WS
+    if _WS is None:
+        import re
+
+        _WS = re.compile(r"\s+")
+    if txt is None or not txt.strip():
+        return None
+    tok = _WS.split(txt.strip().lower())
+    c = np.fromiter(
+        (zlib.crc32(t.encode()) for t in tok), dtype=np.int64, count=len(tok)
+    )
+    if len(c) >= shingle_n:
+        h = c[: len(c) - shingle_n + 1].copy()
+        for j in range(1, shingle_n):
+            h = h * _C1 + c[j : len(c) - shingle_n + 1 + j]
+    else:
+        h = np.array([(c * _C2).sum()], dtype=np.int64)
+    return np.unique(h & _MASK32)
+
+
+def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
+    """Column: sorted distinct shingle hashes per document — the same
+    shingle universe `minhash_band_buckets` signs over, exposed for
+    exact Jaccard verification of LSH candidates (array_intersect on
+    bigint arrays, JVM-native)."""
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _hashes(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                (h.tolist() if h is not None else None)
+                for h in (_shingle_hash_set(t, shingle_n) for t in texts)
+            ]
+        )
+
+    return _hashes(text)

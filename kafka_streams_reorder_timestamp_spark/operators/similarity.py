@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot, l2_norm
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -40,10 +40,22 @@ def knn_brute_force(
     probe_id_col: str = "probe_id",
     probe_vec_col: str = "probe_emb",
 ) -> DataFrame:
-    """Exact cosine top-k per probe. `probes` must be small (broadcast)."""
-    cos = cosine(F.col(vec_col), F.col(probe_vec_col))
+    """Exact cosine top-k per probe. `probes` must be small (broadcast).
+
+    Norms are precomputed once per row on each side, so the per-pair
+    expression is a single unrolled dot product + one divide — small
+    enough to stay inside whole-stage codegen (the full cosine inlined
+    per pair tripled the expression and broke the generated-method
+    size limit). Arithmetic is unchanged: dot/(na*nb) over identical
+    doubles, so oracle hashes still match bit-for-bit.
+    """
+    c = corpus.withColumn("_n", l2_norm(F.col(vec_col), dim=DIM))
+    p = probes.withColumn("_pn", l2_norm(F.col(probe_vec_col), dim=DIM))
+    cos = dot(F.col(vec_col), F.col(probe_vec_col), dim=DIM) / (
+        F.col("_n") * F.col("_pn")
+    )
     joined = (
-        corpus.crossJoin(F.broadcast(probes))
+        c.crossJoin(F.broadcast(p))
         .filter(F.col(id_col) != F.col(probe_id_col))
         .select(
             F.col(probe_id_col),
@@ -165,10 +177,15 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        cand.select(
+        cand.withColumn("_n", l2_norm(F.col("emb"), dim=dim))
+        .withColumn("_pn", l2_norm(F.col("probe_emb"), dim=dim))
+        .select(
             "probe_id",
             "vec_id",
-            cosine(F.col("emb"), F.col("probe_emb")).alias("cos_sim"),
+            (
+                dot(F.col("emb"), F.col("probe_emb"), dim=dim)
+                / (F.col("_n") * F.col("_pn"))
+            ).alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
