@@ -1,0 +1,107 @@
+"""Plan-inspection utilities: assert the physical plan Catalyst picked
+is the plan the engine wants (pushdown reached the scan, small dims
+broadcast, the hot path stays in whole-stage codegen).
+
+The reference has no optimizer to inspect (SURVEY §4.1); these helpers
+exist because this engine DELEGATES optimization to Catalyst, so its
+perf contract is "the right plan shape", not hand-written execution.
+Tests pin the shape; at 100 TB the same assertions hold because they
+are scale-free properties of the plan, not timings.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
+    """The physical plan (what `.explain(mode)` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Run the plan and return the FINAL adaptive plan. AQE only fixes
+    join strategies, coalescing, and codegen annotation at runtime, so
+    codegen/final-shape checks need this, not the static explain.
+
+    Executes via `collect()` on THIS DataFrame's query execution (a
+    noop write would finalize a separate execution and leave this plan
+    static) — audit small/aggregated frames, not full tables."""
+    df.collect()
+    return physical_plan(df, "simple")
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters that reached the parquet scan (PushedFilters: [...])."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", physical_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> set[str]:
+    """Columns each scan actually reads (union over scans) — the
+    column-pruning check: a 2-column projection must not read 16."""
+    cols: set[str] = set()
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", physical_plan(df)):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.add(name)
+    return cols
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin", physical_plan(df)))
+
+
+def shuffle_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (AQE may later coalesce
+    partitions, but each Exchange is still a full data movement).
+    Counted on the simple-mode plan, where the Exchange node and its
+    partitioning print on one line."""
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            physical_plan(df, "simple"),
+        )
+    )
+
+
+def wholestage_codegen_ids(df: DataFrame) -> int:
+    """How many WholeStageCodegen spans cover the plan (0 means the hot
+    path fell out of codegen entirely — a red flag for scan-heavy ops).
+    Executes the plan (noop sink): AQE annotates codegen only in the
+    final plan."""
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
+def assert_plan(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    min_broadcast_joins: int | None = None,
+    require_pushed_filter: str | None = None,
+    max_read_columns: int | None = None,
+) -> None:
+    """One-call plan-shape gate used by tests and ad-hoc audits."""
+    plan = physical_plan(df)
+    if max_shuffles is not None:
+        n = shuffle_count(df)
+        assert n <= max_shuffles, f"{n} shuffles > {max_shuffles}\n{plan}"
+    if min_broadcast_joins is not None:
+        n = broadcast_join_count(df)
+        assert n >= min_broadcast_joins, f"{n} broadcast joins < {min_broadcast_joins}\n{plan}"
+    if require_pushed_filter is not None:
+        pf = pushed_filters(df)
+        assert any(require_pushed_filter in f for f in pf), (
+            f"no pushed filter matching {require_pushed_filter!r} in {pf}\n{plan}"
+        )
+    if max_read_columns is not None:
+        cols = read_schema_columns(df)
+        assert len(cols) <= max_read_columns, (
+            f"scans read {len(cols)} columns {sorted(cols)} > {max_read_columns}\n{plan}"
+        )

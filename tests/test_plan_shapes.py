@@ -1,0 +1,89 @@
+"""Plan-shape gates: the engine's perf contract is "Catalyst picked the
+plan we want" — these tests pin that shape so a regression (lost
+pushdown, un-broadcast dim, surprise shuffle, codegen fallout) fails
+CI rather than showing up as a 10x slowdown at scale.
+
+All assertions are scale-free plan properties, checked at sf0.001 for
+speed; the same shapes hold at any SF because they do not depend on
+row counts (the one AQE-dependent case, q5's supplier join, is
+asserted on the static plan where supplier must NOT be broadcast by a
+hard-coded hint).
+"""
+
+from __future__ import annotations
+
+from kafka_streams_reorder_timestamp_spark import plans
+from kafka_streams_reorder_timestamp_spark.operators.relational import (
+    q1_pricing_summary,
+    q3_segment_revenue,
+    q5_nation_revenue,
+    q6_forecast_revenue,
+    top10_orders_global,
+)
+from kafka_streams_reorder_timestamp_spark.operators.text import text_token_stats
+from kafka_streams_reorder_timestamp_spark.operators.dedup import dedup_exact_docs
+
+
+def test_q1_scan_agg_shape(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    # One shuffle (partial -> final agg), date filter pushed to parquet,
+    # only the 7 referenced columns read (of lineitem's 16).
+    plans.assert_plan(
+        df,
+        max_shuffles=1,
+        require_pushed_filter="LessThanOrEqual(l_shipdate",
+        max_read_columns=7,
+    )
+    assert plans.wholestage_codegen_ids(df) >= 1
+
+
+def test_q6_pure_scan_filter(spark, sf_dir):
+    df = q6_forecast_revenue(spark, sf_dir)
+    # Single-stage scan+filter+agg: range predicates all pushed; scan
+    # reads only the 4 referenced columns.
+    plans.assert_plan(
+        df,
+        max_shuffles=1,
+        require_pushed_filter="GreaterThanOrEqual(l_shipdate",
+        max_read_columns=4,
+    )
+
+
+def test_q5_dims_broadcast_supplier_not_forced(spark, sf_dir):
+    df = q5_nation_revenue(spark, sf_dir)
+    # nation + region ride broadcast joins; the static plan must not
+    # force-broadcast supplier (it scales with SF — at sf0.001 AQE may
+    # still choose broadcast at runtime, which is fine and exactly the
+    # point of leaving it to AQE).
+    assert plans.broadcast_join_count(df) >= 2
+    assert "o_orderdate" in " ".join(plans.pushed_filters(df))
+
+
+def test_q3_dim_filter_before_join(spark, sf_dir):
+    df = q3_segment_revenue(spark, sf_dir)
+    # The customer segment predicate must reach the customer scan, not
+    # run post-join.
+    assert any("c_mktsegment" in f for f in plans.pushed_filters(df))
+
+
+def test_top10_uses_topk_not_global_sort(spark, sf_dir):
+    df = top10_orders_global(spark, sf_dir)
+    # ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+    # top-k, k-row merge) — a global range-partitioned Sort would
+    # shuffle the whole table.
+    plan = plans.physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert plans.shuffle_count(df) == 0
+
+
+def test_text_scan_prunes_columns(spark, sf_dir):
+    df = text_token_stats(spark, sf_dir)
+    # documents has 5 columns; the stats query must read only text +
+    # n_chars + doc_id.
+    assert plans.read_schema_columns(df) == {"doc_id", "text", "n_chars"}
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    df = dedup_exact_docs(spark, sf_dir)
+    # Fingerprint dedup = one hash-partition shuffle on the digest.
+    assert plans.shuffle_count(df) == 1
