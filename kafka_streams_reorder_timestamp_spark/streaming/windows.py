@@ -1,0 +1,114 @@
+"""Streaming windowed aggregation + dedup helpers.
+
+The reference has no windowed aggregations (its punctuation timer is a
+flush schedule, not a window — SURVEY §2.2); these are the standard
+Structured Streaming surfaces a user of this engine expects next to
+the reorder operator, built entirely from engine primitives:
+`window()` / `session_window()` + `withWatermark` for state eviction,
+`dropDuplicates`(`WithinWatermark`) for streaming dedup (the
+generalization of the reorder operator's timestamp dedup,
+reference: src/main/java/org/example/Application.java:89-93).
+
+State sizing at scale: every helper keys its state by (window x group
+key), so state is bounded by watermark horizon x group cardinality —
+the same bound the reference gets from grace-period flushes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_cols: Sequence[str] = (),
+    aggs: dict[str, Column] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Non-overlapping event-time windows: one state entry per
+    (window, group); closed windows emit once the watermark passes."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration).alias("w"), *group_cols)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            *aggs.keys(),
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_cols: Sequence[str] = (),
+    aggs: dict[str, Column] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping windows (each row lands in duration/slide windows)."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, duration, slide).alias("w"), *group_cols)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            *aggs.keys(),
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: Sequence[str] = (),
+    aggs: dict[str, Column] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Dynamic-length sessions closed by `gap` of event-time
+    inactivity — the streaming counterpart of the batch sessionization
+    in events_queries.user_sessions."""
+    aggs = aggs or {"n_events": F.count(F.lit(1))}
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), *group_cols)
+        .agg(*[c.alias(n) for n, c in aggs.items()])
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *group_cols,
+            *aggs.keys(),
+        )
+    )
+
+
+def stream_dedup(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 hours",
+) -> DataFrame:
+    """Streaming first-writer-wins dedup on `key_cols`, state evicted
+    by the watermark — the reference's put-if-absent check
+    (Application.java:89-93) generalized beyond the timestamp key.
+
+    Uses `dropDuplicatesWithinWatermark` so two records with the same
+    key are collapsed whenever they arrive within the watermark delay
+    of each other, and state for old keys is dropped (bounded state —
+    plain streaming dropDuplicates would keep every key forever)."""
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -1,0 +1,154 @@
+"""Streaming window/dedup helpers under Trigger.AvailableNow: file
+source → helper → memory sink, deterministic event times.
+
+The final no-data micro-batch advances the watermark past every
+window, so all windows close and results are complete — the streaming
+answers are then compared against the equivalent batch aggregation
+(the Dataflow-style "streaming must converge to the batch answer"
+check).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+BASE = "2024-01-01 00:{m:02d}:00"
+ROWS = [
+    # user 1: events at 00:00..00:04 and 00:40..00:41 (two sessions at
+    # 30-min gap); user 2: 00:02, 00:31
+    *[(BASE.format(m=m), 1, 1.0) for m in (0, 1, 2, 3, 4)],
+    *[(BASE.format(m=m), 1, 2.0) for m in (40, 41)],
+    (BASE.format(m=2), 2, 5.0),
+    (BASE.format(m=31), 2, 7.0),
+    # watermark sentinel: append mode only emits windows the watermark
+    # has passed, so a far-future row closes every window above; its
+    # own (still-open) windows are excluded from the comparisons.
+    ("2024-01-01 06:00:00", 99, 0.0),
+]
+SENTINEL_USER = 99
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    path = tmp_path_factory.mktemp("stream_in")
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2]) for r in ROWS], ["ts_s", "user_id", "value"]
+    ).select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+    df.coalesce(1).write.mode("overwrite").parquet(str(path))
+    return str(path)
+
+
+def run_stream(spark, src_path, build, tmp_path):
+    src = spark.readStream.schema(SCHEMA).parquet(src_path)
+    out = build(src)
+    name = f"mem_{abs(hash(str(tmp_path)))}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def test_tumbling_matches_batch(spark, stream_input, tmp_path):
+    got = run_stream(
+        spark,
+        stream_input,
+        lambda s: tumbling_agg(
+            s, "ts", "10 minutes", ["user_id"],
+            {"n": F.count(F.lit(1)), "sum_v": F.sum("value")},
+            watermark="1 minute",
+        ),
+        tmp_path,
+    ).toPandas()
+    batch = (
+        spark.read.parquet(stream_input)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n", "sum_v")
+        .toPandas()
+    )
+    got = got[got.user_id != SENTINEL_USER]
+    batch = batch[batch.user_id != SENTINEL_USER]
+    key = ["window_start", "user_id"]
+    got_s = got[key + ["n", "sum_v"]].sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert got_s.equals(batch_s)
+
+
+def test_sliding_windows_overlap(spark, stream_input, tmp_path):
+    got = run_stream(
+        spark,
+        stream_input,
+        lambda s: sliding_agg(
+            s, "ts", "10 minutes", "5 minutes", ["user_id"],
+            watermark="1 minute",
+        ),
+        tmp_path,
+    ).toPandas()
+    # the 00:02 event of user 2 must appear in two overlapping windows
+    # (23:55-00:05 and 00:00-00:10)
+    u2 = got[got.user_id == 2]
+    assert len(u2[u2.n_events > 0]) >= 3
+
+
+def test_session_windows_close_on_gap(spark, stream_input, tmp_path):
+    got = run_stream(
+        spark,
+        stream_input,
+        lambda s: session_agg(
+            s, "ts", "30 minutes", ["user_id"], watermark="1 minute"
+        ),
+        tmp_path,
+    ).toPandas()
+    got = got[got.user_id != SENTINEL_USER]
+    by_user = got.groupby("user_id").size().to_dict()
+    # user 1: 00:00-00:04 cluster and 00:40-00:41 cluster → 2 sessions;
+    # user 2: 00:02 and 00:31 are 29 min apart → ONE session (gap=30)
+    assert by_user == {1: 2, 2: 1}
+    u1 = got[got.user_id == 1].sort_values("session_start")
+    assert list(u1["n_events"]) == [5, 2]
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    path = tmp_path / "in"
+    rows = [
+        ("2024-01-01 00:00:00", 1, 1.0),
+        ("2024-01-01 00:00:30", 1, 99.0),  # same user key within watermark → dropped
+        ("2024-01-01 00:05:00", 2, 2.0),
+    ]
+    (
+        spark.createDataFrame(rows, ["ts_s", "user_id", "value"])
+        .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+        .coalesce(1)
+        .write.parquet(str(path))
+    )
+    got = run_stream(
+        spark,
+        str(path),
+        lambda s: stream_dedup(s, ["user_id"], "ts", watermark="10 minutes"),
+        tmp_path,
+    ).toPandas()
+    assert sorted(got["user_id"]) == [1, 2]
+    assert float(got[got.user_id == 1]["value"].iloc[0]) == 1.0
