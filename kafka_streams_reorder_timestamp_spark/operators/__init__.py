@@ -1,4 +1,5 @@
 from . import (  # noqa: F401  (imports run @register decorators)
+    breadth,
     dedup,
     events_queries,
     multimodal,
@@ -9,6 +10,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
 from .reorder import reorder_batch
 
 __all__ = [
+    "breadth",
     "dedup",
     "events_queries",
     "multimodal",

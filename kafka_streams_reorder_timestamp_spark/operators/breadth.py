@@ -1,0 +1,210 @@
+"""Relational breadth: the remaining standard-operator categories from
+SURVEY §2.2 not covered by relational.py — full outer join, GROUPING
+SETS (via the engine's SQL entry path), analytic window functions
+(lead/lag/ntile/percent_rank), scalar function families
+(string/date/math), and multi-column distinct aggregation.
+
+All shapes are Catalyst built-ins; scale notes per query in docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "nation_balance_fulljoin",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey,
+             ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS cust_bal,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT s_nationkey AS nationkey,
+             ROUND(SUM(CAST(s_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS supp_bal,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           c.cust_bal, c.n_cust, s.supp_bal, s.n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc="Full outer join of two pre-aggregated sides — aggregate FIRST "
+    "(25 nation keys), join tiny results; never full-table outer join.",
+)
+def nation_balance_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("cust_bal"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.round(F.sum(F.col("s_acctbal").cast("decimal(25,6)")), 2)
+            .cast("double")
+            .alias("supp_bal"),
+            F.count(F.lit(1)).alias("n_supp"),
+        )
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select("nationkey", "cust_bal", "n_cust", "supp_bal", "n_supp")
+    )
+
+
+@register(
+    "grouping_sets_lineitem",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS via the engine's SQL entry path (the "
+    "DataFrame and SQL APIs build the same Catalyst plan; this "
+    "exercises the SQL front door). One Expand + one shuffle.",
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem_v
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "customer_order_gaps",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             LAG(o_orderdate) OVER w AS prev_date,
+             LEAD(o_orderdate) OVER w AS next_date,
+             CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
+               AS price_quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey,
+           epoch_us(o_orderdate) AS orderdate_us,
+           datediff('day', prev_date, o_orderdate) AS days_since_prev,
+           datediff('day', o_orderdate, next_date) AS days_until_next,
+           price_quartile
+    FROM seq
+    WHERE prev_date IS NOT NULL
+    """,
+    doc="Analytic windows: lag/lead inter-order gaps per customer + a "
+    "global price ntile. Two window partitions → two shuffles; the "
+    "global ntile is the known single-partition bottleneck, kept "
+    "deliberately as the API-parity case (cap with a partitioned rank "
+    "at scale).",
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wg = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+            F.lead("o_orderdate").over(w).alias("next_date"),
+            F.ntile(4).over(wg).cast("int").alias("price_quartile"),
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            # o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the
+            # cast to TIMESTAMP is value-preserving.
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            F.datediff("o_orderdate", "prev_date").alias("days_since_prev"),
+            F.datediff("next_date", "o_orderdate").alias("days_until_next"),
+            "price_quartile",
+        )
+    )
+
+
+@register(
+    "part_scalar_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(SUBSTR(p_name, 1, 8)) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, '/', p_type) AS brand_type,
+           REPLACE(p_type, ' ', '_') AS type_slug,
+           ABS(p_retailprice - 1000.0) AS price_dist,
+           CAST(CEIL(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+           MOD(p_partkey, 7) AS k7
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20
+    """,
+    doc="Scalar function families (string/math) in one pushdown-"
+    "friendly projection — every function a JVM codegen built-in.",
+)
+def part_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size").between(10, 20))
+    return p.select(
+        "p_partkey",
+        F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+        F.abs(F.col("p_retailprice") - 1000.0).alias("price_dist"),
+        F.ceil(F.col("p_retailprice") / 100.0).cast("bigint").alias("price_bucket"),
+        (F.col("p_partkey") % 7).alias("k7"),
+    )
+
+
+@register(
+    "orders_date_functions",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS INT) AS y,
+           CAST(MONTH(o_orderdate) AS INT) AS m,
+           CAST(QUARTER(o_orderdate) AS INT) AS q,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="Date extraction + MULTIPLE distinct aggregates in one "
+    "aggregation (Catalyst plans Expand + two-phase distinct agg).",
+)
+def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("y"),
+            F.month("o_orderdate").cast("int").alias("m"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+        )
+    )
