@@ -13,6 +13,7 @@ from .texthash import (
     tokens,
     word_shingles,
 )
+from .skew import salted_join
 from .vectors import as_double, cosine, dot, l2_norm, vector_lit
 
 __all__ = [
@@ -24,6 +25,7 @@ __all__ = [
     "minhash_band_buckets",
     "minhash_signature",
     "normalize_text",
+    "salted_join",
     "tokens",
     "vector_lit",
     "word_shingles",

@@ -4,6 +4,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
     events_queries,
     multimodal,
     relational,
+    simhash,
     similarity,
     text,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "reorder_batch",
     "relational",
     "registry",
+    "simhash",
     "similarity",
     "text",
 ]

@@ -1,0 +1,187 @@
+"""SimHash near-duplicate detection over text columns.
+
+Complements MinHash (dedup.py): SimHash produces ONE 64-bit signature
+per document whose Hamming distance tracks cosine similarity of the
+token-frequency vectors — cheaper state than a 128-value MinHash
+signature, best for "almost identical" thresholds (hamming <= k).
+
+Scale shape mirrors the LSH pipeline: signatures in one Arrow-batched
+pass; candidates from band buckets (pigeonhole: two signatures within
+Hamming distance k must agree on at least one of k+1 bands), so the
+candidate join is bounded by bucket size; verification is JVM-side
+``bit_count(a XOR b)`` — one instruction per pair.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..sources.catalog import load_table
+from .registry import register
+
+_WS = None
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 avalanche finalizer. Required: crc32 is
+    GF(2)-LINEAR, so crc values of similar short tokens are strongly
+    correlated and the per-bit vote margins degenerate (one removed
+    token flipped ~20/64 signature bits instead of the ~4 independent
+    hashing predicts). The finalizer destroys that linearity."""
+    x = x + np.uint64(0x9E3779B97F4A7C15)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _token_hashes64(txt: str) -> np.ndarray | None:
+    """Per-token 64-bit hashes: two crc32s (token, salted token) packed
+    into one uint64, then avalanche-mixed — C-speed, deterministic."""
+    global _WS
+    if _WS is None:
+        import re
+
+        _WS = re.compile(r"\s+")
+    if txt is None or not txt.strip():
+        return None
+    tok = _WS.split(txt.strip().lower())
+    hi = np.fromiter(
+        (zlib.crc32(t.encode()) for t in tok), dtype=np.uint64, count=len(tok)
+    )
+    lo = np.fromiter(
+        (zlib.crc32((t + "\x01").encode()) for t in tok),
+        dtype=np.uint64,
+        count=len(tok),
+    )
+    return _splitmix64((hi << np.uint64(32)) | lo)
+
+
+def simhash64(text: Column) -> Column:
+    """64-bit SimHash of the whitespace-tokenized text (bigint column).
+
+    Per document: each token's 64 hash bits vote +1/-1 per position;
+    the signature's bit b is 1 iff the position-b vote sum is positive.
+    Vectorized: one (tokens x 64) bit-unpack + column sum per document.
+    """
+
+    @pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        out = []
+        for txt in texts:
+            h = _token_hashes64(txt)
+            if h is None:
+                out.append(None)
+                continue
+            bits = (h[:, None] >> shifts) & np.uint64(1)  # (n_tok, 64)
+            votes = 2 * bits.astype(np.int64) - 1
+            sig = np.uint64(0)
+            for b, v in enumerate(votes.sum(axis=0)):
+                if v > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out.append(int(sig.astype(np.int64)))  # reinterpret as signed
+        return pd.Series(out, dtype="object")
+
+    return _simhash(text)
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs of documents whose SimHashes differ in <= `max_hamming`
+    bits. Banding: the 64-bit signature splits into `max_hamming + 1`
+    bands; by pigeonhole, any pair within the Hamming budget shares at
+    least one full band, so same-band-value buckets generate all true
+    candidates. Verification: bit_count(xor) — JVM built-in.
+    """
+    bands = max_hamming + 1
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+
+    sigs = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
+    ).filter(F.col("_sig").isNotNull())
+
+    band_vals = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("_sig"), i * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("val"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = sigs.select("_id", "_sig", F.explode(band_vals).alias("bv")).select(
+        "_id", "_sig", F.col("bv.band").alias("band"), F.col("bv.val").alias("val")
+    )
+
+    ids = F.sort_array(F.collect_list(F.struct("_id", "_sig")))
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("members"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("members"), i + 2, F.size(F.col("members"))),
+                    lambda y: F.struct(
+                        x["_id"].alias("doc_a"),
+                        y["_id"].alias("doc_b"),
+                        x["_sig"].alias("sig_a"),
+                        y["_sig"].alias("sig_b"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
+    cand = (
+        banded.groupBy("band", "val")
+        .agg(ids.alias("members"))
+        .filter(F.size("members") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # signature family is implementation-specific; pytest
+    # verifies planted near-identical pairs and the Hamming bound.
+    doc="SimHash near-dup over documents plus a deterministic perturbed "
+    "sample (20 docs, one token dropped): 64-bit signatures, "
+    "pigeonhole banding, bit_count(xor) verification.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from ..functions.texthash import tokens
+
+    tok = tokens(F.col("text"))
+    perturbed = (
+        d.orderBy("doc_id")
+        .limit(20)
+        .select(
+            (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+            F.array_join(F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1))), " ")
+            .alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(perturbed)
+    return simhash_near_dups(corpus, "text", "doc_id", max_hamming=3)
