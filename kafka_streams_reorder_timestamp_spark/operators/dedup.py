@@ -60,22 +60,29 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 @register(
     "dedup_exact_docs",
     oracle="""
-    SELECT doc_id,
+    SELECT MIN(doc_id) AS doc_id,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           COUNT(*) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
-             AS group_size
+           COUNT(*) AS group_size
     FROM documents
     WHERE text IS NOT NULL
-    QUALIFY ROW_NUMBER() OVER (
-      PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-      ORDER BY doc_id) = 1
+    GROUP BY 2
     """,
     doc="Exact dedup: group by md5 of normalized text, keep min doc_id. "
-    "One shuffle on a uniform 128-bit key — no skew at any scale.",
+    "A single partial+final hash aggregation (survivor id = MIN) — one "
+    "shuffle of pre-aggregated digests, no window pass; uniform 128-bit "
+    "key, no skew at any scale. exact_dedup() is the full-row variant.",
 )
 def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    return exact_dedup(d, "text", "doc_id").select("doc_id", "fingerprint", "group_size")
+    return (
+        d.select(F.md5(normalize_text(F.col("text"))).alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("doc_id", "fingerprint", "group_size")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -122,3 +122,39 @@ def test_straggler_lands_in_next_flush(spark, tmp_path):
     got = read_output(out_dir)
     assert len(got) == 14
     assert list(got["order_id"])[12:] == ["0-late", "13"]
+
+
+def test_keyed_reorder_orders_per_key(spark, tmp_path):
+    """key_cols restores order WITHIN each key group (the reference
+    orders per Kafka partition; keyed grouping is the parallel-scale
+    path, SURVEY §7.4 risk 2). Two electronic_ids interleaved
+    out-of-order must each come out chronologically."""
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    rows_a = [(f"a{i}", "dev-A", f"u{i}", 1.0 * i, t) for i, t in
+              [(1, ts("2021-11-04T02:00:00Z")), (2, ts("2021-11-04T01:00:00Z")),
+               (3, ts("2021-11-04T03:00:00Z"))]]
+    rows_b = [(f"b{i}", "dev-B", f"u{i}", 2.0 * i, t) for i, t in
+              [(1, ts("2021-11-04T01:30:00Z")), (2, ts("2021-11-04T00:30:00Z"))]]
+    sentinel = [("zz", "dev-A", "s", 0.0, ts("2021-11-06T00:00:00Z")),
+                ("zz2", "dev-B", "s", 0.0, ts("2021-11-06T00:00:00Z"))]
+    write_input(spark, rows_a + rows_b + sentinel, in_dir, 7)
+
+    src = spark.readStream.schema(STREAM_SCHEMA).parquet(str(in_dir))
+    out = reorder_stream(
+        src, ts_col="event_time", grace="10 hours", key_cols=["electronic_id"]
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = read_output(out_dir)
+    by_key = {
+        k: list(g.sort_index()["order_id"]) for k, g in got.groupby("electronic_id")
+    }
+    # flush-all drains the sentinels too, ordered last within their key
+    assert by_key["dev-A"] == ["a2", "a1", "a3", "zz"]
+    assert by_key["dev-B"] == ["b2", "b1", "zz2"]
