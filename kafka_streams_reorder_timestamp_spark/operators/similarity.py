@@ -198,6 +198,103 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    partition_col: str = "label",
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted-file search over coarse
+    partitions.
+
+    1. Coarse centroids = per-partition mean vector (here the existing
+       `label` column stands in for a trained k-means codebook — the
+       quantizer's provenance is orthogonal to the IVF search
+       structure; swap in k-means assignments and nothing else
+       changes).
+    2. Each probe selects its `nprobe` nearest centroids (tiny
+       broadcast cross join — centroid count is the codebook size).
+    3. Exact cosine ranks only the rows of the selected partitions, so
+       scan cost per probe is nprobe/n_partitions of the corpus — the
+       IVF trade-off. nprobe = n_partitions degrades gracefully to the
+       exact brute-force answer.
+
+    Column contract: corpus(vec_id, <partition_col>, emb),
+    probes(probe_id, probe_emb).
+    """
+    # Per-partition mean: posexplode to (partition, pos, val), one
+    # shuffle of (codebook x dim) partial averages — no Python.
+    cent = (
+        corpus.select(partition_col, F.posexplode("emb").alias("pos", "val"))
+        .groupBy(partition_col, "pos")
+        .agg(F.avg("val").alias("cval"))
+        .groupBy(partition_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pv"))
+        .select(
+            partition_col,
+            F.transform("pv", lambda s: s["cval"]).alias("centroid"),
+        )
+    )
+    probe_parts = (
+        probes.crossJoin(F.broadcast(cent))
+        .withColumn("cdist", cosine(F.col("probe_emb"), F.col("centroid")))
+        .withColumn(
+            "crank",
+            F.row_number().over(
+                Window.partitionBy("probe_id").orderBy(
+                    F.col("cdist").desc(), F.col(partition_col)
+                )
+            ),
+        )
+        .filter(F.col("crank") <= nprobe)
+        .select("probe_id", "probe_emb", partition_col)
+    )
+    cand = corpus.join(F.broadcast(probe_parts), partition_col).filter(
+        F.col("vec_id") != F.col("probe_id")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("_n", l2_norm(F.col("emb"), dim=dim))
+        .withColumn("_pn", l2_norm(F.col("probe_emb"), dim=dim))
+        .select(
+            "probe_id",
+            "vec_id",
+            (
+                dot(F.col("emb"), F.col("probe_emb"), dim=dim)
+                / (F.col("_n") * F.col("_pn"))
+            ).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # partition selection is data-dependent; pytest pins
+    # the nprobe=all == brute-force equivalence.
+    doc="IVF approximate top-10 for 5 probes: label partitions as the "
+    "coarse codebook, per-probe nprobe=3 partition selection, exact "
+    "cosine re-rank within selected partitions only.",
+)
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    return ann_ivf_topk(e, probes, k=10, nprobe=3)
+
+
 @register(
     "ann_lsh_topk",
     oracle=None,  # bucket membership is hash-specific; pytest asserts

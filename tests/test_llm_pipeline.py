@@ -164,3 +164,37 @@ def test_sample_frames_slices_payload(spark):
     # 300 bytes → 4 full frames (0..3), stride 2 keeps frames 0 and 2
     assert [r.frame_no for r in frames] == [0, 2]
     assert all(len(r.frame) == 64 for r in frames)
+
+
+def test_ann_ivf_full_probe_equals_brute_force(spark, sf_dir):
+    """With nprobe = number of partitions, IVF must return exactly the
+    brute-force answer (graceful degradation contract)."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        ann_ivf_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    n_parts = e.select("label").distinct().count()
+    probes = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    ivf = ann_ivf_topk(e, probes, k=5, nprobe=n_parts)
+    brute = knn_brute_force(e.select("vec_id", "emb"), probes, k=5)
+    a = sorted(map(tuple, ivf.collect()))
+    b = sorted(map(tuple, brute.collect()))
+    assert a == b
+
+
+def test_ann_ivf_partial_probe_subset(spark, sf_dir):
+    """With nprobe < partitions, every result is a valid corpus row from
+    a selected partition and ranks are contiguous from 1."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        ann_ivf_query,
+    )
+
+    got = ann_ivf_query(spark, sf_dir).toPandas()
+    assert set(got.probe_id) == set(range(5))
+    for pid, grp in got.groupby("probe_id"):
+        assert list(grp.sort_values("rank")["rank"]) == list(range(1, len(grp) + 1))
