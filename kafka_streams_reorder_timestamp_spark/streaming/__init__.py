@@ -1,10 +1,13 @@
 from .reorder import reorder_stream
+from .reorder_tws import reorder_stream_tws, tws_available
 from .windows import session_agg, sliding_agg, stream_dedup, tumbling_agg
 
 __all__ = [
     "reorder_stream",
+    "reorder_stream_tws",
     "session_agg",
     "sliding_agg",
     "stream_dedup",
     "tumbling_agg",
+    "tws_available",
 ]
