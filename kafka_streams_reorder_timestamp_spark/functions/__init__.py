@@ -7,7 +7,7 @@ usable inside any DataFrame plan. No Python row UDFs.
 
 from .texthash import (
     char_shingles,
-    minhash_band_buckets,
+    minhash_features,
     minhash_signature,
     normalize_text,
     tokens,
@@ -22,7 +22,7 @@ __all__ = [
     "cosine",
     "dot",
     "l2_norm",
-    "minhash_band_buckets",
+    "minhash_features",
     "minhash_signature",
     "normalize_text",
     "salted_join",

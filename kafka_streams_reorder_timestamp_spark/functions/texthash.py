@@ -108,45 +108,6 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
     )
 
 
-def minhash_band_buckets(
-    text: Column, num_hashes: int = 128, bands: int = 32, shingle_n: int = 3
-) -> Column:
-    """LSH band buckets per document: array of `bands` bucket hashes,
-    computed from raw text in ONE Arrow-batched pass (normalize →
-    tokenize → shingle → MinHash → band).
-
-    Spark does not codegen higher-order array lambdas, so the
-    pure-Column `minhash_signature` path pays interpreted-eval per
-    shingle x hash; this pandas UDF builds the shingle hash set with
-    one crc32 per TOKEN plus vectorized numpy combination
-    (`_shingle_hash_set`), derives all `num_hashes` functions with one
-    numpy broadcast per document, and collapses each band to one
-    bucket hash. Tokenization mirrors `tokens()` (lowercase, \\s+
-    split). Empty/None text yields NULL (callers drop).
-    """
-    a, b = _minhash_coeffs(num_hashes)
-    a_arr = np.array(a, dtype=np.int64)
-    b_arr = np.array(b, dtype=np.int64)
-    rows_per_band = num_hashes // bands
-
-    @pandas_udf(T.ArrayType(T.LongType()))
-    def _buckets(texts: pd.Series) -> pd.Series:
-        out = []
-        for txt in texts:
-            h = _shingle_hash_set(txt, shingle_n)
-            if h is None:
-                out.append(None)
-                continue
-            sig = ((a_arr[None, :] * (h % _MERSENNE31)[:, None] + b_arr) % _MERSENNE31).min(
-                axis=0
-            )
-            bb = sig.reshape(bands, rows_per_band)
-            out.append([zlib.crc32(bb[i].tobytes()) for i in range(bands)])
-        return pd.Series(out)
-
-    return _buckets(text)
-
-
 # Rolling-combine mixing constants for token→shingle hashing.
 _C1 = np.int64(0x9E3779B1)
 _C2 = np.int64(0x85EBCA77)
@@ -185,9 +146,53 @@ def _shingle_hash_set(txt, shingle_n: int):
     return np.unique(h & _MASK32)
 
 
+def minhash_features(
+    text: Column, num_hashes: int = 128, bands: int = 32, shingle_n: int = 3
+) -> Column:
+    """Struct column ``(buckets: array<bigint>, shingles: array<bigint>)``
+    — LSH band buckets AND the shingle hash set from ONE Arrow pass
+    (normalize → tokenize → shingle-hash → MinHash → band).
+
+    Why a pandas UDF: Spark does not codegen higher-order array
+    lambdas, so the pure-Column `minhash_signature` path pays
+    interpreted-eval per shingle x hash; here the shingle hash set
+    costs one crc32 per TOKEN plus vectorized numpy combination
+    (`_shingle_hash_set`), all `num_hashes` functions derive from one
+    numpy broadcast per document, and each band collapses to one
+    bucket hash. The LSH operator needs both outputs (banding for
+    candidates, shingle sets for verification); computing them
+    together and persisting the projection runs this pipeline once
+    instead of once per consumer. Tokenization mirrors `tokens()`
+    (lowercase, \\s+ split). Empty/None text yields NULL struct
+    fields (callers drop)."""
+    a, b = _minhash_coeffs(num_hashes)
+    a_arr = np.array(a, dtype=np.int64)
+    b_arr = np.array(b, dtype=np.int64)
+    rows_per_band = num_hashes // bands
+
+    @pandas_udf("buckets array<bigint>, shingles array<bigint>")
+    def _feats(texts: pd.Series) -> pd.DataFrame:
+        buckets, shingles = [], []
+        for txt in texts:
+            h = _shingle_hash_set(txt, shingle_n)
+            if h is None:
+                buckets.append(None)
+                shingles.append(None)
+                continue
+            sig = ((a_arr[None, :] * (h % _MERSENNE31)[:, None] + b_arr) % _MERSENNE31).min(
+                axis=0
+            )
+            bb = sig.reshape(bands, rows_per_band)
+            buckets.append([zlib.crc32(bb[i].tobytes()) for i in range(bands)])
+            shingles.append(h.tolist())
+        return pd.DataFrame({"buckets": buckets, "shingles": shingles})
+
+    return _feats(text)
+
+
 def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
     """Column: sorted distinct shingle hashes per document — the same
-    shingle universe `minhash_band_buckets` signs over, exposed for
+    shingle universe `minhash_features` signs over, exposed for
     exact Jaccard verification of LSH candidates (array_intersect on
     bigint arrays, JVM-native)."""
 

@@ -8,7 +8,7 @@ Design for 100 TB:
     blocking key (lang/source), LSH band buckets, or hyperplane-sign
     buckets, so the join fan-out is bounded by bucket size;
   - MinHash signature+banding is one Arrow-batched numpy pass per
-    document (minhash_band_buckets); band rows carry only ids and
+    document (minhash_features); band rows carry only ids and
     bucket hashes, and only verified candidates re-touch token arrays.
 
 Reference tie-in: the reference's only dedup is first-writer-wins on
@@ -22,12 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texthash import (
-    minhash_band_buckets,
-    normalize_text,
-    shingle_hashes,
-    tokens,
-)
+from ..functions.texthash import minhash_features, normalize_text, tokens
 from ..functions.vectors import as_double, cosine
 from ..sources.catalog import load_table
 from .registry import register
@@ -157,7 +152,7 @@ def minhash_lsh_pairs(
 
     Pipeline (each stage a single narrow/shuffle step):
       1. tokens → `shingle_n`-token shingles → `num_hashes` MinHash
-         values (one Arrow-batched pass, see minhash_band_buckets);
+         values (one Arrow-batched pass, see minhash_features);
       2. split the signature into `bands` bands, hash each band,
          explode → shuffle on (band, band_hash): docs agreeing on any
          band land in the same bucket;
@@ -177,15 +172,21 @@ def minhash_lsh_pairs(
     docs = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).filter(F.col("_text").isNotNull())
-    # Normalize → shingle → MinHash → band in one Arrow-batched pass
-    # (see minhash_band_buckets). Band rows carry ONLY (_id, band,
-    # bucket) — no text/shingles ride through the bands-times explode
-    # and its shuffle.
-    banded = docs.select(
+    # Normalize → shingle → MinHash → band in ONE Arrow-batched pass
+    # producing both the band buckets (candidate generation) and the
+    # shingle hash set (verification). Persisted because both the
+    # banding explode and the two verification join sides consume it —
+    # without the persist the UDF pipeline would run three times. The
+    # projection is (id, 2 hash arrays): a few KB per doc, disk-backed.
+    feats = docs.select(
         "_id",
-        F.posexplode(
-            minhash_band_buckets(F.col("_text"), num_hashes, bands, shingle_n)
-        ).alias("band", "bucket"),
+        minhash_features(F.col("_text"), num_hashes, bands, shingle_n).alias("mf"),
+    ).filter(F.col("mf.buckets").isNotNull())
+    feats = feats.persist()
+    # Band rows carry ONLY (_id, band, bucket) — no shingle arrays ride
+    # through the bands-times explode and its shuffle.
+    banded = feats.select(
+        "_id", F.posexplode(F.col("mf.buckets")).alias("band", "bucket")
     )
 
     # Candidate pairs come from grouping each bucket and exploding the
@@ -215,13 +216,10 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify with the exact Jaccard of the shingle HASH sets — the same
-    # shingle universe the signatures were built from, computed once
-    # per document (one Arrow pass) and joined to the candidates;
-    # array_intersect over bigint arrays is JVM-native and far cheaper
-    # than re-shingling text per candidate pair.
-    shingled = docs.select(
-        "_id", shingle_hashes(F.col("_text"), shingle_n).alias("_sh")
-    ).filter(F.col("_sh").isNotNull())
+    # shingle universe the signatures were built from, reused from the
+    # persisted feature projection; array_intersect over bigint arrays
+    # is JVM-native and far cheaper than re-shingling text per pair.
+    shingled = feats.select("_id", F.col("mf.shingles").alias("_sh"))
     sh_a = shingled.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
     sh_b = shingled.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     paired = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
