@@ -1,10 +1,17 @@
-"""Tokenization, shingling, and MinHash signatures as Column exprs.
+"""Tokenization, shingling, and MinHash machinery.
 
-The MinHash family is built on ``xxhash64`` with a per-function seed
-token prepended to the input — k independent hash functions without
-leaving the JVM. Signatures are ``array<bigint>``; banding for LSH
-happens in the dedup operator (explode → bucket groupBy), which keeps
-the candidate generation a single shuffle on (band, bucket).
+Two MinHash implementations with the same universal-hash family
+(h_j(x) = (a_j*x + b_j) mod 2^31-1):
+
+- `minhash_signature`: pure Column expressions over xxhash64 — zero
+  Python, but Spark interprets higher-order array lambdas per element,
+  so it is the reference implementation, not the hot path;
+- `minhash_features`: one Arrow-batched numpy pass emitting band
+  buckets + the shingle hash set together — what the LSH dedup
+  operator actually runs.
+
+Banding happens in the dedup operator (explode → bucket groupBy),
+keeping candidate generation a single shuffle on (band, bucket).
 """
 
 from __future__ import annotations

@@ -208,3 +208,52 @@ def orders_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderpriority").alias("n_priorities"),
         )
     )
+
+
+@register(
+    "parts_above_brand_avg",
+    oracle="""
+    SELECT p_partkey, p_brand, ROUND(p_retailprice, 2) AS retailprice
+    FROM part p
+    WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) * 1.04
+                           FROM part p2 WHERE p2.p_brand = p.p_brand)
+    """,
+    doc="Correlated-scalar-subquery shape (price > 1.04x brand average; prices cluster tightly around the brand mean). "
+    "Spark expresses it as a window average — identical semantics, one "
+    "shuffle on the correlation key instead of a rejoin.",
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg") * 1.04)
+        .select(
+            "p_partkey", "p_brand", F.round("p_retailprice", 2).alias("retailprice")
+        )
+    )
+
+
+@register(
+    "lineitem_quantity_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90,
+           ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` "
+    "== DuckDB quantile_cont). Exact percentiles sort within groups; "
+    "at 100 TB switch to approx_percentile (t-digest sketch, "
+    "mergeable partials) — kept exact here for oracle comparability.",
+)
+def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(q)), 4).alias(name)
+            for q, name in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
+        ]
+    )
