@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texthash import minhash_features, normalize_text, tokens
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double
 from ..sources.catalog import load_table
 from .registry import register
 

@@ -87,3 +87,30 @@ def test_exact_dedup_single_shuffle(spark, sf_dir):
     df = dedup_exact_docs(spark, sf_dir)
     # Fingerprint dedup = one hash-partition shuffle on the digest.
     assert plans.shuffle_count(df) == 1
+
+
+def test_knn_probes_broadcast(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        knn_topk_cosine,
+    )
+
+    df = knn_topk_cosine(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # probe side rides a broadcast (nested-loop for the cross join);
+    # the corpus is never shuffled for scoring — only the tiny scored
+    # projection shuffles into the per-probe top-k window
+    assert "Broadcast" in plan
+    assert plans.read_schema_columns(df) == {"vec_id", "embedding"}
+
+
+def test_jaccard_join_is_not_cartesian(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        dedup_jaccard_pairs,
+    )
+
+    plan = plans.physical_plan(dedup_jaccard_pairs(spark, sf_dir), "simple")
+    # the (lang, source) blocking keys must drive an equi-join —
+    # a CartesianProduct/BroadcastNestedLoopJoin over documents would
+    # be the all-pairs scale bug this operator exists to avoid
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
