@@ -103,7 +103,11 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Blocked n-gram Jaccard near-dup: candidate pairs only within "
     "(lang, source) blocks, exact unigram-set Jaccard >= 0.8. The join "
-    "fan-out is bounded by block size, never all-pairs.",
+    "fan-out is bounded by block size, never all-pairs. A size-band "
+    "predicate in the join condition (J >= 0.8 forces |A|/|B| within "
+    "[0.8, 1.25] since J <= min/max) prunes most pairs before the "
+    "expensive array_intersect runs — result-identical, order-of-"
+    "magnitude fewer intersections on real corpora.",
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -114,17 +118,28 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("t"),
-    )
+    ).withColumn("sz", F.size("t"))
+    # Distribute the probe side across block keys: a single-file scan
+    # would otherwise run the whole blocked self-join (and the regexp
+    # tokenize) in one task under a broadcast join. At cluster scale
+    # this same hash partitioning is what the shuffle join needs anyway.
+    toks = toks.repartition(F.col("lang"), F.col("source"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
     union = F.size(F.col("a.t")) + F.size(F.col("b.t")) - inter
     jac = inter / union
+    # Jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t, so the size
+    # band is a lossless prefilter evaluated before array_intersect.
+    size_band = (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * 0.8) & (
+        F.col("b.sz") * F.lit(1.0) >= F.col("a.sz") * 0.8
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & size_band,
         )
         .filter(jac >= 0.8)
         .select(

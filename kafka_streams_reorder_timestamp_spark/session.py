@@ -51,6 +51,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's 1MB coalesce floor collapses small-but-compute-heavy
+        # shuffles (pairwise similarity, per-bucket joins) to one task.
+        # A 64KB floor keeps those parallel; at cluster scale it only
+        # affects stages shuffling < cores x 1MB — noise either way.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
