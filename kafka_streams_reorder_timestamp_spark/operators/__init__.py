@@ -1,4 +1,5 @@
 from . import (  # noqa: F401  (imports run @register decorators)
+    asof,
     breadth,
     dedup,
     events_queries,
@@ -11,6 +12,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
 from .reorder import reorder_batch
 
 __all__ = [
+    "asof",
     "breadth",
     "dedup",
     "events_queries",

@@ -257,3 +257,53 @@ def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
             for q, name in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
         ]
     )
+
+
+PRICE_BANDS = [
+    ("economy", 0.0, 925.0),
+    ("standard", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, float("inf")),
+]
+
+
+@register(
+    "price_band_parts",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('economy', 0.0, 925.0),
+             ('standard', 925.0, 950.0),
+             ('premium', 950.0, 975.0),
+             ('luxury', 975.0, 1e308)
+    )
+    SELECT b.band,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 2) AS avg_price,
+           ROUND(MIN(p.p_retailprice), 2) AS min_price,
+           ROUND(MAX(p.p_retailprice), 2) AS max_price
+    FROM part p JOIN bands b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY 1
+    """,
+    doc="Range (band) join: parts matched to a literal price-band dim "
+    "on a pure inequality condition. The dim is broadcast, so the "
+    "physical plan is a BroadcastNestedLoopJoin over 4 rows — the ONLY "
+    "sane shape for a non-equi join whose small side fits in memory; "
+    "the fact side streams once, nothing shuffles until the 4-group agg.",
+)
+def price_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_retailprice")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            F.round(F.min("p_retailprice"), 2).alias("min_price"),
+            F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        )
+    )
