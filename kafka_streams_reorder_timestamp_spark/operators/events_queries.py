@@ -173,6 +173,69 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_daily_from_hourly",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+             event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(25,6))) AS sum_exact,
+             CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+               AS sum_micros
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day_us, event_type, n AS n_events,
+           ROUND(sum_exact, 2)::DOUBLE AS sum_value,
+           -- avg at 4dp via exact integer half-up rounding: decimal/int
+           -- division is DOUBLE in DuckDB but DECIMAL in Spark, so both
+           -- sides use bigint micros to dodge the representation split.
+           ((2 * sum_micros + n * 100) // (2 * n * 100)) / 10000.0
+             AS avg_value
+    FROM daily
+    """,
+    doc="Hierarchical rollup (the hypertable/continuous-aggregate "
+    "pattern): daily stats computed by RE-AGGREGATING hourly partials "
+    "— sums and counts merge losslessly, avg = merged sum / merged "
+    "count (never avg-of-avgs). The oracle aggregates the raw table "
+    "directly, proving the two-level rollup is exact. At 100 TB the "
+    "hourly layer is what you materialize; every coarser granularity "
+    "derives from it without touching raw data again.",
+)
+def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("sum_value_exact"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_trunc("day", F.col("w.start")).alias("day"), "event_type"
+        )
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_exact").alias("sum_exact"),
+        )
+        .withColumn("sum_micros", (F.col("sum_exact") * 1_000_000).cast("long"))
+        .select(
+            F.unix_micros("day").alias("day_us"),
+            "event_type",
+            "n_events",
+            F.round("sum_exact", 2).cast("double").alias("sum_value"),
+            # exact bigint half-up rounding to 4dp — see oracle comment
+            (
+                F.expr(
+                    "(2 * sum_micros + n_events * 100) div (2 * n_events * 100)"
+                )
+                / 10000.0
+            ).alias("avg_value"),
+        )
+    )
+
+
+@register(
     "events_json_props",
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,

@@ -124,6 +124,38 @@ def test_straggler_lands_in_next_flush(spark, tmp_path):
     assert list(got["order_id"])[12:] == ["0-late", "13"]
 
 
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Restarting from the checkpoint neither reprocesses consumed
+    input nor re-emits flushed output — the exactly-once contract of
+    checkpointing + an idempotent sink (SURVEY §2.2: the reference only
+    configures idempotence, `enable.idempotence=true` in
+    configuration/dev.properties:4-5; Structured Streaming's
+    checkpoint gives the processing-side guarantee)."""
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    write_input(spark, GOLDEN_INPUT, in_dir, 12)
+    run_once(spark, in_dir, out_dir, ckpt)
+    assert list(read_output(out_dir)["order_id"]) == EXPECTED_ORDER_IDS
+
+    # Restart with NO new input: the source offset log shows everything
+    # consumed, the state store holds no unflushed rows — zero output.
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    assert len(got) == 12, "restart re-emitted flushed rows"
+
+    # Restart with two new records (the second advances the watermark
+    # past the first's flush timer): exactly those two appear once, in
+    # event-time order, golden prefix untouched.
+    fresh = [
+        ("13", "one", "closer", 5.0, ts("2021-11-06T00:00:00Z")),
+        ("14", "one", "closer", 6.0, ts("2021-11-07T00:00:00Z")),
+    ]
+    write_input(spark, fresh, in_dir, 14)
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    assert list(got["order_id"])[:12] == EXPECTED_ORDER_IDS
+    assert list(got["order_id"])[12:] == ["13", "14"]
+
+
 def test_keyed_reorder_orders_per_key(spark, tmp_path):
     """key_cols restores order WITHIN each key group (the reference
     orders per Kafka partition; keyed grouping is the parallel-scale
