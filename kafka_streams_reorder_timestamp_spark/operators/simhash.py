@@ -81,11 +81,12 @@ def simhash64(text: Column) -> Column:
                 out.append(None)
                 continue
             bits = (h[:, None] >> shifts) & np.uint64(1)  # (n_tok, 64)
-            votes = 2 * bits.astype(np.int64) - 1
-            sig = np.uint64(0)
-            for b, v in enumerate(votes.sum(axis=0)):
-                if v > 0:
-                    sig |= np.uint64(1) << np.uint64(b)
+            # vote sum per position: ones - (n - ones) = 2*ones - n
+            ones = bits.sum(axis=0, dtype=np.int64)
+            sig_bits = (2 * ones - len(h)) > 0
+            sig = np.bitwise_or.reduce(
+                np.where(sig_bits, np.uint64(1) << shifts, np.uint64(0))
+            )
             out.append(int(sig.astype(np.int64)))  # reinterpret as signed
         return pd.Series(out, dtype="object")
 
