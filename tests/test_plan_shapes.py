@@ -103,6 +103,20 @@ def test_knn_probes_broadcast(spark, sf_dir):
     assert plans.read_schema_columns(df) == {"vec_id", "embedding"}
 
 
+def test_price_band_join_broadcasts_dim(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.breadth import (
+        price_band_parts,
+    )
+
+    plan = plans.physical_plan(price_band_parts(spark, sf_dir), "simple")
+    # non-equi band join: the only sane physical shape is the tiny dim
+    # broadcast under a nested-loop; the fact side must NOT shuffle
+    # before the join
+    assert "BroadcastNestedLoopJoin" in plan
+    df = price_band_parts(spark, sf_dir)
+    assert plans.read_schema_columns(df) == {"p_retailprice"}
+
+
 def test_jaccard_join_is_not_cartesian(spark, sf_dir):
     from kafka_streams_reorder_timestamp_spark.operators.dedup import (
         dedup_jaccard_pairs,
