@@ -18,6 +18,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +38,17 @@ def main() -> int:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+
+    # Spin up the Python UDF workers once so the first pandas-UDF query
+    # measures its plan, not daemon/Arrow process startup.
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000, numPartitions=int(spark.conf.get("spark.sql.shuffle.partitions"))) \
+        .select(_noop(col("id"))).write.format("noop").mode("overwrite").save()
     warm_sec = time.perf_counter() - t_warm
 
     times: dict[str, float] = {}

@@ -259,10 +259,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # Plant near-duplicates: copies of the 20 lowest doc_ids with the
     # final 2 tokens removed; new ids offset by 10^9. Deterministic.
+    # doc_id is dense from 0 in the driver tables, so `doc_id < 20` is
+    # the 20 lowest — a pushed-down scan filter instead of a full sort.
     tok = tokens(F.col("text"))
     perturbed = (
-        d.orderBy("doc_id")
-        .limit(20)
+        d.filter(F.col("doc_id") < 20)
         .select(
             (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
             F.array_join(F.slice(tok, 1, F.greatest(F.size(tok) - 2, F.lit(1))), " ")

@@ -175,9 +175,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texthash import tokens
 
     tok = tokens(F.col("text"))
+    # doc_id is dense from 0, so this is the 20 lowest ids as a
+    # pushed-down scan filter (no sort job).
     perturbed = (
-        d.orderBy("doc_id")
-        .limit(20)
+        d.filter(F.col("doc_id") < 20)
         .select(
             (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
             F.array_join(F.slice(tok, 1, F.greatest(F.size(tok) - 1, F.lit(1))), " ")
