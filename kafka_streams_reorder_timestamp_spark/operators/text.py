@@ -219,3 +219,92 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select("doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint"))
+
+
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset
+# that Java regex (Spark) and RE2 (DuckDB) evaluate identically:
+# contraction suffixes, space-prefixed letter runs, space-prefixed
+# digit runs, space-prefixed punctuation runs, residual whitespace.
+BPE_PAT = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+# the contraction apostrophe must be doubled inside a SQL string literal
+_BPE_SQL = BPE_PAT.replace("'", "''")
+
+
+@register(
+    "text_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_pieces,
+           len(list_filter(regexp_extract_all(text, '{_BPE_SQL}'),
+                           p -> NOT regexp_matches(p, '^\\s+$'))) AS n_nonspace,
+           ROUND(length(text)
+                 / len(regexp_extract_all(text, '{_BPE_SQL}')), 4)
+             AS chars_per_piece
+    FROM documents
+    WHERE text IS NOT NULL AND len(regexp_extract_all(text, '{_BPE_SQL}')) > 0
+    """,
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(contractions / letter runs / digit runs / punct runs, lookahead-"
+    "free so Java regex and RE2 agree) counts subword pieces per "
+    "document — the compression-ratio signal (chars per piece) used to "
+    "budget LLM training tokens. Pure scan, no shuffle.",
+)
+def text_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_PAT), 0)
+    n_pieces = F.size(pieces)
+    n_nonspace = F.size(
+        F.filter(pieces, lambda p: ~p.rlike(r"^\s+$"))
+    )
+    return (
+        d.select(
+            "doc_id",
+            n_pieces.alias("n_pieces"),
+            n_nonspace.alias("n_nonspace"),
+            F.round(F.length("text") / n_pieces, 4).alias("chars_per_piece"),
+        )
+        .filter(F.col("n_pieces") > 0)
+    )
+
+
+# Modulus for the polynomial rolling hash: a prime below 2^57 so
+# 31*acc + 255 stays under 2^63 in both engines' BIGINT arithmetic
+# (Java long would wrap silently; DuckDB would raise — staying under
+# the limit keeps the two bit-identical).
+ROLL_MOD = 144115188075855859
+ROLL_BASE = 31
+
+
+@register(
+    "text_rolling_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(
+               CAST(0 AS BIGINT),
+               list_transform(
+                 regexp_split_to_array(
+                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+                 c -> CAST(unicode(c) AS BIGINT))),
+             (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})
+             AS rolling_hash
+    FROM documents WHERE text IS NOT NULL
+    """,
+    doc="Polynomial (Karp-Rabin) rolling-hash fingerprint of the "
+    "normalized text, fully JVM-side via F.aggregate over the char "
+    "array — the incremental-hash family behind shingle fingerprinting "
+    "(functions/texthash.py computes the windowed variant in numpy). "
+    "Identical modular arithmetic on both engines: base 31, prime "
+    "modulus < 2^57 so no BIGINT overflow anywhere.",
+)
+def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import normalize_text
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    chars = F.split(normalize_text(F.col("text")), "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+    return d.select("doc_id", rolling.alias("rolling_hash"))

@@ -1,8 +1,15 @@
 from .reorder import reorder_stream
 from .reorder_tws import reorder_stream_tws, tws_available
-from .windows import session_agg, sliding_agg, stream_dedup, tumbling_agg
+from .windows import (
+    interval_join,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
 
 __all__ = [
+    "interval_join",
     "reorder_stream",
     "reorder_stream_tws",
     "session_agg",

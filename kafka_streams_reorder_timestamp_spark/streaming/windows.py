@@ -112,3 +112,49 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    before: str = "0 seconds",
+    after: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join on equi-keys plus an event-time
+    interval: right rows within [left_ts - before, left_ts + after].
+
+    Both sides carry watermarks, so Spark bounds the join state to the
+    interval + watermark horizon on each side (otherwise a
+    stream-stream join would buffer both streams forever). State per
+    key ~ (rate x (interval + watermark)) — the knob that keeps this
+    viable at cluster scale.
+
+    Works identically on batch DataFrames (watermark is a no-op there),
+    which is how the test pins stream-vs-batch equivalence. Key columns
+    are returned once; both timestamp columns are kept. Non-key column
+    names must not collide (rename before joining).
+    """
+    on = list(on)
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(f"non-key columns collide: {sorted(overlap)}")
+    l_w = left.withWatermark(left_ts, watermark).alias("l")
+    r_w = right.withWatermark(right_ts, watermark).alias("r")
+    cond = None
+    for k in on:
+        c = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = c if cond is None else cond & c
+    lo = F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {before}")
+    hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {after}")
+    cond = cond & F.col(f"r.{right_ts}").between(lo, hi)
+    joined = l_w.join(r_w, cond)
+    keep = (
+        [F.col(f"l.{k}").alias(k) for k in on]
+        + [F.col(f"l.{c}").alias(c) for c in left.columns if c not in on]
+        + [F.col(f"r.{c}").alias(c) for c in right.columns if c not in on]
+    )
+    return joined.select(*keep)

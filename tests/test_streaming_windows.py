@@ -152,3 +152,77 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     ).toPandas()
     assert sorted(got["user_id"]) == [1, 2]
     assert float(got[got.user_id == 1]["value"].iloc[0]) == 1.0
+
+
+def test_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join converges to the batch join answer:
+    clicks within [impression_ts, impression_ts + 10 min] per user."""
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        interval_join,
+    )
+
+    imp_rows = [
+        ("2024-01-01 00:00:00", 1, "i1"),
+        ("2024-01-01 00:20:00", 1, "i2"),
+        ("2024-01-01 00:00:00", 2, "i3"),
+        ("2024-01-01 06:00:00", 99, "i-sentinel"),
+    ]
+    clk_rows = [
+        ("2024-01-01 00:05:00", 1, "c1"),   # joins i1
+        ("2024-01-01 00:25:00", 1, "c2"),   # joins i2
+        ("2024-01-01 00:35:00", 1, "c3"),   # outside both intervals
+        ("2024-01-01 00:09:59", 2, "c4"),   # joins i3 (inside bound)
+        ("2024-01-01 06:00:00", 99, "c-sentinel"),
+    ]
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(imp_rows, ["ts_s", "user_id", "imp_id"]).select(
+        F.to_timestamp("ts_s").alias("imp_ts"), "user_id", "imp_id"
+    ).coalesce(1).write.parquet(str(imp_dir))
+    spark.createDataFrame(clk_rows, ["ts_s", "user_id", "click_id"]).select(
+        F.to_timestamp("ts_s").alias("click_ts"), "user_id", "click_id"
+    ).coalesce(1).write.parquet(str(clk_dir))
+
+    imp_schema = "imp_ts timestamp, user_id bigint, imp_id string"
+    clk_schema = "click_ts timestamp, user_id bigint, click_id string"
+
+    def join(l, r):
+        return interval_join(
+            l, r, on=["user_id"], left_ts="imp_ts", right_ts="click_ts",
+            before="0 seconds", after="10 minutes", watermark="1 minute",
+        )
+
+    q = (
+        join(
+            spark.readStream.schema(imp_schema).parquet(str(imp_dir)),
+            spark.readStream.schema(clk_schema).parquet(str(clk_dir)),
+        )
+        .writeStream.format("memory")
+        .queryName("ij_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("ij_out").toPandas()
+    batch = join(
+        spark.read.parquet(str(imp_dir)), spark.read.parquet(str(clk_dir))
+    ).toPandas()
+
+    got = got[got.user_id != 99].sort_values(["imp_id", "click_id"]).reset_index(drop=True)
+    batch = batch[batch.user_id != 99].sort_values(["imp_id", "click_id"]).reset_index(drop=True)
+    assert set(zip(got.imp_id, got.click_id)) == {
+        ("i1", "c1"), ("i2", "c2"), ("i3", "c4"),
+    }
+    assert got[batch.columns].equals(batch)
+
+
+def test_interval_join_rejects_column_collision(spark):
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        interval_join,
+    )
+
+    l = spark.createDataFrame([], "k bigint, ts timestamp, v double")
+    r = spark.createDataFrame([], "k bigint, rts timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(l, r, on=["k"], left_ts="ts", right_ts="rts")
