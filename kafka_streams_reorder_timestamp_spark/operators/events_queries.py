@@ -262,3 +262,25 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_approx_sketches",
+    oracle=None,  # sketch outputs are implementation-specific (Spark
+    # HLL++ / KLL vs DuckDB's sketches would never hash-match); pytest
+    # pins each estimate within its documented error bound vs exact.
+    doc="Sketch aggregations per event_type: HyperLogLog++ distinct "
+    "users (rsd=0.01) and quantile sketch of value (p50/p95/p99). The "
+    "100 TB answer to COUNT(DISTINCT)/percentile: mergeable, bounded-"
+    "memory partials instead of exact shuffles of raw values — state "
+    "per group is KB-scale regardless of input size.",
+)
+def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.approx_percentile(
+            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000
+        ).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -198,3 +198,38 @@ def test_ann_ivf_partial_probe_subset(spark, sf_dir):
     assert set(got.probe_id) == set(range(5))
     for pid, grp in got.groupby("probe_id"):
         assert list(grp.sort_values("rank")["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_approx_sketches_within_bounds(spark, oracle_sf_dir):
+    """HLL distinct within 3*rsd of exact; quantile sketch within the
+    accuracy implied by its 10k resolution (±1/10000 rank error)."""
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        events_approx_sketches,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources import load_table
+
+    got = {
+        r["event_type"]: r
+        for r in events_approx_sketches(spark, oracle_sf_dir).collect()
+    }
+    ev = load_table(spark, oracle_sf_dir, "events")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, array(0.5, 0.95, 0.99))").alias("qs"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for etype, row in got.items():
+        ex = exact[etype]
+        assert abs(row["approx_users"] - ex["users"]) <= max(3, 0.03 * ex["users"])
+        n = row["n_events"]
+        for approx_q, exact_q in zip(row["value_quantiles"], ex["qs"]):
+            # rank error 1/10000 of n translates to a value tolerance we
+            # bound loosely via the value range per type
+            assert approx_q == pytest.approx(exact_q, rel=0.05, abs=2.0)
