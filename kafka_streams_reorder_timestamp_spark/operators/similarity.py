@@ -311,3 +311,42 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
     )
     return ann_lsh_topk(e, probes, k=10)
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                  x -> x * x)))), 6)
+             AS avg_l2_norm,
+           ROUND(MAX(list_max(embedding::DOUBLE[])), 6) AS max_component,
+           ROUND(MIN(list_min(embedding::DOUBLE[])), 6) AS min_component
+    FROM embeddings
+    GROUP BY label
+    """,
+    doc="Array-function scalar surface over embeddings: per-label L2 "
+    "norm (higher-order aggregate fold), component extrema "
+    "(array_max/min) — all inside whole-stage codegen, one partial-agg "
+    "shuffle of (label) groups.",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    return (
+        e.select(
+            "label",
+            l2_norm(F.col("emb"), dim=DIM).alias("nrm"),
+            F.array_max("emb").alias("mx"),
+            F.array_min("emb").alias("mn"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("nrm"), 6).alias("avg_l2_norm"),
+            F.round(F.max("mx"), 6).alias("max_component"),
+            F.round(F.min("mn"), 6).alias("min_component"),
+        )
+    )
