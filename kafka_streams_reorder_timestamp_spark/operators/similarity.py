@@ -224,8 +224,12 @@ def ann_ivf_topk(
     Column contract: corpus(vec_id, <partition_col>, emb),
     probes(probe_id, probe_emb).
     """
-    # Per-partition mean: posexplode to (partition, pos, val), one
-    # shuffle of (codebook x dim) partial averages — no Python.
+    # Per-partition mean via posexplode: partial aggregation collapses
+    # the dim-x row fan-out to (codebook x dim) partial sums per task
+    # BEFORE either shuffle, so both exchanges move only codebook-sized
+    # data at any corpus scale. (The alternative — dim separate avg
+    # aggregate columns — is one shuffle but compiles a dim-wide plan;
+    # measured equal warm, slower to plan.)
     cent = (
         corpus.select(partition_col, F.posexplode("emb").alias("pos", "val"))
         .groupBy(partition_col, "pos")

@@ -128,3 +128,25 @@ def test_jaccard_join_is_not_cartesian(spark, sf_dir):
     # be the all-pairs scale bug this operator exists to avoid
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_registry_wide_plan_hygiene(spark, sf_dir):
+    """Blanket gate over EVERY registered query: no unconditioned
+    cartesian product and no row-at-a-time Python UDF anywhere. The
+    two named exceptions are deliberate broadcast cross joins (tiny
+    probe/centroid side under a nested loop); Arrow-batched pandas
+    UDFs (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are
+    the sanctioned Python path and pass."""
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+
+    offenders = {}
+    for name, spec in registry.REGISTRY.items():
+        plan = plans.physical_plan(spec.builder(spark, sf_dir), "simple")
+        problems = []
+        if "CartesianProduct" in plan:
+            problems.append("CartesianProduct")
+        if "BatchEvalPython" in plan:  # row-Python; Arrow paths differ
+            problems.append("BatchEvalPython")
+        if problems:
+            offenders[name] = problems
+    assert not offenders, f"plan hygiene violations: {offenders}"
