@@ -4,6 +4,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
     dedup,
     events_queries,
     multimodal,
+    pipeline,
     relational,
     simhash,
     similarity,
@@ -17,6 +18,7 @@ __all__ = [
     "dedup",
     "events_queries",
     "multimodal",
+    "pipeline",
     "reorder_batch",
     "relational",
     "registry",

@@ -524,3 +524,138 @@ def customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_spend"),
         )
     )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_shipdate < DATE '1996-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12 shape: fact-fact join + conditional (CASE-guarded) "
+    "aggregation. The date filter prunes lineitem at the scan; the "
+    "join shuffles on orderkey; at scale the same bucketing as q3/q10 "
+    "removes that shuffle (sources/bucketed.py).",
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    WITH sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                 ELSE CAST(0 AS DECIMAL(25,6)) END) * 100 AS BIGINT)
+          AS promo_cents,
+        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+             * 100 AS BIGINT) AS total_cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    )
+    SELECT ROUND(promo_cents / 100.0, 2) AS promo_revenue,
+           ROUND(total_cents / 100.0, 2) AS total_revenue,
+           -- ratio at 4dp via exact bigint half-up (see
+           -- events_daily_from_hourly): decimal division diverges
+           -- between engines, integer arithmetic cannot.
+           ((2 * 1000000 * promo_cents + total_cents)
+            // (2 * total_cents)) / 10000.0 AS promo_pct
+    FROM sums
+    """,
+    doc="TPC-H Q14 shape: promo revenue share — join to part, CASE-"
+    "split decimal sums, ratio computed in exact integer cents so both "
+    "engines agree to the last bit.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    zero = F.lit(0).cast("decimal(25,6)")
+    sums = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)) * 100)
+            .cast("long")
+            .alias("promo_cents"),
+            (F.sum(rev) * 100).cast("long").alias("total_cents"),
+        )
+    )
+    return sums.select(
+        (F.col("promo_cents") / 100.0).alias("promo_revenue"),
+        (F.col("total_cents") / 100.0).alias("total_revenue"),
+        (
+            F.expr(
+                "(2 * 1000000 * promo_cents + total_cents) div (2 * total_cents)"
+            )
+            / 10000.0
+        ).alias("promo_pct"),
+    ).select(
+        F.round("promo_revenue", 2).alias("promo_revenue"),
+        F.round("total_revenue", 2).alias("total_revenue"),
+        "promo_pct",
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: disjunction of conjunctive predicates across "
+    "both join sides. Catalyst splits the OR into per-side filters "
+    "(common-factor extraction) so each scan still prunes; the residual "
+    "cross-side disjunction evaluates post-join inside codegen.",
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(25,6)")
+    return j.filter(cond).agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

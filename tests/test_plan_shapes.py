@@ -150,3 +150,17 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
         if problems:
             offenders[name] = problems
     assert not offenders, f"plan hygiene violations: {offenders}"
+
+
+def test_curation_pipeline_two_shuffles(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.pipeline import (
+        corpus_curation_pipeline,
+    )
+
+    df = corpus_curation_pipeline(spark, sf_dir)
+    # fused end-to-end: fingerprint window shuffle + group-key shuffle,
+    # nothing materialized between stages
+    assert plans.shuffle_count(df) == 2, plans.physical_plan(df, "simple")
+    assert plans.read_schema_columns(df) == {
+        "doc_id", "text", "lang", "source", "n_chars",
+    }
