@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import functions as F
 
 from kafka_streams_reorder_timestamp_spark.operators.reorder import reorder_batch
 from kafka_streams_reorder_timestamp_spark.sources.avro_codec import (
@@ -75,3 +76,73 @@ def test_reorder_batch_property(spark, ts_values):
     assert {(r.arrival, r.t) for r in got} == {
         (a, t) for t, a in first_arrival.items()
     }, "survivor must be the first arrival per ts"
+
+
+# --------------------------------------------------------------------------
+# As-of join: for every generated pair of keyed, timestamped frames the
+# operator must agree with pandas.merge_asof (the de-facto reference
+# implementation of backward-inclusive as-of semantics).
+
+asof_inputs = st.tuples(
+    st.lists(  # left: (key, ts)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+    st.lists(  # right: (key, ts) — deduped per (key, ts) below
+        st.tuples(st.integers(0, 3), st.integers(0, 50)),
+        min_size=1,
+        max_size=25,
+    ),
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(asof_inputs)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    import pandas as pd
+
+    from kafka_streams_reorder_timestamp_spark.operators.asof import asof_join
+
+    left_rows, right_rows = data
+    right_rows = sorted({(k, t) for k, t in right_rows})  # dedup ties
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left_rows)],
+        "key long, lts long, lrow long",
+    ).withColumn("lts", F.timestamp_seconds(F.col("lts")))
+    right = spark.createDataFrame(
+        [(k, t, 100 + i) for i, (k, t) in enumerate(right_rows)],
+        "key long, rts long, rrow long",
+    ).withColumn("rts", F.timestamp_seconds(F.col("rts")))
+
+    got = (
+        asof_join(left, right, on=["key"], left_ts="lts", right_ts="rts",
+                  how="left")
+        .toPandas()
+        .sort_values("lrow")
+        .reset_index(drop=True)
+    )
+
+    lp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), i) for i, (k, t) in enumerate(left_rows)],
+        columns=["key", "lts", "lrow"],
+    ).sort_values(["lts", "lrow"])
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="s"), 100 + i)
+         for i, (k, t) in enumerate(right_rows)],
+        columns=["key", "rts", "rrow"],
+    ).sort_values(["rts", "rrow"])
+    exp = (
+        pd.merge_asof(lp, rp, left_on="lts", right_on="rts", by="key",
+                      direction="backward", allow_exact_matches=True)
+        .sort_values("lrow")
+        .reset_index(drop=True)
+    )
+    assert list(got["lrow"]) == list(exp["lrow"])
+    assert [None if pd.isna(v) else int(v) for v in got["rrow"]] == [
+        None if pd.isna(v) else int(v) for v in exp["rrow"]
+    ]
