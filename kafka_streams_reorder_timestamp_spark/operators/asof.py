@@ -37,6 +37,7 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     how: str = "inner",
+    right_order: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach the single right row with the largest
     `right_ts` <= `left_ts` (direction="backward") or smallest
@@ -47,6 +48,12 @@ def asof_join(
     (right's timestamp column included, so callers can compute lags).
     `how="inner"` drops unmatched left rows; `how="left"` keeps them
     with nulls.
+
+    `right_order` makes equal-timestamp right rows deterministic
+    WITHOUT a pre-dedup shuffle: ties resolve to the row greatest under
+    the given columns (e.g. `right_order=["event_id"]` keeps the max
+    event_id per timestamp, matching a groupBy(..., max(event_id))
+    pre-pass at zero extra cost).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -77,10 +84,14 @@ def asof_join(
     )
     unioned = r_tagged.unionByName(l_tagged)
 
+    # Right rows sort before left at equal _ts (inclusive match); among
+    # equal-ts right rows, `right_order` ascending means the LAST one in
+    # the frame — the max under right_order — is what last() captures.
+    tie = [F.col("_r")[c].asc() for c in right_order]
     if direction == "backward":
-        order = [F.col("_ts").asc(), F.col("_side").asc()]
+        order = [F.col("_ts").asc(), F.col("_side").asc(), *tie]
     else:
-        order = [F.col("_ts").desc(), F.col("_side").asc()]
+        order = [F.col("_ts").desc(), F.col("_side").asc(), *tie]
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
@@ -128,14 +139,21 @@ def purchase_last_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    signups = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("signup_event_id"))
-        .select("user_id", F.col("ts").alias("signup_ts"), "signup_event_id")
+    # No pre-dedup shuffle: right_order resolves equal-timestamp
+    # signups to the max event_id inside the one asof window pass —
+    # identical to the oracle's GROUP BY ... MAX(event_id) CTE.
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        F.col("event_id").alias("signup_event_id"),
     )
     out = asof_join(
-        purchases, signups, on=["user_id"], left_ts="ts", right_ts="signup_ts"
+        purchases,
+        signups,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="signup_ts",
+        right_order=["signup_event_id"],
     )
     return out.select(
         "event_id",

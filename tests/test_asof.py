@@ -116,3 +116,19 @@ def test_single_shuffle_plan(spark, frames):
     # the property that makes this shape survive 100 TB (no range
     # fan-out, no per-key broadcast).
     assert plans.shuffle_count(out) == 1
+
+
+def test_right_order_resolves_equal_ts_ties(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts(10), "l")], "key string, lts timestamp, lval string"
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts(10), "r-low"), ("u1", _ts(10), "r-high")],
+        "key string, rts timestamp, rval string",
+    )
+    out = asof_join(
+        left, right, on=["key"], left_ts="lts", right_ts="rts",
+        right_order=["rval"],
+    ).collect()
+    # equal-ts right rows: ties resolve to the max under right_order
+    assert out[0]["rval"] == "r-high"
