@@ -123,12 +123,12 @@ def test_right_order_resolves_equal_ts_ties(spark):
         [("u1", _ts(10), "l")], "key string, lts timestamp, lval string"
     )
     right = spark.createDataFrame(
-        [("u1", _ts(10), "r-low"), ("u1", _ts(10), "r-high")],
+        [("u1", _ts(10), "a-first"), ("u1", _ts(10), "z-last")],
         "key string, rts timestamp, rval string",
     )
     out = asof_join(
         left, right, on=["key"], left_ts="lts", right_ts="rts",
         right_order=["rval"],
     ).collect()
-    # equal-ts right rows: ties resolve to the max under right_order
-    assert out[0]["rval"] == "r-high"
+    # equal-ts right rows: ties resolve to the MAX under right_order
+    assert out[0]["rval"] == "z-last"
