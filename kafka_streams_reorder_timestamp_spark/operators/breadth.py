@@ -307,3 +307,58 @@ def price_band_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_retailprice"), 2).alias("max_price"),
         )
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_pivot_by_type",
+    oracle="""
+    SELECT user_id % 10 AS user_bucket,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+             AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+             AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+             AS view
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Pivot: long→wide counts per event type. The value list is "
+    "declared, not discovered — an undeclared pivot needs an extra "
+    "distinct-collection job and yields an SF-dependent schema, both "
+    "wrong at scale. One partial+final agg shuffle.",
+)
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@register(
+    "priority_multiset_diff",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+    doc="Multiset EXCEPT ALL: keeps multiplicity (a customer with 3 "
+    "urgent and 1 low order appears twice) — completes the set-op "
+    "family next to UNION/INTERSECT/EXCEPT DISTINCT. One shuffle on "
+    "the value.",
+)
+def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return urgent.exceptAll(low)
