@@ -13,7 +13,6 @@ from __future__ import annotations
 import glob
 
 import pandas as pd
-import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_reorder_timestamp_spark.app import run
@@ -21,8 +20,6 @@ from kafka_streams_reorder_timestamp_spark.schemas import ELECTRONIC_ORDER
 from kafka_streams_reorder_timestamp_spark.sources.avro_codec import (
     decode_order,
     encode_order,
-    from_avro_binary,
-    to_avro_binary,
 )
 from kafka_streams_reorder_timestamp_spark.sources.kafka import (
     decode_value,

@@ -17,7 +17,6 @@ from kafka_streams_reorder_timestamp_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
 from kafka_streams_reorder_timestamp_spark.operators.multimodal import (
-    FAKE_MIME,
     decode_media,
     extract_features,
     sample_frames,

@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import functions as F
 
 from kafka_streams_reorder_timestamp_spark.functions.skew import salted_join
