@@ -362,3 +362,62 @@ def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
     low = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
     return urgent.exceptAll(low)
+
+
+@register(
+    "part_unpivot_measures",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_size > 45
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS value
+    FROM part WHERE p_size > 45
+    """,
+    doc="Unpivot (wide→long): the inverse of pivot, a zero-shuffle "
+    "Expand that emits one row per (row, measure). Filter pushed below "
+    "the Expand so only matching rows widen.",
+)
+def part_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") > 45)
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").alias("p_retailprice"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@register(
+    "top_tokens",
+    oracle="""
+    SELECT t AS token, COUNT(*) AS n
+    FROM (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents WHERE text IS NOT NULL
+    )
+    GROUP BY 1
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    doc="The canonical word count: explode tokens → hash agg → top-k. "
+    "Partial aggregation collapses each task's token stream before the "
+    "one shuffle; the final ORDER BY + LIMIT plans TakeOrderedAndProject "
+    "(k-row merge, no global sort).",
+)
+def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
