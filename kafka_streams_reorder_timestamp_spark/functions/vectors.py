@@ -30,7 +30,7 @@ def vector_lit(values: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(v)) for v in values])
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Dot product, left-to-right summation (matches DuckDB's
     sequential list reduction, so oracle hashes agree bit-for-bit).
 
@@ -40,7 +40,21 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     per element), while the unrolled form stays inside whole-stage
     codegen — ~10x faster on the similarity joins' hot path. Without
     `dim`, falls back to the generic fold.
+
+    When `a`/`b` are column NAMES the unrolled expression is built as
+    one SQL string (a single py4j round trip + one parse) instead of
+    ~3*dim Column-API calls — the Column-object route spends more
+    driver time constructing the tree than the executors spend
+    evaluating it. The parsed tree is identical (left-associative
+    `+`), so results and oracle hashes are unchanged.
     """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            " + ".join(
+                f"element_at({a}, {i}) * element_at({b}, {i})"
+                for i in range(1, dim + 1)
+            )
+        )
     if dim is not None:
         out = F.element_at(a, 1) * F.element_at(b, 1)
         for i in range(2, dim + 1):
@@ -51,10 +65,10 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def l2_norm(a: Column, dim: int | None = None) -> Column:
+def l2_norm(a: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Cosine similarity in double precision."""
     return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))

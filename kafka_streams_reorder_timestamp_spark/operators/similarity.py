@@ -49,9 +49,9 @@ def knn_brute_force(
     size limit). Arithmetic is unchanged: dot/(na*nb) over identical
     doubles, so oracle hashes still match bit-for-bit.
     """
-    c = corpus.withColumn("_n", l2_norm(F.col(vec_col), dim=DIM))
-    p = probes.withColumn("_pn", l2_norm(F.col(probe_vec_col), dim=DIM))
-    cos = dot(F.col(vec_col), F.col(probe_vec_col), dim=DIM) / (
+    c = corpus.withColumn("_n", l2_norm(vec_col, dim=DIM))
+    p = probes.withColumn("_pn", l2_norm(probe_vec_col, dim=DIM))
+    cos = dot(vec_col, probe_vec_col, dim=DIM) / (
         F.col("_n") * F.col("_pn")
     )
     joined = (
@@ -177,13 +177,13 @@ def ann_lsh_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        cand.withColumn("_n", l2_norm(F.col("emb"), dim=dim))
-        .withColumn("_pn", l2_norm(F.col("probe_emb"), dim=dim))
+        cand.withColumn("_n", l2_norm("emb", dim=dim))
+        .withColumn("_pn", l2_norm("probe_emb", dim=dim))
         .select(
             "probe_id",
             "vec_id",
             (
-                dot(F.col("emb"), F.col("probe_emb"), dim=dim)
+                dot("emb", "probe_emb", dim=dim)
                 / (F.col("_n") * F.col("_pn"))
             ).alias("cos_sim"),
         )
@@ -260,13 +260,13 @@ def ann_ivf_topk(
     )
     w = Window.partitionBy("probe_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        cand.withColumn("_n", l2_norm(F.col("emb"), dim=dim))
-        .withColumn("_pn", l2_norm(F.col("probe_emb"), dim=dim))
+        cand.withColumn("_n", l2_norm("emb", dim=dim))
+        .withColumn("_pn", l2_norm("probe_emb", dim=dim))
         .select(
             "probe_id",
             "vec_id",
             (
-                dot(F.col("emb"), F.col("probe_emb"), dim=dim)
+                dot("emb", "probe_emb", dim=dim)
                 / (F.col("_n") * F.col("_pn"))
             ).alias("cos_sim"),
         )
@@ -342,7 +342,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.select(
             "label",
-            l2_norm(F.col("emb"), dim=DIM).alias("nrm"),
+            l2_norm("emb", dim=DIM).alias("nrm"),
             F.array_max("emb").alias("mx"),
             F.array_min("emb").alias("mn"),
         )
