@@ -1,6 +1,7 @@
 from .reorder import reorder_stream
 from .reorder_tws import reorder_stream_tws, tws_available
 from .windows import (
+    enrich_with_static,
     interval_join,
     session_agg,
     sliding_agg,
@@ -9,6 +10,7 @@ from .windows import (
 )
 
 __all__ = [
+    "enrich_with_static",
     "interval_join",
     "reorder_stream",
     "reorder_stream_tws",

@@ -158,3 +158,21 @@ def interval_join(
         + [F.col(f"r.{c}").alias(c) for c in right.columns if c not in on]
     )
     return joined.select(*keep)
+
+
+def enrich_with_static(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table.
+
+    No watermark needed — static side state is not streaming state; the
+    dim is (re)read per micro-batch. `broadcast_dim` ships it to every
+    task, the right default for dimension tables (a shuffled stream-
+    static join would re-partition every micro-batch on the join key).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=list(on), how=how)

@@ -10,6 +10,7 @@ check).
 
 from __future__ import annotations
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -226,3 +227,31 @@ def test_interval_join_rejects_column_collision(spark):
     r = spark.createDataFrame([], "k bigint, rts timestamp, v double")
     with pytest.raises(ValueError, match="collide"):
         interval_join(l, r, on=["k"], left_ts="ts", right_ts="rts")
+
+
+def test_stream_static_enrich(spark, stream_input, tmp_path):
+    """Stream-static broadcast join: every streamed row picks up its
+    dimension attributes; rows without a dim match keep nulls (left)."""
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        enrich_with_static,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user_id", "tier"]
+    )
+    src = spark.readStream.schema(SCHEMA).parquet(stream_input)
+    q = (
+        enrich_with_static(src, dim, on=["user_id"])
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("enriched").toPandas()
+    assert len(got) == len(ROWS)
+    tiers = got.groupby("user_id")["tier"].first()
+    assert tiers[1] == "gold" and tiers[2] == "silver"
+    assert pd.isna(tiers[SENTINEL_USER])
