@@ -45,6 +45,12 @@ def main() -> int:
 
     @pandas_udf("long")
     def _noop(s: pd.Series) -> pd.Series:
+        # touch the heavy imports the real UDFs use, so each worker's
+        # first real batch measures compute, not module loading
+        import zlib  # noqa: F401
+
+        import numpy  # noqa: F401
+
         return s
 
     spark.range(1000, numPartitions=int(spark.conf.get("spark.sql.shuffle.partitions"))) \

@@ -187,6 +187,13 @@ def minhash_lsh_pairs(
     docs = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).filter(F.col("_text").isNotNull())
+    # The signature pass is the CPU hot spot; a narrow input (one small
+    # file locally) would run it nearly serially. Widening to the
+    # session's parallelism is a no-op on real inputs, which already
+    # carry >= cores partitions.
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     # Normalize → shingle → MinHash → band in ONE Arrow-batched pass
     # producing both the band buckets (candidate generation) and the
     # shingle hash set (verification). Persisted because both the
@@ -198,6 +205,11 @@ def minhash_lsh_pairs(
         minhash_features(F.col("_text"), num_hashes, bands, shingle_n).alias("mf"),
     ).filter(F.col("mf.buckets").isNotNull())
     feats = feats.persist()
+    # Materialize the cache eagerly: three downstream consumers (the
+    # banding explode and both verification join sides) otherwise race
+    # to compute the same partitions concurrently, running the UDF
+    # pipeline up to 3x.
+    feats.count()
     # Band rows carry ONLY (_id, band, bucket) — no shingle arrays ride
     # through the bands-times explode and its shuffle.
     banded = feats.select(

@@ -109,6 +109,11 @@ def simhash_near_dups(
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
 
+    # Widen narrow inputs so the signature UDF runs at full parallelism
+    # (no-op on real inputs with >= cores partitions).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
     ).filter(F.col("_sig").isNotNull())
