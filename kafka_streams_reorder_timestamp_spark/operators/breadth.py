@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.rank import global_rank_buckets
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -96,13 +97,17 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "customer_order_gaps",
     oracle="""
-    WITH seq AS (
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             COUNT(*) OVER () AS n
+      FROM orders
+    ), seq AS (
       SELECT o_custkey, o_orderkey, o_orderdate,
              LAG(o_orderdate) OVER w AS prev_date,
              LEAD(o_orderdate) OVER w AS next_date,
-             CAST(NTILE(4) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS INT)
-               AS price_quartile
-      FROM orders
+             CAST((4 * (rn - 1)) // n + 1 AS INT) AS price_quartile
+      FROM ranked
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     )
     SELECT o_custkey, o_orderkey,
@@ -114,23 +119,34 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE prev_date IS NOT NULL
     """,
     doc="Analytic windows: lag/lead inter-order gaps per customer + a "
-    "global price ntile. Two window partitions → two shuffles; the "
-    "global ntile is the known single-partition bottleneck, kept "
-    "deliberately as the API-parity case (cap with a partitioned rank "
-    "at scale).",
+    "global price quartile. The quartile comes from the DISTRIBUTED "
+    "rank helper (functions/rank.py: range-partition + local "
+    "row_number + broadcast offsets) — never a bare Window.orderBy, "
+    "which would funnel every orders row through one task. The oracle "
+    "uses the same arithmetic bucket (4*(rn-1) div n + 1) so both "
+    "engines agree exactly.",
 )
 def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    ranked = global_rank_buckets(
+        o,
+        bucket_col="o_totalprice",
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        n_groups=4,
+        out_col="price_quartile",
+        descending=True,
+    )
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    wg = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
-        o.select(
+        ranked.select(
             "o_custkey",
             "o_orderkey",
             "o_orderdate",
             F.lag("o_orderdate").over(w).alias("prev_date"),
             F.lead("o_orderdate").over(w).alias("next_date"),
-            F.ntile(4).over(wg).cast("int").alias("price_quartile"),
+            "price_quartile",
         )
         .filter(F.col("prev_date").isNotNull())
         .select(

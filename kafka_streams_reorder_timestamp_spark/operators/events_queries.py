@@ -273,14 +273,27 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "users (rsd=0.01) and quantile sketch of value (p50/p95/p99). The "
     "100 TB answer to COUNT(DISTINCT)/percentile: mergeable, bounded-"
     "memory partials instead of exact shuffles of raw values — state "
-    "per group is KB-scale regardless of input size.",
+    "per group is KB-scale regardless of input size. Quantiles are "
+    "projected to scalar p50/p95/p99 columns (never a raw array) so the "
+    "driver's rows-only canonicalizer can sort the result.",
 )
 def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.approx_percentile(
-            "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000
-        ).alias("value_quantiles"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.approx_percentile(
+                "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10_000
+            ).alias("q"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            F.col("q")[0].alias("p50"),
+            F.col("q")[1].alias("p95"),
+            F.col("q")[2].alias("p99"),
+            "n_events",
+        )
     )

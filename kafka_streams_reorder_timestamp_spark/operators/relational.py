@@ -563,28 +563,40 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q14_promo_revenue",
     oracle="""
     WITH sums AS (
+      -- rev = price(2dp) * (1 - discount(2dp)) is EXACTLY 4dp, so the
+      -- 10000-scaled sum is an exact integer on both engines; the old
+      -- *100 scaling left a .5 fraction that Spark truncated while
+      -- DuckDB rounded.
       SELECT
         CAST(SUM(CASE WHEN p_type = 'PROMO'
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
-                 ELSE CAST(0 AS DECIMAL(25,6)) END) * 100 AS BIGINT)
-          AS promo_cents,
+                 ELSE CAST(0 AS DECIMAL(25,6)) END) * 10000 AS BIGINT)
+          AS promo_e4,
         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
-             * 100 AS BIGINT) AS total_cents
+             * 10000 AS BIGINT) AS total_e4
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
+    ), cents AS (
+      -- exact integer half-up from 4dp to cents (values are >= 0)
+      SELECT (promo_e4 + 50) // 100 AS promo_cents,
+             (total_e4 + 50) // 100 AS total_cents,
+             promo_e4, total_e4
+      FROM sums
     )
-    SELECT ROUND(promo_cents / 100.0, 2) AS promo_revenue,
-           ROUND(total_cents / 100.0, 2) AS total_revenue,
+    SELECT promo_cents / 100.0 AS promo_revenue,
+           total_cents / 100.0 AS total_revenue,
            -- ratio at 4dp via exact bigint half-up (see
            -- events_daily_from_hourly): decimal division diverges
            -- between engines, integer arithmetic cannot.
-           ((2 * 1000000 * promo_cents + total_cents)
-            // (2 * total_cents)) / 10000.0 AS promo_pct
-    FROM sums
+           ((2 * 1000000 * promo_e4 + total_e4)
+            // (2 * total_e4)) / 10000.0 AS promo_pct
+    FROM cents
     """,
     doc="TPC-H Q14 shape: promo revenue share — join to part, CASE-"
-    "split decimal sums, ratio computed in exact integer cents so both "
-    "engines agree to the last bit.",
+    "split decimal sums. rev is exactly 4dp, so the sum is scaled by "
+    "10000 (not 100) before the bigint cast: the scaled sum is an exact "
+    "integer on both engines and cents are derived by explicit integer "
+    "half-up, making the result truly engine-independent.",
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
@@ -596,25 +608,25 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums = (
         li.join(p, li.l_partkey == p.p_partkey)
         .agg(
-            (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)) * 100)
+            (F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)) * 10000)
             .cast("long")
-            .alias("promo_cents"),
-            (F.sum(rev) * 100).cast("long").alias("total_cents"),
+            .alias("promo_e4"),
+            (F.sum(rev) * 10000).cast("long").alias("total_e4"),
         )
     )
-    return sums.select(
-        (F.col("promo_cents") / 100.0).alias("promo_revenue"),
-        (F.col("total_cents") / 100.0).alias("total_revenue"),
-        (
-            F.expr(
-                "(2 * 1000000 * promo_cents + total_cents) div (2 * total_cents)"
-            )
-            / 10000.0
-        ).alias("promo_pct"),
-    ).select(
-        F.round("promo_revenue", 2).alias("promo_revenue"),
-        F.round("total_revenue", 2).alias("total_revenue"),
-        "promo_pct",
+    return (
+        sums.withColumn("promo_cents", F.expr("(promo_e4 + 50) div 100"))
+        .withColumn("total_cents", F.expr("(total_e4 + 50) div 100"))
+        .select(
+            (F.col("promo_cents") / 100.0).alias("promo_revenue"),
+            (F.col("total_cents") / 100.0).alias("total_revenue"),
+            (
+                F.expr(
+                    "(2 * 1000000 * promo_e4 + total_e4) div (2 * total_e4)"
+                )
+                / 10000.0
+            ).alias("promo_pct"),
+        )
     )
 
 

@@ -72,6 +72,41 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def single_partition_scan_funnels(df: DataFrame) -> list[str]:
+    """Detect the global-sort scale killer: an `Exchange SinglePartition`
+    whose subtree reaches a file Scan WITHOUT passing through an
+    aggregate. That shape funnels raw table data through one task (a
+    bare Window.orderBy / global sort-without-limit); a single-partition
+    exchange above a (partial) aggregate is fine — its input is already
+    group-cardinality, not row-cardinality.
+
+    Returns the offending `Exchange SinglePartition` subtree snippets
+    (empty list = clean plan)."""
+    lines = physical_plan(df, "simple").splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" +-:*"))
+
+    bad: list[str] = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        base = indent(ln)
+        subtree = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and indent(nxt) <= base:
+                break
+            subtree.append(nxt)
+        agg_seen = False
+        for s in subtree:
+            if "Aggregate" in s:  # HashAggregate / SortAggregate /
+                agg_seen = True  # ObjectHashAggregate partial
+            if "Scan" in s and not agg_seen:
+                bad.append("\n".join([ln] + subtree))
+                break
+    return bad
+
+
 def wholestage_codegen_ids(df: DataFrame) -> int:
     """How many WholeStageCodegen spans cover the plan (0 means the hot
     path fell out of codegen entirely — a red flag for scan-heavy ops).

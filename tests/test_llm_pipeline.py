@@ -248,7 +248,8 @@ def test_approx_sketches_within_bounds(spark, oracle_sf_dir):
         ex = exact[etype]
         assert abs(row["approx_users"] - ex["users"]) <= max(3, 0.03 * ex["users"])
         n = row["n_events"]
-        for approx_q, exact_q in zip(row["value_quantiles"], ex["qs"]):
+        approx_qs = (row["p50"], row["p95"], row["p99"])
+        for approx_q, exact_q in zip(approx_qs, ex["qs"]):
             # rank error 1/10000 of n translates to a value tolerance we
             # bound loosely via the value range per type
             assert approx_q == pytest.approx(exact_q, rel=0.05, abs=2.0)

@@ -147,6 +147,9 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
             problems.append("CartesianProduct")
         if "BatchEvalPython" in plan:  # row-Python; Arrow paths differ
             problems.append("BatchEvalPython")
+        funnels = plans.single_partition_scan_funnels(spec.builder(spark, sf_dir))
+        if funnels:  # raw-scan data through one task (global window/sort)
+            problems.append(f"SinglePartitionScanFunnel x{len(funnels)}")
         if problems:
             offenders[name] = problems
     assert not offenders, f"plan hygiene violations: {offenders}"
