@@ -31,6 +31,13 @@ code. On Spark 4.x `transformWithStateInPandas` offers finer-grained
 list state for the same design; `applyInPandasWithState` is used here
 because its timeout contract is stable across 3.4+.
 
+Serialization is BATCH-oriented, never per-row: each micro-batch's new
+rows are encoded as ONE column-oriented JSON chunk (timestamps
+vectorized to epoch-µs), and flush decodes chunk-at-a-time and sorts
+with one argsort. The Arrow batch is already columnar in hand — paying
+`iloc[i]` + `json.dumps` per row would make ingest Python-bound at the
+reference's real duty (hours of buffered stream per key).
+
 Parallelism: with `key_cols` the order is restored per key group (the
 reference orders per Kafka partition; its demo runs 1 partition). With
 `key_cols=None` a constant grouping key yields one global order at
@@ -43,6 +50,7 @@ from __future__ import annotations
 import json
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -52,13 +60,13 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 _GLOBAL_KEY = "__reorder_key"
 
 # State per key group: when the pending punctuation fires (epoch ms),
-# buffered event times (epoch µs, parallel to payloads), and buffered
-# rows JSON-encoded with timestamps as epoch µs.
+# buffered event times (epoch µs, parallel to the concatenated chunk
+# rows), and one column-oriented JSON chunk per ingest batch.
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("fire_at_ms", T.LongType()),
         T.StructField("ts_us", T.ArrayType(T.LongType())),
-        T.StructField("payload", T.ArrayType(T.StringType())),
+        T.StructField("chunks", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -122,32 +130,28 @@ def reorder_stream(
             # arrive re-registers a timer, which is observationally the
             # reference's periodic schedule (a periodic fire over an
             # empty store forwards nothing).
-            _, ts_us, payload = state.get
-            order = sorted(range(len(ts_us)), key=ts_us.__getitem__)
-            rows = [json.loads(payload[i]) for i in order]
+            _, ts_us, chunks = state.get
             state.remove()
-            yield _rows_to_pdf(rows, columns, field_types)
+            yield _decode_chunks_sorted(
+                chunks, np.asarray(ts_us, dtype="int64"), columns, field_types
+            )
             return
 
         exists = state.exists
         if exists:
-            fire_at_ms, ts_us, payload = state.get
-            ts_us, payload = list(ts_us), list(payload)
+            fire_at_ms, ts_us, chunks = state.get
+            ts_us, chunks = list(ts_us), list(chunks)
         else:
-            fire_at_ms, ts_us, payload = 0, [], []
+            fire_at_ms, ts_us, chunks = 0, [], []
         seen = set(ts_us)
 
         for pdf in pdfs:
-            if pdf.empty:
+            new, new_ts = _dedup_batch(pdf, ts_col, seen)
+            if new is None:
                 continue
-            micros = pdf[ts_col].astype("datetime64[us]").astype("int64")
-            for i in range(len(pdf)):
-                t = int(micros.iloc[i])
-                if t in seen:
-                    continue  # first-writer-wins (Application.java:89-93)
-                seen.add(t)
-                ts_us.append(t)
-                payload.append(_row_to_json(pdf.iloc[i], ts_fields))
+            seen.update(new_ts)
+            ts_us.extend(new_ts)
+            chunks.append(_encode_batch(new, ts_fields))
 
         if not ts_us:
             state.remove() if exists else None
@@ -157,7 +161,7 @@ def reorder_stream(
             # First buffered record after a flush schedules the next
             # punctuation one grace later in event time.
             fire_at_ms = min(ts_us) // 1000 + grace_ms
-        state.update((fire_at_ms, ts_us, payload))
+        state.update((fire_at_ms, ts_us, chunks))
         # The engine clears timeout info on every invocation, so it is
         # re-armed here each time; event-time timeouts must be set
         # strictly later than the current watermark.
@@ -182,29 +186,74 @@ def reorder_stream(
     return out.select(*columns)
 
 
-def _row_to_json(row: pd.Series, ts_fields: list[str]) -> str:
-    d = {}
-    for k, v in row.items():
-        if k in ts_fields and v is not None and not (isinstance(v, float) and pd.isna(v)):
-            d[k] = int(pd.Timestamp(v).value // 1000)  # epoch µs
-        elif v is None or (isinstance(v, float) and pd.isna(v)):
-            d[k] = None
-        elif hasattr(v, "item"):  # numpy scalar → python
-            d[k] = v.item()
+def _dedup_batch(
+    pdf: pd.DataFrame, ts_col: str, seen: set
+) -> tuple[pd.DataFrame | None, list[int]]:
+    """Vectorized first-writer-wins (Application.java:89-93): drop rows
+    whose event timestamp is already buffered or duplicated earlier in
+    this batch. Returns (kept rows, their epoch-µs timestamps)."""
+    if pdf.empty:
+        return None, []
+    micros = pdf[ts_col].astype("datetime64[us]").astype("int64")
+    keep = (~micros.duplicated()) & (~micros.isin(seen))
+    if not keep.any():
+        return None, []
+    new = pdf.loc[keep.values]
+    return new, micros.loc[keep.values].tolist()
+
+
+def _encode_batch(pdf: pd.DataFrame, ts_fields: list[str]) -> str:
+    """One ingest batch → one column-oriented JSON chunk. Timestamp
+    columns are vectorized to epoch-µs ints (NaT → null); other columns
+    pass through `tolist()` (numpy → native) with NaN/None → null."""
+    cols: dict[str, list] = {}
+    for c in pdf.columns:
+        s = pdf[c]
+        if c in ts_fields:
+            dt = s.astype("datetime64[us]")
+            ints = dt.astype("int64").astype(object)
+            ints[dt.isna().values] = None
+            cols[c] = ints.tolist()
         else:
-            d[k] = v
-    return json.dumps(d)
+            cols[c] = [
+                None if _isna_scalar(v) else v for v in s.tolist()
+            ]
+    return json.dumps(cols)
 
 
-def _rows_to_pdf(
-    rows: list[dict], columns: list[str], field_types: dict[str, T.DataType]
+def _isna_scalar(v) -> bool:
+    if v is None:
+        return True
+    if isinstance(v, float):
+        return v != v  # NaN
+    return v is pd.NaT
+
+
+def _decode_chunks_sorted(
+    chunks: Sequence[str],
+    ts_us: np.ndarray,
+    columns: list[str],
+    field_types: dict[str, T.DataType],
 ) -> pd.DataFrame:
-    pdf = pd.DataFrame(rows, columns=columns)
+    """Decode buffered chunks, concatenate column-wise, and return the
+    rows in event-time order (one stable argsort over all buffered
+    timestamps). Dtype restore is null-safe: integer columns with nulls
+    use pandas' nullable Int64 instead of raising on astype."""
+    decoded = [json.loads(ch) for ch in chunks]
+    cols = {
+        c: [v for d in decoded for v in d[c]] for c in columns
+    }
+    pdf = pd.DataFrame(cols, columns=columns)
+    order = np.argsort(ts_us, kind="stable")
+    pdf = pdf.iloc[order].reset_index(drop=True)
     for name, dtype in field_types.items():
         if isinstance(dtype, T.TimestampType):
             pdf[name] = pd.to_datetime(pdf[name], unit="us")
-        elif isinstance(dtype, T.LongType) or isinstance(dtype, T.IntegerType):
-            pdf[name] = pdf[name].astype("int64")
-        elif isinstance(dtype, T.DoubleType) or isinstance(dtype, T.FloatType):
+        elif isinstance(dtype, (T.LongType, T.IntegerType)):
+            if pdf[name].isna().any():
+                pdf[name] = pdf[name].astype("Int64")
+            else:
+                pdf[name] = pdf[name].astype("int64")
+        elif isinstance(dtype, (T.DoubleType, T.FloatType)):
             pdf[name] = pdf[name].astype("float64")
     return pdf

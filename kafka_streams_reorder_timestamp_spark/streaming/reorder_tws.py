@@ -6,13 +6,20 @@ Application.java:65-94), different state backend.
 Why both backends exist: `applyInPandasWithState` (3.4+) carries the
 whole buffer as ONE state tuple — every micro-batch rewrites it.
 `transformWithStateInPandas` (4.0+) exposes composable typed state:
-the buffer is a ListState (append-only writes per batch — RocksDB
-merge instead of full rewrite) plus a ValueState for the pending
-punctuation, and timers are first-class (`registerTimer` persists
-until fired, closer to the reference's `context.schedule`,
-Application.java:65-69). At large buffered volumes per key the
-ListState append path writes O(new rows) per batch instead of
-O(buffer), which is the scale argument for this backend.
+append-only ListStates (RocksDB merge instead of full rewrite) plus a
+ValueState for the pending punctuation, and timers are first-class
+(`registerTimer` persists until fired, closer to the reference's
+`context.schedule`, Application.java:65-69).
+
+State layout (all writes O(new data) per batch, never O(buffer)):
+  - `seen`   ListState<ts BIGINT>  — every buffered event timestamp,
+    appended per batch; read (ints only, no JSON decode) for the
+    first-writer-wins dedup;
+  - `chunks` ListState<chunk STRING> — ONE column-oriented JSON chunk
+    per ingest batch (vectorized encode, see reorder._encode_batch);
+  - `fire`   ValueState<fire_at_ms BIGINT> — pending punctuation.
+Flush decodes chunk-at-a-time, concatenates columns, and emits in one
+stable argsort over the buffered timestamps.
 
 Environment requirement: the transformWithState runtime speaks
 protobuf to the JVM (`google.protobuf` must be importable on driver
@@ -25,6 +32,7 @@ from __future__ import annotations
 
 from typing import Iterator, Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -36,7 +44,12 @@ from pyspark.sql.streaming.stateful_processor import (
     TimerValues,
 )
 
-from .reorder import _grace_ms, _row_to_json, _rows_to_pdf
+from .reorder import (
+    _decode_chunks_sorted,
+    _dedup_batch,
+    _encode_batch,
+    _grace_ms,
+)
 
 _GLOBAL_KEY = "__reorder_key"
 
@@ -69,39 +82,36 @@ class _ReorderProcessor(StatefulProcessor):
         self._grace_ms = grace_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._buf = handle.getListState("buffer", "ts_us BIGINT, payload STRING")
+        self._seen = handle.getListState("seen", "ts_us BIGINT")
+        self._chunks = handle.getListState("chunks", "chunk STRING")
         self._fire = handle.getValueState("fire", "fire_at_ms BIGINT")
         self._handle = handle
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues: TimerValues
     ) -> Iterator[pd.DataFrame]:
-        buffered = list(self._buf.get())
-        seen = {t for t, _ in buffered}
-        added: list[tuple[int, str]] = []
+        seen = {r[0] for r in self._seen.get()}
+        new_ts: list[int] = []
+        new_chunks: list[tuple[str]] = []
         for pdf in rows:
-            if pdf.empty:
+            new, ts = _dedup_batch(pdf, self._ts_col, seen)
+            if new is None:
                 continue
-            micros = pdf[self._ts_col].astype("datetime64[us]").astype("int64")
-            for i in range(len(pdf)):
-                t = int(micros.iloc[i])
-                if t in seen:
-                    continue  # first-writer-wins (Application.java:89-93)
-                seen.add(t)
-                added.append((t, _row_to_json(pdf.iloc[i], self._ts_fields)))
-        if not added:
+            seen.update(ts)
+            new_ts.extend(ts)
+            new_chunks.append((_encode_batch(new, self._ts_fields),))
+        if not new_ts:
             return iter(())
 
-        if buffered:
-            self._buf.put(buffered + added)  # appendList when available
-        else:
-            self._buf.put(added)
+        # append-only: O(new rows) state writes per batch
+        self._seen.appendList([(t,) for t in new_ts])
+        self._chunks.appendList(new_chunks)
         if self._fire.get() is None:
             # First record after a flush schedules the punctuation one
             # grace later in event time; registerTimer persists across
             # batches until it fires (unlike the applyInPandasWithState
             # timeout, which is re-armed per invocation).
-            fire_at = min(t for t, _ in added) // 1000 + self._grace_ms
+            fire_at = min(new_ts) // 1000 + self._grace_ms
             fire_at = max(fire_at, timerValues.getCurrentWatermarkInMs() + 1)
             self._fire.update((fire_at,))
             self._handle.registerTimer(fire_at)
@@ -112,16 +122,20 @@ class _ReorderProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         # Ordered flush-all (Application.java:72-83): emit the ENTIRE
         # buffer sorted by event time, clear state.
-        buffered = list(self._buf.get())
-        self._buf.clear()
+        ts_us = np.asarray([r[0] for r in self._seen.get()], dtype="int64")
+        chunks = [r[0] for r in self._chunks.get()]
+        self._seen.clear()
+        self._chunks.clear()
         self._fire.clear()
-        if not buffered:
+        if not len(ts_us):
             return iter(())
-        buffered.sort(key=lambda p: p[0])
-        import json
-
-        rows = [json.loads(payload) for _, payload in buffered]
-        return iter([_rows_to_pdf(rows, self._columns, self._field_types)])
+        return iter(
+            [
+                _decode_chunks_sorted(
+                    chunks, ts_us, self._columns, self._field_types
+                )
+            ]
+        )
 
     def close(self) -> None:
         pass

@@ -244,6 +244,8 @@ def test_tws_processor_logic_unit():
             return iter(self.rows)
         def put(self, rows):
             self.rows = list(rows)
+        def appendList(self, rows):
+            self.rows.extend(rows)
         def clear(self):
             self.rows = []
 
@@ -288,12 +290,14 @@ def test_tws_processor_logic_unit():
         [("b", 2000), ("a", 1000), ("dup", 2000)])]), FakeTimerValues()))
     assert out == []
     assert handle.timers == [1000 + 3_600_000]  # min ts (1000 ms) + grace
-    assert len(proc._buf.rows) == 2  # dup dropped
+    assert len(proc._seen.rows) == 2  # dup dropped
+    assert len(proc._chunks.rows) == 1  # ONE chunk per ingest batch
 
     # batch 2: another record, timer NOT re-registered
     list(proc.handleInputRows((0,), iter([pdf([("c", 500)])]), FakeTimerValues()))
     assert len(handle.timers) == 1
-    assert len(proc._buf.rows) == 3
+    assert len(proc._seen.rows) == 3
+    assert len(proc._chunks.rows) == 2
 
     # timer fires: full buffer drains sorted, state cleared
     class FakeInfo:
@@ -303,12 +307,72 @@ def test_tws_processor_logic_unit():
     flushed = list(proc.handleExpiredTimer((0,), FakeTimerValues(), FakeInfo()))
     assert len(flushed) == 1
     assert list(flushed[0]["order_id"]) == ["c", "a", "b"]
-    assert proc._buf.rows == [] and proc._fire.v is None
+    assert proc._seen.rows == [] and proc._chunks.rows == []
+    assert proc._fire.v is None
+
+
+def test_null_payload_columns_survive_flush(spark, tmp_path):
+    """Nullable int / timestamp / double / string payload columns must
+    round-trip the state buffer: a null in a long column must not crash
+    the flush cast, and a NaT in a secondary timestamp column must come
+    back null, not a min-int64 sentinel."""
+    schema = T.StructType(
+        [
+            T.StructField("id", T.StringType()),
+            T.StructField("event_time", T.TimestampType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("seen_at", T.TimestampType()),
+            T.StructField("score", T.DoubleType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    base = ts("2021-11-04T00:00:00Z")
+    rows = [
+        ("b", base + 7_200_000, None, None, None, None),
+        ("a", base + 3_600_000, 7, base, 1.5, "x"),
+        ("zz", base + 86_400_000, 1, None, 0.0, "sentinel"),
+    ]
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    import datetime as _dt
+
+    def _to_dt(ms):
+        return (
+            None
+            if ms is None
+            else _dt.datetime.fromtimestamp(ms / 1000, _dt.timezone.utc).replace(
+                tzinfo=None
+            )
+        )
+
+    df = spark.createDataFrame(
+        [(i, _to_dt(t), q, _to_dt(s), sc, n) for i, t, q, s, sc, n in rows],
+        schema=schema,
+    )
+    df.coalesce(1).write.parquet(str(in_dir))
+
+    src = spark.readStream.schema(schema).parquet(str(in_dir))
+    out = reorder_stream(src, ts_col="event_time", grace="10 hours")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = read_output(out_dir)
+    assert list(got["id"]) == ["a", "b", "zz"]
+    b = got[got["id"] == "b"].iloc[0]
+    assert pd.isna(b["qty"]) and pd.isna(b["seen_at"]) and pd.isna(b["score"])
+    assert b["note"] is None or pd.isna(b["note"])
+    a = got[got["id"] == "a"].iloc[0]
+    assert a["qty"] == 7 and a["score"] == 1.5 and a["note"] == "x"
+    assert pd.Timestamp(a["seen_at"]).value // 1_000_000 == base
 
 
 def test_reorder_stream_events_table_volume(spark, tmp_path):
-    """The streaming re-sequencer over realistic volume: the sf0.001
-    events table (1000 rows) written in a deterministically SHUFFLED
+    """The streaming re-sequencer over realistic volume: the sf0.01
+    events table (10000 rows) written in a deterministically SHUFFLED
     order, flushed across multiple grace epochs. Checks the operator's
     three invariants at volume, not just on the 12-row fixture:
     first-arrival dedup per event timestamp, per-flush chronological
@@ -317,7 +381,7 @@ def test_reorder_stream_events_table_volume(spark, tmp_path):
     from kafka_streams_reorder_timestamp_spark.streaming import reorder_stream
 
     ev = (
-        load_table(spark, "/root/testdata/sf0.001", "events")
+        load_table(spark, "/root/testdata/sf0.01", "events")
         .select("event_id", "ts", "user_id", "event_type", "value")
     )
     # deterministic shuffle: order by a hash of the row id
