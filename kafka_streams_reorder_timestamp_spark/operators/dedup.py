@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.texthash import minhash_features, normalize_text, tokens
+from ..functions.texthash import (
+    minhash_features,
+    normalize_text,
+    shingle_hashes,
+    tokens,
+)
 from ..functions.vectors import as_double
 from ..sources.catalog import load_table
 from .registry import register
@@ -194,26 +199,28 @@ def minhash_lsh_pairs(
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         docs = docs.repartition(par)
-    # Normalize → shingle → MinHash → band in ONE Arrow-batched pass
-    # producing both the band buckets (candidate generation) and the
-    # shingle hash set (verification). Persisted because both the
-    # banding explode and the two verification join sides consume it —
-    # without the persist the UDF pipeline would run three times. The
-    # projection is (id, 2 hash arrays): a few KB per doc, disk-backed.
+    # Normalize → shingle → MinHash → band in ONE Arrow-batched pass.
+    # The banding explode is this projection's ONLY consumer, so the
+    # full-corpus UDF runs exactly once and plan-only consumers
+    # (explain, registry enumeration) execute nothing — no persist, no
+    # eager count, no cache to leak. (An earlier persist+count executed
+    # the pipeline as a side effect of merely BUILDING the plan; a
+    # shared-exchange variant still ran the UDF twice because nested-
+    # column pruning gives the banding and verification branches
+    # different exchange subtrees.) Verification below re-derives
+    # shingle sets for the candidate set only, which is bounded by
+    # bucket sizes — at corpus scale that is a rounding error next to
+    # a second full-corpus signature pass.
     feats = docs.select(
         "_id",
-        minhash_features(F.col("_text"), num_hashes, bands, shingle_n).alias("mf"),
-    ).filter(F.col("mf.buckets").isNotNull())
-    feats = feats.persist()
-    # Materialize the cache eagerly: three downstream consumers (the
-    # banding explode and both verification join sides) otherwise race
-    # to compute the same partitions concurrently, running the UDF
-    # pipeline up to 3x.
-    feats.count()
+        minhash_features(F.col("_text"), num_hashes, bands, shingle_n)[
+            "buckets"
+        ].alias("buckets"),
+    ).filter(F.col("buckets").isNotNull())
     # Band rows carry ONLY (_id, band, bucket) — no shingle arrays ride
     # through the bands-times explode and its shuffle.
     banded = feats.select(
-        "_id", F.posexplode(F.col("mf.buckets")).alias("band", "bucket")
+        "_id", F.posexplode(F.col("buckets")).alias("band", "bucket")
     )
 
     # Candidate pairs come from grouping each bucket and exploding the
@@ -243,10 +250,25 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     # Verify with the exact Jaccard of the shingle HASH sets — the same
-    # shingle universe the signatures were built from, reused from the
-    # persisted feature projection; array_intersect over bigint arrays
-    # is JVM-native and far cheaper than re-shingling text per pair.
-    shingled = feats.select("_id", F.col("mf.shingles").alias("_sh"))
+    # shingle universe the signatures were built from (shingle_hashes
+    # shares _shingle_hash_set with minhash_features). Re-deriving the
+    # sets for CANDIDATE docs only keeps the full-corpus UDF single-
+    # consumer: one semi-join of the corpus against the (small) distinct
+    # candidate-id set — AQE turns it into a broadcast join at runtime —
+    # then one cheap shingle pass over the survivors. array_intersect
+    # over bigint arrays is JVM-native.
+    cand_ids = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("_id")).distinct()
+    )
+    shingled = (
+        docs.join(cand_ids, "_id")
+        .select("_id", shingle_hashes(F.col("_text"), shingle_n).alias("_sh"))
+        # Both verification join sides consume this identically-projected
+        # subtree; the shuffle on _id makes the two branches share one
+        # exchange (ReuseExchange / AQE stage reuse) so the candidate
+        # shingle pass also runs once.
+        .repartition("_id")
+    )
     sh_a = shingled.select(F.col("_id").alias("doc_a"), F.col("_sh").alias("sh_a"))
     sh_b = shingled.select(F.col("_id").alias("doc_b"), F.col("_sh").alias("sh_b"))
     paired = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")

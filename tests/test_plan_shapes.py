@@ -155,6 +155,48 @@ def test_registry_wide_plan_hygiene(spark, sf_dir):
     assert not offenders, f"plan hygiene violations: {offenders}"
 
 
+def test_minhash_lsh_lazy_and_reused(spark, sf_dir):
+    """The LSH dedup plan must (a) execute NOTHING while being built —
+    no persist + eager count side effect (an earlier version ran the
+    full UDF pipeline on plan construction and leaked cached
+    partitions), and (b) share the candidate-pair and candidate-shingle
+    exchanges between their two consumers each, so the full-corpus
+    signature UDF stays single-consumer and runs exactly once."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    sc = spark.sparkContext
+
+    def job_id() -> int:
+        return sc._jsc.sc().dagScheduler().nextJobId()
+
+    # Baseline: a bare table read costs a fixed few jobs (file listing +
+    # parquet schema). Building the whole LSH plan must cost no more —
+    # i.e. the UDF pipeline must NOT execute as a plan-build side
+    # effect (the old persist+count ran dozens of jobs here).
+    j0 = job_id()
+    load_table(spark, sf_dir, "documents")
+    j1 = job_id()
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = dedup_minhash_lsh(spark, sf_dir)
+        j2 = job_id()
+        plan = plans.executed_plan(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert j2 - j1 <= j1 - j0, (
+        f"plan construction ran {j2 - j1} jobs (bare read costs {j1 - j0})"
+    )
+    assert "InMemoryTableScan" not in plan, "unexpected cache in LSH plan"
+    # cand (dropDuplicates exchange: verify probe + candidate-id derive)
+    # and shingled (repartition: sh_a + sh_b) each reused once. Checked
+    # on the static planner; AQE performs the same reuse at runtime.
+    assert plan.count("ReusedExchange") >= 2, plan
+
+
 def test_curation_pipeline_two_shuffles(spark, sf_dir):
     from kafka_streams_reorder_timestamp_spark.operators.pipeline import (
         corpus_curation_pipeline,
