@@ -88,6 +88,35 @@ def read_order_stream(spark: SparkSession, bootstrap: str, topic: str) -> DataFr
     return decode_value(raw, spark)
 
 
+def order_sink_options(bootstrap: str, topic: str, checkpoint_dir: str) -> dict:
+    """The exact option set the Kafka sink writer is configured with —
+    exposed as data so tests (and operators embedding the sink) can pin
+    the contract without a broker."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "topic": topic,
+        "checkpointLocation": checkpoint_dir,
+    }
+
+
+def build_order_sink(
+    df: DataFrame,
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    checkpoint_dir: str,
+):
+    """Un-started Kafka sink writer: encode to (key, value) bytes, then
+    `writeStream.format("kafka")` with `order_sink_options`. Split from
+    `write_order_stream` so the construction is unit-testable in
+    broker-less environments (start() is the only side-effecting step)."""
+    return (
+        encode_value(df, spark)
+        .writeStream.format("kafka")
+        .options(**order_sink_options(bootstrap, topic, checkpoint_dir))
+    )
+
+
 def write_order_stream(
     df: DataFrame,
     spark: SparkSession,
@@ -98,11 +127,4 @@ def write_order_stream(
     """`reordered.to(outputTopic)` (Application.java:147). Returns the
     started StreamingQuery; checkpointing supplies the restart story
     the reference gets from changelog topics (Application.java:160)."""
-    return (
-        encode_value(df, spark)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    return build_order_sink(df, spark, bootstrap, topic, checkpoint_dir).start()

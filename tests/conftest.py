@@ -6,6 +6,13 @@ import pytest
 
 from kafka_streams_reorder_timestamp_spark.session import get_spark
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "integration: needs external services (Kafka broker via KAFKA_BOOTSTRAP)",
+    )
+
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
