@@ -8,6 +8,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
     relational,
     simhash,
     similarity,
+    subqueries,
     text,
 )
 from .reorder import reorder_batch
@@ -24,5 +25,6 @@ __all__ = [
     "registry",
     "simhash",
     "similarity",
+    "subqueries",
     "text",
 ]
