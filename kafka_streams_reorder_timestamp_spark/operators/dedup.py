@@ -27,6 +27,7 @@ from ..functions.texthash import (
     normalize_text,
     shingle_hashes,
     tokens,
+    word_shingles,
 )
 from ..functions.vectors import as_double
 from ..sources.catalog import load_table
@@ -281,20 +282,13 @@ def minhash_lsh_pairs(
     )
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=None,  # hash-function-specific — driver records rows-only;
-    # pytest verifies detected pairs against exact Jaccard ground truth.
-    doc="MinHash+LSH near-dup over documents plus a deterministic "
-    "perturbed sample (20 docs with the last 2 words dropped) so the "
-    "operator provably detects the planted near-duplicates.",
-)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    # Plant near-duplicates: copies of the 20 lowest doc_ids with the
-    # final 2 tokens removed; new ids offset by 10^9. Deterministic.
-    # doc_id is dense from 0 in the driver tables, so `doc_id < 20` is
-    # the 20 lowest — a pushed-down scan filter instead of a full sort.
+def _planted_corpus(d: DataFrame) -> DataFrame:
+    """documents plus deterministic planted near-duplicates: copies of
+    the 20 lowest doc_ids with the final 2 tokens removed, new ids
+    offset by 10^9. doc_id is dense from 0 in the driver tables, so
+    `doc_id < 20` is the 20 lowest — a pushed-down scan filter instead
+    of a full sort. Shared by the LSH query and its exact-Jaccard
+    oracle twin so their recall/precision is comparable per round."""
     tok = tokens(F.col("text"))
     perturbed = (
         d.filter(F.col("doc_id") < 20)
@@ -304,8 +298,149 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("text"),
         )
     )
-    corpus = d.select("doc_id", "text").unionByName(perturbed)
-    return minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.7)
+    return d.select("doc_id", "text").unionByName(perturbed)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # hash-function-specific — driver records rows-only;
+    # pytest verifies detected pairs against exact Jaccard ground truth
+    # (dedup_jaccard_shingles is the oracle-checked exact twin).
+    doc="MinHash+LSH near-dup over documents plus a deterministic "
+    "perturbed sample (20 docs with the last 2 words dropped) so the "
+    "operator provably detects the planted near-duplicates.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return minhash_lsh_pairs(_planted_corpus(d), "text", "doc_id", threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# Exact shingle-Jaccard pairs (prefix-filtered AllPairs — the oracle twin
+# that makes the LSH approximation error measurable)
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT near-duplicate pairs at `threshold` over `shingle_n`-token
+    shingle sets — same shingle universe as `minhash_lsh_pairs`, but
+    lossless: candidates come from a prefix-filtered inverted index
+    (AllPairs/PPJoin family), not probabilistic banding.
+
+    Prefix filter: order each document's distinct shingles
+    lexicographically and index only its first ``|S| - ceil(t*|S|) + 1``
+    shingles. For J(A,B) >= t the overlap is >= ceil(t*max(|A|,|B|)),
+    and two sets with overlap alpha must collide within their first
+    ``|S| - alpha + 1`` elements of any shared total order — so every
+    qualifying pair shares an INDEXED shingle and the index join loses
+    nothing, while indexing ~(1-t) of each document bounds bucket
+    fan-out the same way LSH banding does. A size-band predicate
+    (t*max <= min, implied by J >= t) prunes candidates before the
+    exact verification join.
+    """
+    docs = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).filter(F.col("_text").isNotNull())
+    sh = F.sort_array(F.array_distinct(word_shingles(tokens(F.col("_text")), shingle_n)))
+    shingled = docs.select("_id", sh.alias("sh")).filter(F.size("sh") > 0)
+    # Lossless prefix: first |S| - ceil(t|S|) + 1 shingles in the global
+    # lexicographic order.
+    plen = (F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + 1).cast("int")
+    index = shingled.select(
+        "_id",
+        F.size("sh").alias("sz"),
+        F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("shingle"),
+    )
+    # One shuffle on the shingle key; in-bucket pairs via sorted
+    # collect_list + combination explode (the minhash_lsh_pairs
+    # pattern), size-band filtered before the distinct.
+    ids = F.sort_array(F.collect_list(F.struct("_id", "sz")))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x["_id"].alias("a"),
+                    y["_id"].alias("b"),
+                    x["sz"].alias("sa"),
+                    y["sz"].alias("sb"),
+                ),
+            ),
+        )
+    )
+    band = (
+        F.col("p.sa") * F.lit(1.0) >= F.col("p.sb") * F.lit(threshold)
+    ) & (F.col("p.sb") * F.lit(1.0) >= F.col("p.sa") * F.lit(threshold))
+    cand = (
+        index.groupBy("shingle")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_structs).alias("p"))
+        .filter(band & (F.col("p.a") < F.col("p.b")))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Exact verification: join the full shingle sets back by id (the
+    # repartition makes both branches share one exchange) and keep
+    # pairs at/above the threshold.
+    sets = shingled.repartition("_id")
+    sh_a = sets.select(F.col("_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sets.select(F.col("_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    paired = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return paired.filter(jac >= threshold).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_jaccard_shingles",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 20 AND len(t) > 0
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END AS s
+      FROM corpus
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.s, b.s))
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    """,
+    doc="EXACT 3-token-shingle Jaccard >= 0.7 over the SAME planted "
+    "corpus as dedup_minhash_lsh — its oracle twin: the LSH query's "
+    "recall/precision is computable from these two registry entries "
+    "each round (pinned >= 0.95 in pytest). Candidates via a lossless "
+    "prefix-filtered inverted index (AllPairs), never all-pairs; the "
+    "DuckDB oracle brute-forces the same definition.",
+)
+def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return shingle_jaccard_pairs(_planted_corpus(d), "text", "doc_id", threshold=0.7)
 
 
 # ---------------------------------------------------------------------------

@@ -12,9 +12,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+    dedup_jaccard_shingles,
     dedup_minhash_lsh,
     exact_dedup,
     minhash_lsh_pairs,
+    shingle_jaccard_pairs,
 )
 from kafka_streams_reorder_timestamp_spark.operators.multimodal import (
     decode_media,
@@ -56,6 +58,43 @@ def test_minhash_registry_query_detects_planted(spark, sf_dir):
     # every planted perturbation (drop last 2 words) is a near-dup of its
     # source at 3-shingle jaccard >= ~0.9
     assert {(i, 1_000_000_000 + i) for i in range(20)} <= planted
+
+
+def test_lsh_recall_precision_vs_exact_twin(spark, oracle_sf_dir):
+    """The LSH query's approximation error, measured against its exact
+    oracle twin (same planted corpus, same shingle definition, same 0.7
+    threshold): recall and precision both >= 0.95. The twin is itself
+    hash-checked against DuckDB by test_oracle_parity, so this closes
+    the loop LSH -> exact twin -> oracle."""
+    lsh = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, oracle_sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_jaccard_shingles(spark, oracle_sf_dir).collect()
+    }
+    assert exact, "exact twin found no pairs — vacuous recall"
+    recall = len(lsh & exact) / len(exact)
+    precision = len(lsh & exact) / len(lsh) if lsh else 0.0
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(exact)} true pairs)"
+    assert precision >= 0.95, f"LSH precision {precision:.3f} < 0.95"
+
+
+def test_shingle_jaccard_prefix_filter_is_lossless(spark):
+    """Prefix-filtered AllPairs must find every pair an unfiltered
+    brute-force check finds — planted near-dups (drop last word) and
+    nothing else at threshold 0.7."""
+    base = [(i, " ".join(f"w{i}_{j}" for j in range(30))) for i in range(8)]
+    near = [(100 + i, " ".join(f"w{i}_{j}" for j in range(29))) for i in range(8)]
+    df = spark.createDataFrame(base + near, ["doc_id", "text"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in shingle_jaccard_pairs(df, "text", "doc_id", threshold=0.7).collect()
+    }
+    assert set(got) == {(i, 100 + i) for i in range(8)}
+    # 28 shingles in the base doc, 27 in the truncated one, 27 shared
+    for j in got.values():
+        assert j == pytest.approx(27 / 28, abs=1e-4)
 
 
 def test_exact_dedup_keeps_min_id(spark):
