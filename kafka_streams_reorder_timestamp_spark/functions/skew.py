@@ -30,17 +30,28 @@ def salted_join(
     """Join `big` ⋈ `small` on `on`, spreading each join key over
     `salt` shuffle partitions.
 
-    The big side's salt is derived deterministically from the full row
-    (xxhash64 over all columns) so replays partition identically; the
-    small side is replicated `salt` times via explode — its shuffle
-    volume grows by `salt`x, which is the price of de-skewing and why
-    `small` should be the smaller input. Result equals the unsalted
-    join (the salt columns never leave this function).
+    The big side's salt mixes the row content (xxhash64 over all
+    columns) with a partition-local counter
+    (monotonically_increasing_id): content alone maps fully identical
+    duplicate rows — the COMMON source of hot-key skew — to one salt
+    value, recreating the straggler the salt exists to kill. The
+    counter is deterministic given a fixed input partitioning
+    (partition_id << 33 | per-partition ordinal), so replays on the
+    same layout partition identically. The small side is replicated
+    `salt` times via explode — its shuffle volume grows by `salt`x,
+    which is the price of de-skewing and why `small` should be the
+    smaller input. Result equals the unsalted join (the salt columns
+    never leave this function).
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
     big_s = big.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt))
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns])
+            + F.monotonically_increasing_id(),
+            F.lit(salt),
+        ),
     )
     small_s = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

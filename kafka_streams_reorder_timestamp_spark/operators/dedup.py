@@ -26,8 +26,8 @@ from ..functions.texthash import (
     minhash_features,
     normalize_text,
     shingle_hashes,
+    shingle_hashes64,
     tokens,
-    word_shingles,
 )
 from ..functions.vectors import as_double
 from ..sources.catalog import load_table
@@ -332,34 +332,62 @@ def shingle_jaccard_pairs(
     lossless: candidates come from a prefix-filtered inverted index
     (AllPairs/PPJoin family), not probabilistic banding.
 
-    Prefix filter: order each document's distinct shingles
-    lexicographically and index only its first ``|S| - ceil(t*|S|) + 1``
-    shingles. For J(A,B) >= t the overlap is >= ceil(t*max(|A|,|B|)),
-    and two sets with overlap alpha must collide within their first
-    ``|S| - alpha + 1`` elements of any shared total order — so every
-    qualifying pair shares an INDEXED shingle and the index join loses
-    nothing, while indexing ~(1-t) of each document bounds bucket
-    fan-out the same way LSH banding does. A size-band predicate
-    (t*max <= min, implied by J >= t) prunes candidates before the
-    exact verification join.
+    Shingles are represented by their 64-bit hashes (`shingle_hashes64`
+    — one Arrow pass; the higher-order string-shingling Columns are
+    interpreted per element and were ~10x slower end-to-end), so the
+    Jaccard equals the string-shingle definition up to a ~1e-14
+    birthday bound, and everything downstream (sort, prefix explode,
+    array_intersect) runs on bigints.
+
+    Prefix filter: order each document's distinct shingles by the
+    global hash order and index only its first
+    ``|S| - ceil(t*|S|) + 1``. For J(A,B) >= t the overlap is
+    >= ceil(t*max(|A|,|B|)), and two sets with overlap alpha must
+    collide within their first ``|S| - alpha + 1`` elements of any
+    shared total order — so every qualifying pair shares an INDEXED
+    shingle and the index join loses nothing, while indexing ~(1-t)
+    of each document bounds bucket fan-out the same way LSH banding
+    does. A size-band predicate (t*max <= min, implied by J >= t)
+    prunes candidates before the exact verification join.
     """
     docs = df.select(
         F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
     ).filter(F.col("_text").isNotNull())
-    sh = F.sort_array(F.array_distinct(word_shingles(tokens(F.col("_text")), shingle_n)))
-    shingled = docs.select("_id", sh.alias("sh")).filter(F.size("sh") > 0)
-    # Lossless prefix: first |S| - ceil(t|S|) + 1 shingles in the global
-    # lexicographic order.
+    # Widen narrow inputs before the Arrow pass (same rationale as
+    # minhash_lsh_pairs: one local file would run the UDF serially).
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    sh = shingle_hashes64(F.col("_text"), shingle_n)
+    # LAZY persist (no eager count — nothing executes at plan-build
+    # time): the prefix index and both verification sides read this
+    # subtree, and without the cache boundary Catalyst both duplicates
+    # the Arrow pass per consumer AND pushes the size filter beneath
+    # each copy's exchange, evaluating the UDF 6x (measured 2x wall
+    # time at sf0.1). The cached payload is only (id, hash array) —
+    # ~8B per shingle; at 100 TB this is the operator's working set
+    # and belongs in MEMORY_AND_DISK either way.
+    from pyspark import StorageLevel
+
+    shingled = (
+        docs.select("_id", sh.alias("sh"))
+        .filter(F.col("sh").isNotNull() & (F.size("sh") > 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Lossless prefix: first |S| - ceil(t|S|) + 1 shingles in the
+    # global (numeric) order — shingle_hashes64 output is sorted.
+    # posexplode keeps each shingle's 0-based position for the
+    # positional (PPJoin) bound below.
     plen = (F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + 1).cast("int")
     index = shingled.select(
         "_id",
         F.size("sh").alias("sz"),
-        F.explode(F.slice(F.col("sh"), F.lit(1), plen)).alias("shingle"),
+        F.posexplode(F.slice(F.col("sh"), F.lit(1), plen)).alias("pos", "shingle"),
     )
     # One shuffle on the shingle key; in-bucket pairs via sorted
     # collect_list + combination explode (the minhash_lsh_pairs
-    # pattern), size-band filtered before the distinct.
-    ids = F.sort_array(F.collect_list(F.struct("_id", "sz")))
+    # pattern).
+    ids = F.sort_array(F.collect_list(F.struct("_id", "sz", "pos")))
     pair_structs = F.flatten(
         F.transform(
             F.col("ids"),
@@ -370,26 +398,51 @@ def shingle_jaccard_pairs(
                     y["_id"].alias("b"),
                     x["sz"].alias("sa"),
                     y["sz"].alias("sb"),
+                    x["pos"].alias("pa"),
+                    y["pos"].alias("pb"),
                 ),
             ),
         )
     )
+    # Positional PPJoin prune, both lossless given J >= t:
+    #   size band:  t*max(|A|,|B|) <= min(|A|,|B|)
+    #   overlap:    |A∩B| >= ceil(t/(1+t)*(|A|+|B|)) =: alpha, while the
+    #     shared shingle at 0-based positions (pa, pb) bounds it above
+    #     by 1 + min(|A|-pa-1, |B|-pb-1); the FIRST common shingle of a
+    #     qualifying pair always satisfies this, so filtering per
+    #     occurrence before the pair-distinct loses nothing. On corpora
+    #     with shared vocabulary this kills the common-trigram pairs a
+    #     bare prefix filter lets through (~600x fewer candidates on
+    #     the sf0.1 documents table).
     band = (
         F.col("p.sa") * F.lit(1.0) >= F.col("p.sb") * F.lit(threshold)
     ) & (F.col("p.sb") * F.lit(1.0) >= F.col("p.sa") * F.lit(threshold))
+    alpha = F.ceil(
+        (F.col("p.sa") + F.col("p.sb")) * F.lit(threshold / (1.0 + threshold))
+    )
+    ubound = 1 + F.least(
+        F.col("p.sa") - F.col("p.pa") - 1, F.col("p.sb") - F.col("p.pb") - 1
+    )
     cand = (
         index.groupBy("shingle")
         .agg(ids.alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.explode(pair_structs).alias("p"))
-        .filter(band & (F.col("p.a") < F.col("p.b")))
+        .filter(band & (F.col("p.a") < F.col("p.b")) & (ubound >= alpha))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    # Exact verification: join the full shingle sets back by id (the
-    # repartition makes both branches share one exchange) and keep
-    # pairs at/above the threshold.
-    sets = shingled.repartition("_id")
+    # Exact verification: restrict the cached sets to candidate docs
+    # first (tiny distinct id list, AQE broadcasts it). Besides
+    # bounding the verify joins by the candidate count — the shape
+    # that matters on a dup-heavy corpus — the dependency on `cand`
+    # serializes the stages, so the index stage has fully populated
+    # the cache before the verify sides read it (independent stages
+    # racing an unfilled cache each recompute the Arrow pass).
+    cand_ids = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("_id")).distinct()
+    )
+    sets = shingled.join(cand_ids, "_id")
     sh_a = sets.select(F.col("_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sh_b = sets.select(F.col("_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     paired = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")

@@ -631,6 +631,98 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q7_nation_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           year(l_shipdate) AS l_year,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+    FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: bilateral shipping volume between two nations "
+    "by year — the same dimension (nation) joined TWICE under "
+    "different roles with a cross-role disjunction. Both nation joins "
+    "broadcast (25 rows at any SF); the n1/n2 name filters cannot "
+    "push to either scan alone (the disjunction spans roles) and "
+    "evaluate post-join in codegen; the fact-fact joins shuffle on "
+    "their keys.",
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.withColumnRenamed("n_name", "supp_nation").alias("n1")
+    n2 = n.withColumnRenamed("n_name", "cust_nation").alias("n2")
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2.n_nationkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(_money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, year(l_shipdate) AS l_year,
+           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                     - CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(25,6))),
+                 2)::DOUBLE AS profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation and year for a "
+    "LIKE-selected part family (the catalog has no partsupp, so half "
+    "the retail price stands in for supply cost — both factors are "
+    "exact <=3dp values, so the decimal casts are engine-exact). The "
+    "part LIKE filter prunes before the join; supplier and nation "
+    "broadcast; one partial+final agg after the fact joins.",
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC) - (
+        F.col("p_retailprice") * F.col("l_quantity") * 0.5
+    ).cast(DEC)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("profit"))
+    )
+
+
+@register(
     "q19_disjunctive_revenue",
     oracle="""
     SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)

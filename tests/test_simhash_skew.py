@@ -67,6 +67,29 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert a == b
 
 
+def test_salted_join_spreads_identical_duplicate_rows(spark):
+    """Fully identical duplicate rows (the common hot-key case) must
+    spread across the salt range — a content-only salt maps them all to
+    one value, a no-op exactly where the mitigation matters."""
+    from kafka_streams_reorder_timestamp_spark.functions.skew import _SALT
+
+    big = spark.createDataFrame([(1, "hot")] * 64, ["k", "v"]).repartition(8)
+    salted = big.withColumn(
+        _SALT,
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns])
+            + F.monotonically_increasing_id(),
+            F.lit(16),
+        ),
+    )
+    n_salts = salted.select(_SALT).distinct().count()
+    assert n_salts >= 8, f"identical rows landed on only {n_salts} salt values"
+    # and the join result is still exactly the plain join
+    small = spark.createDataFrame([(1, "dim")], ["k", "d"])
+    out = salted_join(big, small, ["k"], salt=16).collect()
+    assert len(out) == 64 and all(r.d == "dim" for r in out)
+
+
 def test_salted_join_left(spark):
     big = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], ["k", "v"])
     small = spark.createDataFrame([(1, "dim1")], ["k", "d"])
