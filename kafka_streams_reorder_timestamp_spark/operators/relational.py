@@ -681,6 +681,70 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o_orderdate) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        JOIN part ON p_partkey = l_partkey
+      WHERE n1.n_regionkey = 0 AND p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(25,6)) END)::DOUBLE
+                 / SUM(volume)::DOUBLE, 4) AS mkt_share
+    FROM rev GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: one nation's share of ECONOMY-part revenue "
+    "sold into region 0, by year — a 7-way join feeding a conditional-"
+    "numerator ratio. Both ratio terms are exact decimal sums cast to "
+    "double before one IEEE division, so the share is engine-exact. "
+    "nation (twice), supplier and the filtered part side broadcast; "
+    "the customer-region filter prunes before the orders join.",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    n1 = n.filter(F.col("n_regionkey") == 0).select(F.col("n_nationkey").alias("cn_key"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    volume = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"), "inner")
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(zero)
+                ).cast("double")
+                / F.sum(volume).cast("double"),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, year(l_shipdate) AS l_year,

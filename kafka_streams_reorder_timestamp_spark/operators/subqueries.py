@@ -363,6 +363,150 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q2_min_unitprice_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE
+               / SUM(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, s.s_name, n.n_name AS nation,
+           ROUND(u.unit_cost, 6) AS unit_cost
+    FROM part p
+      JOIN unit u ON u.l_partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = u.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'LARGE' AND p.p_size < 10
+      AND u.unit_cost = (
+        SELECT MIN(u2.unit_cost) FROM unit u2
+        WHERE u2.l_partkey = p.p_partkey
+      )
+    """,
+    doc="TPC-H Q2 shape: cheapest supplier per part — a correlated MIN "
+    "over a derived per-(part,supplier) aggregate (realized unit price "
+    "from lineitem stands in for partsupp supply cost). Decorrelated "
+    "into a per-part MIN joined back on (partkey, cost): the derived "
+    "agg shuffles once and is consumed by both branches. The MIN "
+    "equality is engine-safe: both unit costs are the SAME double "
+    "(exact decimal sums cast to double, IEEE division), so ties "
+    "surface identically.",
+)
+def q2_min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") < 10)
+    ).select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double")
+            / F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+        ).alias("unit_cost")
+    )
+    cheapest = unit.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    return (
+        unit.join(p, unit.l_partkey == p.p_partkey)
+        .join(
+            cheapest.withColumnRenamed("l_partkey", "m_partkey"),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS v
+      FROM lineitem GROUP BY 1
+    ), tot AS (SELECT SUM(v) AS t FROM val)
+    SELECT l_partkey, ROUND(v, 2)::DOUBLE AS part_value
+    FROM val, tot
+    WHERE v * 3000 > t
+    """,
+    doc="TPC-H Q11 shape: parts whose revenue exceeds 1/3000 of the "
+    "global total — a HAVING against a scalar aggregate over the same "
+    "derived view. The threshold compare is cross-multiplied in exact "
+    "decimal space (v*3000 > t) instead of dividing the total, so no "
+    "engine-specific decimal division is involved; the one-row total "
+    "broadcasts and the per-part agg shuffles once (partial map-side).",
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    val = li.groupBy("l_partkey").agg(F.sum(rev).alias("v"))
+    tot = val.agg(F.sum("v").alias("t"))
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("v") * 3000 > F.col("t"))
+        .select(
+            "l_partkey", F.round("v", 2).cast("double").alias("part_value")
+        )
+    )
+
+
+@register(
+    "q20_heavy_blue_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           ROUND(CAST(s_acctbal AS DECIMAL(25,6)), 2)::DOUBLE AS acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
+      )
+      GROUP BY l_suppkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 2200
+    )
+    """,
+    doc="TPC-H Q20 shape: nested IN subqueries with an aggregate "
+    "HAVING — suppliers who moved >2200 units of blue-named parts "
+    "(name LIKE stands in for the forest%% filter; lineitem for "
+    "partsupp availability). Spark plans both INs as left-semi hash "
+    "joins — the part-id set broadcasts into the lineitem scan's "
+    "semi-join, the qualifying supplier-key set broadcasts into the "
+    "supplier scan; the aggregate is partial before its single "
+    "shuffle.",
+)
+def q20_heavy_blue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_quantity"
+    )
+    blue = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%blue%")
+    ).select("p_partkey")
+    heavy = (
+        li.join(blue, li.l_partkey == blue.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("q"))
+        .filter(F.col("q") > 2200)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(heavy, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("s_acctbal").cast(DEC), 2).cast("double").alias("acctbal"),
+        )
+    )
+
+
+@register(
     "q15_top_revenue_supplier",
     oracle="""
     WITH revenue AS (
