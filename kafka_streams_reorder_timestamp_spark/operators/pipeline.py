@@ -104,3 +104,123 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("n_alnum").alias("total_alnum"),
     )
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test assignment — the reproducibility "
+    "primitive every training pipeline needs: split = first md5 byte "
+    "of the doc id (0x00-0xcc train ~80%, 0xcd-0xe5 val ~10%, rest "
+    "test). Content- and partitioning-independent, identical across "
+    "engines/runs/cluster sizes (md5 hex is bit-identical in Spark "
+    "and DuckDB), and a pure narrow map — no shuffle until the "
+    "accounting agg. Filtering a split at read time costs one scan "
+    "predicate, never a materialized copy.",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        d.select("lang", split.alias("split"), "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "cap_docs_per_source",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, source
+                                ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rn <= 10
+    GROUP BY 1, 2
+    """,
+    doc="Per-source balanced capping (keep the 10 lowest doc_ids per "
+    "(lang, source)): the anti-domination sampler that stops one crawl "
+    "source from swamping the mixture. One shuffle on the group key; "
+    "the per-group ROW_NUMBER sort is bounded by group size, and at "
+    "100 TB a skewed mega-source is exactly what AQE skew-split plus "
+    "this cap contains. Deterministic tie-free order (doc_id) keeps "
+    "the kept set reproducible.",
+)
+def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    win = Window.partitionBy("lang", "source").orderBy("doc_id")
+    return (
+        d.select("lang", "source", "n_chars", "doc_id")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 10)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "decontaminate_docs",
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             array_to_string(list_slice(
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> ''), 1, 8), ' ') AS probe
+      FROM documents
+      WHERE doc_id < 5 AND text IS NOT NULL
+    )
+    SELECT d.doc_id, p.probe_id
+    FROM documents d JOIN probes p
+      ON contains(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g'),
+                  p.probe)
+    WHERE d.text IS NOT NULL
+    """,
+    doc="Benchmark decontamination: flag every document whose "
+    "normalized text contains any probe 8-gram (probes derived "
+    "deterministically from docs 0-4, standing in for an eval set). "
+    "The probe side is tiny and broadcasts; the corpus streams once "
+    "through a substring scan — the shape of the real thing, where "
+    "the probe list is an eval suite's n-grams and the inner loop is "
+    "an Aho-Corasick pass (here: per-probe contains(), which Spark "
+    "codegens). No shuffle touches the corpus.",
+)
+def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = tokens(F.col("text"))
+    probes = d.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(F.slice(tok, 1, 8), " ").alias("probe"),
+    )
+    return d.select("doc_id", normalize_text(F.col("text")).alias("norm")).join(
+        F.broadcast(probes), F.expr("contains(norm, probe)")
+    ).select("doc_id", "probe_id")
