@@ -57,17 +57,31 @@ def main() -> int:
         .select(_noop(col("id"))).write.format("noop").mode("overwrite").save()
     warm_sec = time.perf_counter() - t_warm
 
+    # Each query is timed RUNS times and the minimum is recorded: the
+    # host shows multi-second steal-time spikes, and min-of-N is the
+    # standard way to report the engine's cost rather than the noise.
+    # The DataFrame cache is cleared between runs so a lazily-persisted
+    # subtree (e.g. the AllPairs shingle cache) is rebuilt each time —
+    # every recorded run is a cold-cache run.
+    RUNS = 2
     times: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, builder in registry.all_queries().items():
-        t0 = time.perf_counter()
-        try:
-            df = builder(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep benching the rest
-            failed[name] = f"{type(e).__name__}: {e}"[:200]
-            print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
+        best = None
+        for _ in range(RUNS):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                df = builder(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as e:  # keep benching the rest
+                failed[name] = f"{type(e).__name__}: {e}"[:200]
+                print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        if best is not None and name not in failed:
+            times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -78,6 +92,7 @@ def main() -> int:
         "sf": sf,
         "n_queries": len(times),
         "warm_sec": round(warm_sec, 3),
+        "runs_per_query": RUNS,
     }
     if failed:
         out["failed"] = failed
