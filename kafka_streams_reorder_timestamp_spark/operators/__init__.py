@@ -3,6 +3,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
     breadth,
     dedup,
     events_queries,
+    graph,
     multimodal,
     pipeline,
     relational,
@@ -18,6 +19,7 @@ __all__ = [
     "breadth",
     "dedup",
     "events_queries",
+    "graph",
     "multimodal",
     "pipeline",
     "reorder_batch",
