@@ -7,6 +7,7 @@ from . import (  # noqa: F401  (imports run @register decorators)
     multimodal,
     pipeline,
     relational,
+    sampling,
     simhash,
     similarity,
     subqueries,
@@ -25,6 +26,7 @@ __all__ = [
     "reorder_batch",
     "relational",
     "registry",
+    "sampling",
     "simhash",
     "similarity",
     "subqueries",

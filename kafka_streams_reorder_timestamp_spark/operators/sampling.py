@@ -1,0 +1,240 @@
+"""Deterministic sampling + dataset-profiling operators — the
+reproducibility layer of a training-data pipeline.
+
+Every sampler here is HASH-based, never ``rand()``: the kept set is a
+pure function of the row's stable id, so it is identical across
+engines, runs, cluster sizes, and partitionings — rerunning the
+pipeline after adding one source re-selects byte-identical rows
+everywhere else, which is what makes ablations comparable. md5 is used
+as the hash because Spark and DuckDB produce bit-identical lowercase
+hex for the same input string, making the samplers oracle-checkable.
+
+Design for 100 TB:
+  - a hash-threshold sample is a narrow map (one scan predicate, no
+    shuffle): Catalyst pushes the surviving-column pruning into the
+    parquet scan and the filter costs one md5 per row, JVM-side;
+  - the stratified fixed-k sampler shuffles once on the stratum key,
+    and each group's sort is bounded by stratum size (AQE skew-split
+    handles a mega-stratum);
+  - the mixture rebalancer broadcasts the (tiny) weights table and
+    stays one scan + one partial-agg shuffle.
+
+Reference tie-in: the reference has no sampling surface (SURVEY §2.2 —
+this is the mandated LLM-pipeline extension); determinism mirrors the
+reference's reproducible-replay ethos (Application.java:89-93's
+idempotent first-writer-wins insert).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+# 4-hex-digit md5 prefix < '1a00' keeps 6656/65536 ~ 10.16% of rows.
+BERNOULLI_THR = "1a00"
+
+
+def _doc_hash(col: str = "doc_id") -> F.Column:
+    return F.substring(F.md5(F.col(col).cast("string")), 1, 4)
+
+
+@register(
+    "sample_bernoulli_docs",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{BERNOULLI_THR}'
+    """,
+    doc="Deterministic ~10% Bernoulli sample: keep a document iff the "
+    "first 16 bits of md5(doc_id) fall under a fixed threshold. A pure "
+    "narrow map — no shuffle, no rand() (so no per-run drift and no "
+    "partitioning dependence); at 100 TB this is one codegen'd scan "
+    "predicate and the sample is reproducible byte-for-byte.",
+)
+def sample_bernoulli_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(_doc_hash() < BERNOULLI_THR).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "sample_stratified_docs",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM ranked WHERE rn <= 15
+    """,
+    doc="Stratified fixed-k sample: exactly 15 docs per language, "
+    "chosen by md5(doc_id) order — an unbiased, reproducible draw per "
+    "stratum regardless of how the strata are laid out on disk. One "
+    "shuffle on the stratum key; per-group work is a bounded top-k "
+    "(rank over the hash), so a 100x corpus only widens the groups "
+    "AQE already splits.",
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    win = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 15)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+# Per-language acceptance thresholds on the 4-hex md5 prefix: the
+# mixture designer's knob. '3333' ~ 20%, '6666' ~ 40%, ... 'ffff'+1
+# would be 100% — 'zzzz' sorts above every hex digit, keeping all.
+MIXTURE_WEIGHTS = [
+    ("en", "3333"),  # downsample the dominant language ~20%
+    ("de", "9999"),  # ~60%
+    ("es", "9999"),
+    ("fr", "cccc"),  # ~80%
+    ("zh", "zzzz"),  # keep all
+]
+
+
+@register(
+    "sample_mixture_rebalance",
+    oracle=f"""
+    WITH weights(lang, thr) AS (
+      VALUES {", ".join(f"('{l}', '{t}')" for l, t in MIXTURE_WEIGHTS)}
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
+           ) AS n_kept,
+           CAST(SUM(d.n_chars) FILTER (
+             WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < w.thr
+           ) AS BIGINT) AS kept_chars
+    FROM documents d JOIN weights w ON d.lang = w.lang
+    GROUP BY d.lang
+    """,
+    doc="Data-mixture rebalancing: per-language acceptance rates from a "
+    "tiny weights table (broadcast), applied as a hash threshold so "
+    "the downsampled mixture is deterministic. Reports total vs kept "
+    "per stratum — the accounting a mixture designer reads. One scan, "
+    "one broadcast join, one partial-agg shuffle; at 100 TB the "
+    "weights side never leaves the driver-broadcast path.",
+)
+def sample_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    weights = F.broadcast(
+        spark.createDataFrame(MIXTURE_WEIGHTS, ["lang", "thr"])
+    )
+    kept = _doc_hash() < F.col("thr")
+    return (
+        d.join(weights, "lang")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+        )
+    )
+
+
+@register(
+    "profile_documents_columns",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           COUNT(*) - COUNT(doc_id) AS n_nulls,
+           COUNT(DISTINCT doc_id) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang)
+    FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source)
+    FROM documents
+    UNION ALL
+    SELECT 'text', COUNT(*) - COUNT(text), COUNT(DISTINCT text)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars)
+    FROM documents
+    """,
+    doc="Column profiling (null count + exact distinct count per "
+    "column) in ONE pass: Spark plans the five COUNT(DISTINCT)s as a "
+    "single Expand + two-stage aggregate — the table is scanned once, "
+    "not five times like the naive per-column loop (the oracle's "
+    "UNION ALL spells the same answer the slow way). The wide/long "
+    "pivot to (column_name, stat) rows happens on the 1-row aggregate, "
+    "driver-side free. This is the engine's data-quality entry point.",
+)
+def profile_documents_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "text", "n_chars"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"_nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"_nd_{c}"))
+    wide = d.agg(*aggs)
+    stack = ", ".join(f"'{c}', _n - _nn_{c}, _nd_{c}" for c in cols)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS c
+      FROM orders
+    )
+    SELECT c // 5000000 AS bin,
+           (c // 5000000) * 50000 AS bin_lo_dollars,
+           COUNT(*) AS n_orders,
+           MIN(c) AS min_cents,
+           MAX(c) AS max_cents,
+           CAST(SUM(c) AS BIGINT) AS sum_cents
+    FROM cents
+    GROUP BY 1, 2
+    """,
+    doc="Fixed-width histogram of order totals ($50k bins) in exact "
+    "integer cents: the double -> DECIMAL(18,2) -> cents path makes "
+    "bin edges engine-independent (no float-boundary flicker), and "
+    "the whole thing is one scan + one partial-agg shuffle over at "
+    "most a few hundred bin keys — the distribution-sketch primitive "
+    "behind sizing decisions (salting thresholds, AQE advisory sizes).",
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    return (
+        o.select(c.alias("c"))
+        .select(F.expr("c div 5000000").alias("bin"), "c")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+            F.sum("c").alias("sum_cents"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * 50000).alias("bin_lo_dollars"),
+            "n_orders",
+            "min_cents",
+            "max_cents",
+            "sum_cents",
+        )
+    )

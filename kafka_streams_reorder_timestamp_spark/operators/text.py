@@ -308,3 +308,66 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
     )
     return d.select("doc_id", rolling.alias("rolling_hash"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), total AS (
+      SELECT COUNT(*) AS n FROM documents WHERE text IS NOT NULL
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(total.n AS DOUBLE) / df.df) DESC,
+                        tf.term) AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN total
+      WHERE tf.doc_id < 40
+    )
+    SELECT doc_id, term, tf, df, rank FROM scored WHERE rank <= 3
+    """,
+    doc="TF-IDF top-3 terms per document (demonstrated on docs 0-39; "
+    "document frequencies computed over the FULL corpus): the keyword-"
+    "extraction / relevance primitive. Two shuffles that both scale "
+    "with the vocabulary, not the corpus: (doc,term) partial-count "
+    "agg, then a term-keyed join of the (term, df) table — never a "
+    "per-document loop. The rank emits only integer tf/df plus the "
+    "ordering, so the cross-engine hash never compares raw doubles; "
+    "real ties (equal tf and df => bit-equal scores on both engines) "
+    "break on the term string.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        ).alias("term"),
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 40)
+        .join(df, "term")
+        .crossJoin(F.broadcast(total))
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).desc(),
+        "term",
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank")
+    )
