@@ -140,3 +140,138 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph
+
+
+def pagerank_int(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 5,
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Power-iteration PageRank in EXACT integer arithmetic.
+
+    `edges` must carry (src, dst, w, outw) — weighted edges plus the
+    precomputed out-degree weight of each src; `nodes` one `node`
+    column. Ranks live in `unit` micro-units; each round distributes
+    ``(rank * w) div outw`` along every edge and renews
+    ``(1-d)*unit + d * inflow`` with the damping applied as
+    ``(damping_pct * inflow) div 100``. All operations are BIGINT
+    sums/divisions — order-independent and bit-identical on any
+    engine, which is what makes an ITERATIVE algorithm value-hash
+    checkable (truncation error vs float PageRank is < 1e-6 per unit
+    per round, irrelevant for ranking).
+
+    Scale shape: the loop state is one (node, rank) table; each round
+    is a join against the (static) edge table + one partial-agg
+    shuffle on dst. The static side is persisted by the caller; on a
+    billion-node graph each round's tables stay id-only (the
+    connected_components pattern above, including localCheckpoint
+    lineage truncation if rounds grow deep).
+    """
+    ranks = nodes.select("node", F.lit(unit).cast("long").alias("rank"))
+    base = F.lit((100 - damping_pct) * unit // 100).cast("long")
+    for _ in range(iters):
+        inflow = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .select(
+                "dst",
+                F.expr("(rank * w) div outw").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(
+            inflow, nodes["node"] == inflow["dst"], "left"
+        ).select(
+            "node",
+            (
+                base
+                + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    prev = "r0"
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""r{k} AS (
+      SELECT n.node,
+             CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst, CAST(SUM((r.rank * e.w) // e.outw) AS BIGINT) AS s
+        FROM edges2 e JOIN {prev} r ON r.node = e.src
+        GROUP BY e.dst
+      ) s ON s.dst = n.node
+    )"""
+        )
+        prev = f"r{k}"
+    return f"""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), edges AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), deg AS (
+      SELECT src AS dsrc, CAST(SUM(w) AS BIGINT) AS outw FROM edges GROUP BY 1
+    ), edges2 AS (
+      SELECT src, dst, w, outw FROM edges JOIN deg ON dsrc = src
+    ), nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ), r0 AS (
+      SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+    ), {", ".join(rounds)}
+    SELECT node, rank AS rank_micro FROM {prev}
+    """
+
+
+@register(
+    "pagerank_event_transitions",
+    oracle=_pagerank_oracle(),
+    doc="PageRank (5 unrolled power iterations, damping 0.85) over the "
+    "event-type transition graph: edges = consecutive-event pairs per "
+    "user, weighted by transition count. Ranks are exact BIGINT "
+    "micro-units — integer contribution division and damping make "
+    "every round order-independent and bit-identical across engines, "
+    "so the iterative result value-hash-matches a DuckDB unrolled-CTE "
+    "oracle. The edge/degree table is built once and persisted "
+    "(lazily); each round is one broadcast-sized join + one "
+    "partial-agg shuffle over id-only rows.",
+)
+def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(win).alias("prev_type")
+    )
+    edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    deg = edges.groupBy(F.col("src").alias("dsrc")).agg(F.sum("w").alias("outw"))
+    edges2 = (
+        edges.join(deg, edges["src"] == deg["dsrc"])
+        .select("src", "dst", "w", "outw")
+        # Static across all rounds: persist (lazily — nothing executes
+        # at plan-build time) so the events window isn't replayed once
+        # per iteration.
+        .persist()
+    )
+    nodes = ev.select(F.col("event_type").alias("node")).distinct().persist()
+    ranks = pagerank_int(edges2, nodes, iters=5)
+    return ranks.select("node", F.col("rank").alias("rank_micro"))

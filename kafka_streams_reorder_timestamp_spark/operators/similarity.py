@@ -354,3 +354,61 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("mn"), 6).alias("min_component"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means (spherical) assignment step — the codebook-training primitive
+
+
+@register(
+    "kmeans_assign_embeddings",
+    oracle="""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                               c.cemb) DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT cid AS cluster_id, COUNT(*) AS n_members,
+           MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
+    FROM scored WHERE rn = 1 GROUP BY 1
+    """,
+    doc="Spherical k-means ASSIGNMENT step (k=8, deterministic "
+    "centroids = the 8 lowest vec_ids — the seeding step of an IVF "
+    "codebook, see ann_ivf_topk which iterates this same shape): "
+    "every vector goes to its max-cosine centroid, ties to the lowest "
+    "centroid id. The centroid side broadcasts; the corpus streams "
+    "once through the unrolled codegen'd dot product; the argmax is "
+    "one vec_id-keyed window and membership stats one 8-key "
+    "partial agg. Bit-exact vs the oracle because both engines fold "
+    "the dot product left-to-right in doubles.",
+)
+def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    corpus = e.withColumn("_n", l2_norm("emb", dim=DIM))
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        .withColumn("_cn", l2_norm("cemb", dim=DIM))
+    )
+    cos = dot("emb", "cemb", dim=DIM) / (F.col("_n") * F.col("_cn"))
+    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("cid"))
+    return (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cid", cos.alias("_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Behavioral invariants of the sampling/profiling family and the
+integer PageRank — properties the DuckDB parity check can't express
+(reproducibility across runs, statistical rate bounds, rank-mass
+conservation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_reorder_timestamp_spark.operators import registry
+from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+
+def _run(spark, sf_dir, name):
+    return registry.REGISTRY[name].builder(spark, sf_dir)
+
+
+def test_bernoulli_sample_reproducible_and_rate(spark, sf_dir):
+    a = _run(spark, sf_dir, "sample_bernoulli_docs")
+    b = _run(spark, sf_dir, "sample_bernoulli_docs")
+    rows_a = sorted(r.doc_id for r in a.collect())
+    rows_b = sorted(r.doc_id for r in b.collect())
+    assert rows_a == rows_b  # identical kept set, run to run
+    total = load_table(spark, sf_dir, "documents").count()
+    rate = len(rows_a) / total
+    # ~10.16% nominal; wide tolerance for small-SF binomial noise.
+    assert 0.03 < rate < 0.20, rate
+
+
+def test_stratified_sample_exactly_k_per_stratum(spark, sf_dir):
+    out = _run(spark, sf_dir, "sample_stratified_docs")
+    per = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {
+        r.lang
+        for r in load_table(spark, sf_dir, "documents").select("lang").distinct().collect()
+    }
+    assert set(per) == strata
+    for lang, n in per.items():
+        assert n == 15, (lang, n)
+
+
+def test_mixture_rebalance_rates_follow_weights(spark, sf_dir):
+    rows = {r.lang: r for r in _run(spark, sf_dir, "sample_mixture_rebalance").collect()}
+    # zh threshold 'zzzz' keeps everything.
+    assert rows["zh"].n_kept == rows["zh"].n_total
+    # en (~20%) must keep a smaller fraction than fr (~80%).
+    assert (
+        rows["en"].n_kept / rows["en"].n_total
+        < rows["fr"].n_kept / rows["fr"].n_total
+    )
+
+
+def test_profile_matches_direct_counts(spark, sf_dir):
+    out = {r.column_name: r for r in _run(spark, sf_dir, "profile_documents_columns").collect()}
+    d = load_table(spark, sf_dir, "documents")
+    assert out["lang"].n_distinct == d.select("lang").distinct().count()
+    assert out["doc_id"].n_nulls == d.filter(F.col("doc_id").isNull()).count()
+    assert out["text"].n_nulls == d.filter(F.col("text").isNull()).count()
+
+
+def test_histogram_partitions_all_orders(spark, sf_dir):
+    out = _run(spark, sf_dir, "histogram_order_totals")
+    rows = out.collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:  # bin boundaries actually bound the bin contents
+        assert r.bin * 5_000_000 <= r.min_cents <= r.max_cents < (r.bin + 1) * 5_000_000
+
+
+def test_tfidf_terms_come_from_the_document(spark, sf_dir):
+    out = _run(spark, sf_dir, "tfidf_top_terms")
+    rows = out.collect()
+    assert rows, "no tf-idf output"
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rank <= 3
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) <= 3 for v in per_doc.values())
+    texts = dict(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("doc_id", F.lower("text").alias("t"))
+        .collect()
+    )
+    for r in rows[:25]:
+        assert r.term in texts[r.doc_id]
+
+
+def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
+    a = {r.node: r.rank_micro for r in _run(spark, sf_dir, "pagerank_event_transitions").collect()}
+    b = {r.node: r.rank_micro for r in _run(spark, sf_dir, "pagerank_event_transitions").collect()}
+    assert a == b  # bit-identical across runs
+    n = len(a)
+    assert n == load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    assert all(r > 0 for r in a.values())
+    # Integer truncation only ever LOSES mass: total stays in
+    # (n*unit - slack, n*unit]. Slack bound: <= ~1 unit per edge/node
+    # per round, thousands of micro-units at most.
+    assert n * 1_000_000 - 10_000 < sum(a.values()) <= n * 1_000_000
