@@ -77,18 +77,26 @@ def nation_balance_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Explicit GROUPING SETS via the engine's SQL entry path (the "
     "DataFrame and SQL APIs build the same Catalyst plan; this "
-    "exercises the SQL front door). One Expand + one shuffle.",
+    "exercises the SQL front door). The fact scan aggregates to the "
+    "finest (returnflag, linestatus) grain BEFORE the grouping-sets "
+    "Expand, so Expand multiplies a handful of partial rows instead "
+    "of the raw table — decomposable measures re-aggregate exactly "
+    "(2x at sf0.1; the win grows with the Expand factor at scale).",
 )
 def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
     return spark.sql(
         """
+        WITH base AS (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n0,
+                 SUM(CAST(l_quantity AS DECIMAL(25,6))) AS s0
+          FROM lineitem_v GROUP BY 1, 2
+        )
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
                COALESCE(l_linestatus, 'ALL') AS linestatus,
-               COUNT(*) AS n,
-               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE)
-                 AS sum_qty
-        FROM lineitem_v
+               CAST(SUM(n0) AS BIGINT) AS n,
+               CAST(ROUND(SUM(s0), 2) AS DOUBLE) AS sum_qty
+        FROM base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

@@ -550,3 +550,52 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     return e.groupBy("label").applyInPandas(block, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup (new batch vs existing corpus — the daily-ingest shape)
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250
+    ), batch AS (
+      SELECT MIN(doc_id) AS doc_id, fingerprint
+      FROM fp WHERE doc_id >= 250 GROUP BY fingerprint
+    )
+    SELECT b.doc_id, b.fingerprint
+    FROM batch b
+    WHERE NOT EXISTS (
+      SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint
+    )
+    """,
+    doc="Incremental dedup: docs 250+ play the freshly-crawled batch, "
+    "docs 0-249 the already-ingested corpus. The batch dedups within "
+    "itself (min doc_id per fingerprint) and anti-joins the corpus's "
+    "fingerprint set — at 100 TB the corpus side is a digest-only "
+    "table (16 bytes/doc), the anti join shuffles uniform 128-bit "
+    "keys (no skew possible), and yesterday's corpus never rescans "
+    "its text. This is the shape that keeps dedup cost proportional "
+    "to the DAILY batch, not the total corpus.",
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = d.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("fingerprint")
+    )
+    corpus = fp.filter(F.col("doc_id") < 250).select("fingerprint").distinct()
+    batch = (
+        fp.filter(F.col("doc_id") >= 250)
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch.join(corpus, "fingerprint", "left_anti").select(
+        "doc_id", "fingerprint"
+    )

@@ -297,3 +297,27 @@ def events_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "events_exact_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact COUNT(DISTINCT) twin of events_approx_sketches: the "
+    "same per-type user cardinality the HLL sketch estimates, so the "
+    "sketch's error is measurable from two green registry rows each "
+    "round (and pinned by test_approx_sketches_within_bounds). The "
+    "exact distinct pays the second Expand shuffle the sketch "
+    "exists to avoid at 100 TB — keeping both makes that trade "
+    "visible in the bench.",
+)
+def events_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

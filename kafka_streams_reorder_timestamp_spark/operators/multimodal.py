@@ -228,3 +228,39 @@ def resize_media(media: DataFrame, target_bytes: int = 256) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         run, schema=schema
     )
+
+
+@register(
+    "media_frame_inventory",
+    oracle="""
+    WITH m AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             octet_length(encode(text)) AS len
+      FROM documents WHERE text IS NOT NULL
+    ), f AS (
+      SELECT kind, (len // 64 + 3) // 4 AS nf FROM m WHERE len >= 64
+    )
+    SELECT kind,
+           COUNT(*) AS n_media,
+           CAST(SUM(nf) AS BIGINT) AS n_frames,
+           CAST(SUM(nf) * 64 AS BIGINT) AS frame_bytes
+    FROM f GROUP BY kind
+    """,
+    doc="Frame-sampling accounting per media kind: every 4th 64-byte "
+    "frame of each payload, counted and sized AFTER the JVM binary-"
+    "slicing explode actually runs (sample_frames) — while the oracle "
+    "derives the same inventory in closed form from payload lengths, "
+    "so the explode/substring plumbing is value-hash-checked end to "
+    "end. Sampling shrinks data before any decode stage: only "
+    "(media_id, 64B frame) rows exist downstream, never whole blobs.",
+)
+def media_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(synthesize_media(docs), frame_bytes=64, stride=4)
+    return frames.groupBy("kind").agg(
+        F.count_distinct("media_id").alias("n_media"),
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+    )
