@@ -445,3 +445,68 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "token")
         .limit(20)
     )
+
+
+@register(
+    "orders_upsert_latest",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             1 AS version
+      FROM orders
+    ), updates AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+             cents + 1000 AS cents, 2 AS version
+      FROM base WHERE o_orderkey % 100 = 0
+    ), unioned AS (
+      SELECT * FROM base UNION ALL SELECT * FROM updates
+    ), merged AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+      FROM unioned
+    )
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM merged WHERE rn = 1
+    GROUP BY o_orderstatus
+    """,
+    doc="SCD1 upsert (MERGE INTO semantics in plain DataFrame algebra): "
+    "a derived update batch (every 100th order re-priced, re-statused, "
+    "version 2) merges over the base table by keep-latest-version per "
+    "key — union + one key-partitioned window, the engine-agnostic "
+    "merge shape. At 100 TB the union's window shuffles on the "
+    "(uniform) primary key; with the base stored partitioned/bucketed "
+    "by that key the shuffle touches only the update partitions "
+    "(sources/bucketed.py is that storage path). Money stays in exact "
+    "integer cents throughout.",
+)
+def orders_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    base = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        cents.alias("cents"),
+        F.lit(1).alias("version"),
+    )
+    updates = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("cents") + 1000).alias("cents"),
+        F.lit(2).alias("version"),
+    )
+    win = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"),
+        )
+    )

@@ -321,3 +321,46 @@ def events_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+               AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cw FROM ud GROUP BY user_id
+    )
+    SELECT c.cw AS cohort_week,
+           u.wk - c.cw AS week_offset,
+           COUNT(*) AS n_users
+    FROM ud u JOIN cohort c ON u.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-activity "
+    "week, counted per week-offset of later activity — the "
+    "engagement-analysis staple. Week buckets are exact integer "
+    "arithmetic (epoch days div 7), immune to engine-specific "
+    "week-truncation conventions. Two user-keyed shuffles (distinct "
+    "activity weeks, then cohort join); state scales with users x "
+    "active weeks, never raw events — partial aggregation collapses "
+    "each user's events map-side first.",
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.expr("datediff(to_date(ts), date '1970-01-01') div 7").alias("wk"),
+    ).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("wk") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
