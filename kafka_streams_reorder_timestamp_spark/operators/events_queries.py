@@ -364,3 +364,60 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "signup_purchase_funnel",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS signup_us
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_us(e.ts)) AS purchase_us
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.signup_us
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_signed,
+           COUNT(p.user_id) AS n_purchased_after,
+           COUNT(CASE WHEN p.purchase_us - s.signup_us
+                           <= CAST(604800000000 AS BIGINT) THEN 1 END)
+             AS n_converted_7d
+    FROM s LEFT JOIN p ON p.user_id = s.user_id
+    """,
+    doc="Conversion funnel: users who signed up, then purchased, then "
+    "purchased within 7 days of signup — the product-analytics staple. "
+    "All time math in exact epoch-microsecond integers (no interval/"
+    "timezone semantics to diverge across engines). Two user-keyed "
+    "partial-agg shuffles + one user-keyed join; both aggregates "
+    "collapse each user's events map-side first, so shuffle volume is "
+    "user-count-bounded at any event volume.",
+)
+def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("signup_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("purchase_us"))
+    )
+    joined = s.join(p, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_signed"),
+        F.count("purchase_us").alias("n_purchased_after"),
+        F.count(
+            F.when(
+                F.col("purchase_us") - F.col("signup_us")
+                <= 7 * 86400 * 1_000_000,
+                1,
+            )
+        ).alias("n_converted_7d"),
+    )

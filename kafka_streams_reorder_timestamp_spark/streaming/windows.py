@@ -176,3 +176,53 @@ def enrich_with_static(
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=list(on), how=how)
+
+
+def maintain_view(
+    agg_stream: DataFrame,
+    view_path: str,
+    key_cols: Sequence[str],
+    checkpoint: str,
+):
+    """Incremental materialized-view maintenance: an UPDATE-mode
+    aggregated stream upserts its changed rows into a parquet view via
+    foreachBatch — the continuous-aggregate pattern (keep an hourly
+    rollup current forever without ever re-scanning history).
+
+    Each micro-batch delivers only the (key, aggregate) rows whose
+    values changed; the upsert anti-joins them out of the stored view
+    and unions the replacements in. Both the batch and the merged
+    result are materialized (localCheckpoint) BEFORE the overwrite so
+    the write never races its own input files. At scale the view is
+    stored partitioned/bucketed by the key and the merge rewrites only
+    affected partitions; exactly-once comes from the checkpoint +
+    idempotent-overwrite pairing (a replayed batch upserts the same
+    rows again).
+
+    Returns the started StreamingQuery.
+    """
+    keys = list(key_cols)
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        spark = batch.sparkSession
+        batch = batch.localCheckpoint(eager=True)
+        try:
+            existing = spark.read.parquet(view_path)
+            merged = existing.join(
+                batch.select(keys), keys, "left_anti"
+            ).unionByName(batch)
+        except AnalysisException:  # first batch: no view yet
+            merged = batch
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            view_path
+        )
+
+    return (
+        agg_stream.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

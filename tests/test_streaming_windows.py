@@ -255,3 +255,47 @@ def test_stream_static_enrich(spark, stream_input, tmp_path):
     tiers = got.groupby("user_id")["tier"].first()
     assert tiers[1] == "gold" and tiers[2] == "silver"
     assert pd.isna(tiers[SENTINEL_USER])
+
+
+def test_maintain_view_converges_to_batch_answer(spark, tmp_path):
+    """Incremental view maintenance: per-user counts upserted across
+    multiple micro-batches (one file each) end up identical to the
+    one-shot batch aggregation over all input."""
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        maintain_view,
+    )
+
+    src = tmp_path / "in"
+    rows1 = [("2024-01-01 00:00:00", 1, 1.0), ("2024-01-01 00:01:00", 2, 2.0)]
+    rows2 = [("2024-01-01 00:02:00", 1, 3.0), ("2024-01-01 00:03:00", 3, 4.0)]
+    for rows in (rows1, rows2):
+        (
+            spark.createDataFrame(rows, ["ts_s", "user_id", "value"])
+            .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+            .coalesce(1)
+            .write.mode("append").parquet(str(src))
+        )
+
+    view = str(tmp_path / "view")
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 upsert batches
+        .parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+    )
+    q = maintain_view(agg, view, ["user_id"], str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    got = (
+        spark.read.parquet(view).toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    batch = (
+        spark.read.parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_v"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got[batch.columns].equals(batch)
