@@ -267,11 +267,18 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges2 = (
         edges.join(deg, edges["src"] == deg["dsrc"])
         .select("src", "dst", "w", "outw")
-        # Static across all rounds: persist (lazily — nothing executes
-        # at plan-build time) so the events window isn't replayed once
-        # per iteration.
-        .persist()
+        # Static across all rounds: materialize once so the events
+        # window isn't replayed per iteration. localCheckpoint (not
+        # persist) because CacheManager-registered blocks outlive the
+        # query and leak across bench/correctness invocations, while
+        # checkpoint blocks are reclaimed by the ContextCleaner when
+        # the returned plan is garbage-collected.
+        .localCheckpoint(eager=True)
     )
-    nodes = ev.select(F.col("event_type").alias("node")).distinct().persist()
+    nodes = (
+        ev.select(F.col("event_type").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = pagerank_int(edges2, nodes, iters=5)
     return ranks.select("node", F.col("rank").alias("rank_micro"))

@@ -42,9 +42,57 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> latest round whose CORRECTNESS_r{N}.json has a
+    row for it (any row — pass, fail, or no_oracle all count as
+    "the driver looked at it").
+
+    The driver's correctness gate checks only the FIRST 50 entries of
+    ``queries()``; with 90+ registered queries a fixed order would leave
+    the tail permanently unchecked. Ordering least-recently-verified
+    first rotates coverage so every query gets a driver-verified row
+    within a couple of rounds. tests/test_oracle_parity.py still checks
+    the FULL registry locally every round regardless of this order.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    seen: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            seen[name] = max(seen.get(name, -1), rnd)
+    return seen
+
+
+def _rotated_names() -> list[str]:
+    seen = _last_verified_round()
+    order = {name: i for i, name in enumerate(REGISTRY)}
+    return sorted(REGISTRY, key=lambda n: (seen.get(n, -1), order[n]))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.builder for name, spec in REGISTRY.items()}
+    return {name: REGISTRY[name].builder for name in _rotated_names()}
 
 
 def all_oracles() -> dict[str, str]:
-    return {n: s.oracle for n, s in REGISTRY.items() if s.oracle is not None}
+    return {
+        n: REGISTRY[n].oracle
+        for n in _rotated_names()
+        if REGISTRY[n].oracle is not None
+    }

@@ -360,19 +360,31 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # K-means (spherical) assignment step — the codebook-training primitive
 
 
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    """Unrolled left-associative dot product in ANSI SQL (1-indexed
+    lists) — textually the same fold order as functions.vectors.dot, so
+    DuckDB and Spark execute the identical sequence of IEEE double
+    mul/add ops and produce bit-identical results."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
+
+
 @register(
     "kmeans_assign_embeddings",
-    oracle="""
-    WITH cent AS (
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
       FROM embeddings WHERE vec_id < 8
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (
                PARTITION BY e.vec_id
-               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
-                                               c.cemb) DESC, c.cid) AS rn
-      FROM embeddings e CROSS JOIN cent c
+               ORDER BY ({_sql_dot('e.emb', 'c.cemb', 64)})
+                        / (sqrt({_sql_dot('e.emb', 'e.emb', 64)})
+                           * sqrt({_sql_dot('c.cemb', 'c.cemb', 64)}))
+                        DESC, c.cid) AS rn
+      FROM base e CROSS JOIN cent c
     )
     SELECT cid AS cluster_id, COUNT(*) AS n_members,
            MIN(vec_id) AS min_vec_id, MAX(vec_id) AS max_vec_id
@@ -385,8 +397,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "centroid id. The centroid side broadcasts; the corpus streams "
     "once through the unrolled codegen'd dot product; the argmax is "
     "one vec_id-keyed window and membership stats one 8-key "
-    "partial agg. Bit-exact vs the oracle because both engines fold "
-    "the dot product left-to-right in doubles.",
+    "partial agg. Bit-exact vs the oracle: the oracle spells out the "
+    "same left-associative mul/add chain, sqrt and division as the "
+    "Spark expression (all IEEE-754 correctly-rounded ops — no libm "
+    "transcendentals), so both engines produce bit-identical cosines "
+    "and ROW_NUMBER can never flip.",
 )
 def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(

@@ -327,8 +327,8 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT tf.doc_id, tf.term, tf.tf, df.df,
              ROW_NUMBER() OVER (
                PARTITION BY tf.doc_id
-               ORDER BY tf.tf * ln(CAST(total.n AS DOUBLE) / df.df) DESC,
-                        tf.term) AS rank
+               ORDER BY round(tf.tf * ln(CAST(total.n AS DOUBLE) / df.df), 9)
+                        DESC, tf.term) AS rank
       FROM tf JOIN df USING (term) CROSS JOIN total
       WHERE tf.doc_id < 40
     )
@@ -340,9 +340,14 @@ def text_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with the vocabulary, not the corpus: (doc,term) partial-count "
     "agg, then a term-keyed join of the (term, df) table — never a "
     "per-document loop. The rank emits only integer tf/df plus the "
-    "ordering, so the cross-engine hash never compares raw doubles; "
-    "real ties (equal tf and df => bit-equal scores on both engines) "
-    "break on the term string.",
+    "ordering, so the cross-engine hash never compares raw doubles. "
+    "ln() is a libm call with no cross-platform bit guarantee, so the "
+    "ordering key is quantized to 9 decimals on BOTH engines before "
+    "ROW_NUMBER — a 1-ulp ln() difference (~1e-16 relative) can then "
+    "only flip the rank if the true score sits within ~1e-15 of a "
+    "rounding boundary AND another (tf,df) pair rounds to the same "
+    "key; real ties (equal tf and df) break on the term string. "
+    "Empirically stable at every tested scale, not formally bit-exact.",
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
@@ -363,7 +368,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(total))
     )
     win = Window.partitionBy("doc_id").orderBy(
-        (F.col("tf") * F.log(F.col("n").cast("double") / F.col("df"))).desc(),
+        F.round(
+            F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 9
+        ).desc(),
         "term",
     )
     return (

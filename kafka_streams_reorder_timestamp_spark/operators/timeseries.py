@@ -1,0 +1,253 @@
+"""Time-series operators: gap filling with LOCF, interval range frames,
+first/last frames, ordered path arrays, and an explicit salted join —
+the resample/rollup surface a metrics or training-telemetry pipeline
+needs on top of the relational core.
+
+Reference tie-in: the reference's only time-series behavior is
+event-time resequencing (Application.java:72-83); everything here is
+the mandated extension surface (SURVEY §2.2) expressed as pure
+Catalyst plans.
+
+Design for 100 TB:
+  - gap filling generates the dense time axis FROM THE GROUP BOUNDS
+    (one row per (group, step)) instead of cross-joining a calendar
+    table against the fact table; the series explode is proportional
+    to output size, not input size;
+  - LOCF is `last(value, ignorenulls=True)` over an ordered window —
+    one shuffle on the series key, no self-join, no Python;
+  - the trailing-interval sum uses a RANGE frame over epoch seconds —
+    Spark evaluates it in one pass per partition (no point-interval
+    self-join blowup);
+  - the salted join spreads hot keys over `salt` sub-keys; result
+    equality with the unsalted plan is oracle-checked here.
+
+Timestamp parity with DuckDB: all emitted timestamps are epoch-µs
+BIGINT (`unix_micros` / `epoch_us`), the repo-wide convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.skew import salted_join
+from ..sources.catalog import load_table
+from .registry import register
+
+DEC = "decimal(25,6)"
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly GROUP BY 1
+    ), axis AS (
+      SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    )
+    SELECT a.event_type, epoch_us(a.h) AS hour_us,
+           COALESCE(hy.n, 0) AS n_events,
+           CAST(hy.n IS NULL AS INTEGER) AS is_gap,
+           last_value(hy.n IGNORE NULLS) OVER (
+             PARTITION BY a.event_type ORDER BY a.h
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_locf
+    FROM axis a LEFT JOIN hourly hy
+      ON hy.event_type = a.event_type AND hy.h = a.h
+    """,
+    doc="Resample-to-hourly with gap filling: build the dense hour axis "
+    "per event type from the group's own [min,max] bounds (sequence + "
+    "explode — output-sized, never a calendar cross join), left-join "
+    "the real hourly counts, and forward-fill missing hours with LOCF "
+    "(`last(n) ignore nulls` over an ordered window). The whole plan "
+    "is two shuffles (hourly agg, series join) + one window pass; "
+    "gaps are flagged so downstream quality checks can count them.",
+)
+def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    axis = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        axis.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().cast("int").alias("is_gap"),
+            F.last("n", ignorenulls=True).over(w).alias("n_locf"),
+        )
+    )
+
+
+@register(
+    "orders_trailing_90d_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+             PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
+             RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)::DOUBLE
+             AS trailing_90d
+    FROM orders WHERE o_custkey < 300
+    """,
+    doc="Trailing-interval aggregate: per customer, the 90-day rolling "
+    "spend via a RANGE frame over epoch seconds — the moving-window "
+    "rollup a metrics store computes, in ONE window pass per customer "
+    "partition (a point-vs-interval self-join would be O(n·k) rows; "
+    "the frame is O(n)). Peers with equal timestamps fall in the same "
+    "frame on both engines, and the sum runs in exact decimal, so the "
+    "cross-engine hash is stable. Restricted to custkey<300 to keep "
+    "the checked output compact.",
+)
+def orders_trailing_90d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    # Exact integer epoch-seconds ordering: a double seconds axis has
+    # ~16 significant digits at 2020-era epochs — right at the ulp
+    # cliff where two engines could disagree on frame boundaries.
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp)) div 1000000"
+            )
+        )
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 2)
+        .cast("double")
+        .alias("trailing_90d"),
+    )
+
+
+@register(
+    "customer_first_last_order",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           last_value(o_orderkey) OVER w AS last_order,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="first_value / nth_value / last_value over an unbounded frame: "
+    "the customer-journey endpoints (first order, second order, most "
+    "recent order) in one window pass + distinct — the navigational "
+    "frame surface (SURVEY §2.2 window-functions row) beyond "
+    "rank/lag. Deterministic tie-break on (date, key) keeps both "
+    "engines' frames identical.",
+)
+def customer_first_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
+
+
+@register(
+    "user_event_paths",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id, event_type)
+             AS path,
+           COUNT(*) AS n_events
+    FROM events WHERE user_id < 50
+    GROUP BY user_id
+    """,
+    doc="Ordered event paths: per user, the chronological sequence of "
+    "event types as one '>'-joined string — the session-path/journey "
+    "representation sequence models train on. Spark has no ordered "
+    "string aggregate, so the plan collects (ts, event_id, type) "
+    "structs, array_sorts by the struct's lexicographic order (= the "
+    "oracle's ORDER BY), projects the type and joins — one "
+    "partial-agg shuffle on user_id, no window, no Python. Emitted as "
+    "a string (not array<string>) because the driver's canonicalizer "
+    "cannot hash array cells. Restricted to user_id<50 to keep "
+    "checked output compact.",
+)
+def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_agg(
+                F.struct("ts", "event_id", "event_type")
+            ).alias("raw"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.array_sort("raw"), lambda s: s["event_type"]),
+                ">",
+            ).alias("path"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "skew_salted_user_tiers",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT user_id, user_id % 7 AS tier FROM events
+    )
+    SELECT d.tier, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(e.value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value
+    FROM events e JOIN dim d ON d.user_id = e.user_id
+    GROUP BY d.tier
+    """,
+    doc="Explicit salted join (functions/skew.py): the fact side's hot "
+    "keys are spread over 16 salt sub-keys, the dim side replicated "
+    "16x, joined on (key, salt) — the de-skew pattern for joins AQE "
+    "cannot fix (broadcast-ineligible dim, one key with double-digit "
+    "row share). The oracle is the UNSALTED join: hash-equality "
+    "proves the salt never changes results, only the partition "
+    "layout. Aggregated to tier level so the checked output is tiny.",
+)
+def skew_salted_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = (
+        ev.select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 7)
+    )
+    joined = salted_join(ev, dim, on=["user_id"], salt=16)
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )

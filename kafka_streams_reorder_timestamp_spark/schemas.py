@@ -44,7 +44,10 @@ ELECTRONIC_ORDER_AVRO = json.dumps(
 )
 
 # Driver-provided events table (TESTDATA.md): the streaming-reorder
-# test surface. `ts` plays the role of the Avro `time` field.
+# test surface. `ts` plays the role of the Avro `time` field. The
+# catalog normalizes the on-disk type (epoch-nanos long or
+# timestamp_ntz, depending on generator vintage) to TIMESTAMP with the
+# session pinned to UTC.
 EVENTS = T.StructType(
     [
         T.StructField("event_id", T.LongType(), False),

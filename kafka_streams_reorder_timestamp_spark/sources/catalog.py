@@ -42,13 +42,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # catalog works in ANY session, including the driver's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # The data is microsecond-granular (verified: epoch_ns % 1000 == 0
-    # for every row), so converting to Spark's micros timestamp is
-    # lossless. `div` keeps the arithmetic in exact long integers —
-    # `/ 1000` would round-trip through double, whose 2^53 mantissa
-    # truncates ~1.5% of 2021-era nanosecond values by 1µs.
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dtype = df.schema["ts"].dataType
+        # The generator has shipped `ts` as TIMESTAMP(NANOS) (surfaced
+        # as LongType epoch nanos via the legacy conf) and as
+        # timestamp[us] with no zone (surfaced as TIMESTAMP_NTZ).
+        # Normalize both to Spark's TIMESTAMP: the engine's event-time
+        # surface (unix_micros, watermarks, window()) is typed on LTZ,
+        # and with the session pinned to UTC the NTZ->LTZ cast is the
+        # identity on values.
+        if isinstance(dtype, T.LongType):
+            # `div` keeps the ns->us arithmetic in exact long integers —
+            # `/ 1000` would round-trip through double, whose 2^53
+            # mantissa truncates ~1.5% of 2021-era nanosecond values.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

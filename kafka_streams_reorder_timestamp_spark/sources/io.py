@@ -50,7 +50,14 @@ def read_files(
                 "never infers (inference = an extra full data pass and "
                 "run-to-run drift)"
             )
-        reader = reader.schema(schema).option("timestampFormat", _TS_FORMAT)
+        reader = (
+            reader.schema(schema)
+            .option("timestampFormat", _TS_FORMAT)
+            # NTZ columns are parsed via a separate option; without it
+            # the default NTZ pattern drops sub-second precision and
+            # PERMISSIVE mode nulls every unparsable cell.
+            .option("timestampNTZFormat", _TS_FORMAT)
+        )
         if fmt == "csv":
             reader = reader.option("header", "true")
     elif schema is not None:
@@ -73,7 +80,9 @@ def write_files(
         raise ValueError(f"unsupported format {fmt!r}; one of {_FORMATS}")
     writer = df.write.format(fmt).mode(mode)
     if fmt in ("csv", "json"):
-        writer = writer.option("timestampFormat", _TS_FORMAT)
+        writer = writer.option("timestampFormat", _TS_FORMAT).option(
+            "timestampNTZFormat", _TS_FORMAT
+        )
     if fmt == "csv":
         writer = writer.option("header", "true")
     if compression is not None:

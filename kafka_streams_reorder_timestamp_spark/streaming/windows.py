@@ -178,6 +178,59 @@ def enrich_with_static(
     return stream.join(d, on=list(on), how=how)
 
 
+_VIEW_MANIFEST = "_LATEST"
+
+
+def _view_fs(spark, path: str):
+    """Hadoop FileSystem + Path for `path` (works for file:// and any
+    cluster FS the session is configured for)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def current_view_snapshot(spark, view_path: str) -> str | None:
+    """Resolve the live snapshot directory of a maintained view, or
+    None if the view was never created. Raises if the manifest exists
+    but points at a missing snapshot (corruption must fail loudly, not
+    masquerade as an empty first batch)."""
+    jvm, fs, root = _view_fs(spark, view_path)
+    manifest = jvm.org.apache.hadoop.fs.Path(root, _VIEW_MANIFEST)
+    if not fs.exists(manifest):
+        if fs.exists(root) and fs.listStatus(root).__len__() > 0:
+            raise RuntimeError(
+                f"view at {view_path} has data but no {_VIEW_MANIFEST} "
+                "manifest — refusing to treat a corrupted view as a "
+                "first batch (that would silently discard accumulated "
+                "aggregates)"
+            )
+        return None
+    stream = fs.open(manifest)
+    try:
+        name = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        ).strip()
+    finally:
+        stream.close()
+    snap = jvm.org.apache.hadoop.fs.Path(root, name)
+    if not fs.exists(snap):
+        raise RuntimeError(
+            f"view manifest {view_path}/{_VIEW_MANIFEST} points at "
+            f"missing snapshot {name} — view is corrupted; restore "
+            "from checkpoint replay or rebuild"
+        )
+    return str(snap)
+
+
+def read_view(spark, view_path: str) -> DataFrame:
+    """Read the current snapshot of a maintained view."""
+    snap = current_view_snapshot(spark, view_path)
+    if snap is None:
+        raise FileNotFoundError(f"view {view_path} does not exist yet")
+    return spark.read.parquet(snap)
+
+
 def maintain_view(
     agg_stream: DataFrame,
     view_path: str,
@@ -191,33 +244,65 @@ def maintain_view(
 
     Each micro-batch delivers only the (key, aggregate) rows whose
     values changed; the upsert anti-joins them out of the stored view
-    and unions the replacements in. Both the batch and the merged
-    result are materialized (localCheckpoint) BEFORE the overwrite so
-    the write never races its own input files. At scale the view is
-    stored partitioned/bucketed by the key and the merge rewrites only
-    affected partitions; exactly-once comes from the checkpoint +
-    idempotent-overwrite pairing (a replayed batch upserts the same
-    rows again).
+    and unions the replacements in.
+
+    Crash safety: the view is never overwritten in place. Each batch
+    writes a NEW snapshot directory ``b=<batch_id>`` and then swaps a
+    one-line ``_LATEST`` manifest to it via write-temp + atomic rename,
+    so every moment in time has a complete live snapshot. A crash
+    mid-snapshot leaves the manifest on the previous snapshot and the
+    replayed batch rewrites the same ``b=<batch_id>`` dir (idempotent);
+    a manifest that points nowhere, or data with no manifest, raises
+    instead of being misread as "first batch". Older snapshots are
+    pruned only after the swap. At scale the snapshot write rewrites
+    only the view (key, aggregate) rows — never history — and can be
+    partitioned by key range so the anti-join is partition-local.
 
     Returns the started StreamingQuery.
     """
     keys = list(key_cols)
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
-        try:
-            existing = spark.read.parquet(view_path)
+        jvm, fs, root = _view_fs(spark, view_path)
+        snap = current_view_snapshot(spark, view_path)
+        if snap is None:
+            merged = batch
+        else:
+            existing = spark.read.parquet(snap)
             merged = existing.join(
                 batch.select(keys), keys, "left_anti"
             ).unionByName(batch)
-        except AnalysisException:  # first batch: no view yet
-            merged = batch
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            view_path
+        new_name = f"b={batch_id}"
+        new_path = jvm.org.apache.hadoop.fs.Path(root, new_name)
+        merged.write.mode("overwrite").parquet(str(new_path))
+
+        # Atomic pointer swap: temp file + rename (atomic on HDFS and
+        # POSIX; on object stores pair this with a rename-capable
+        # metadata layer).
+        manifest = jvm.org.apache.hadoop.fs.Path(root, _VIEW_MANIFEST)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            root, f"{_VIEW_MANIFEST}.tmp.{batch_id}"
         )
+        out = fs.create(tmp, True)
+        try:
+            out.write(bytearray(new_name.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(manifest):
+            fs.delete(manifest, False)
+        if not fs.rename(tmp, manifest):
+            raise RuntimeError(f"manifest swap failed for {view_path}")
+        # Prune superseded snapshots (anything but the live one).
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if (
+                status.isDirectory()
+                and name.startswith("b=")
+                and name != new_name
+            ):
+                fs.delete(status.getPath(), True)
 
     return (
         agg_stream.writeStream.outputMode("update")

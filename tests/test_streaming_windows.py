@@ -263,6 +263,7 @@ def test_maintain_view_converges_to_batch_answer(spark, tmp_path):
     one-shot batch aggregation over all input."""
     from kafka_streams_reorder_timestamp_spark.streaming.windows import (
         maintain_view,
+        read_view,
     )
 
     src = tmp_path / "in"
@@ -288,7 +289,7 @@ def test_maintain_view_converges_to_batch_answer(spark, tmp_path):
     q.awaitTermination(300)
 
     got = (
-        spark.read.parquet(view).toPandas().sort_values("user_id").reset_index(drop=True)
+        read_view(spark, view).toPandas().sort_values("user_id").reset_index(drop=True)
     )
     batch = (
         spark.read.parquet(str(src))
@@ -299,3 +300,49 @@ def test_maintain_view_converges_to_batch_answer(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert got[batch.columns].equals(batch)
+
+
+def test_maintain_view_corruption_fails_loudly(spark, tmp_path):
+    """A view whose live snapshot is gone (or whose manifest vanished
+    while data remains) must raise, never be misread as 'first batch' —
+    that silent fallback would discard all accumulated aggregates."""
+    import shutil
+
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        current_view_snapshot,
+        maintain_view,
+        read_view,
+    )
+
+    src = tmp_path / "in"
+    (
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, 1.0)], ["ts_s", "user_id", "value"]
+        )
+        .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(str(src))
+    )
+    view = tmp_path / "view"
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("sum_v"))
+    )
+    q = maintain_view(agg, str(view), ["user_id"], str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    assert read_view(spark, str(view)).count() == 1
+
+    # Manifest points at a deleted snapshot -> loud failure.
+    snap = current_view_snapshot(spark, str(view))
+    shutil.rmtree(snap.removeprefix("file:"))
+    with pytest.raises(RuntimeError, match="missing snapshot"):
+        read_view(spark, str(view))
+
+    # Data present but manifest gone -> loud failure, not first-batch.
+    (view / "b=999").mkdir()
+    (view / "_LATEST").unlink()
+    with pytest.raises(RuntimeError, match="no _LATEST"):
+        current_view_snapshot(spark, str(view))
