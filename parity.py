@@ -1,0 +1,139 @@
+"""Full-registry DuckDB parity harness — the driver's CORRECTNESS
+check, run locally over EVERY registered query (the driver itself caps
+at the first 50 registry entries per round).
+
+Writes PARITY_FULL.json next to this script: one row per query with
+rows/schema/hash match flags (driver format). Queries without an
+oracle record spark_rows and err="no_oracle".
+
+Usage:  python parity.py   [env: SPARK_GRAFT_SF_DIR, default sf0.01]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import os
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+
+def _cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return None if math.isnan(v) else v
+    if isinstance(v, dt.datetime):
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_cell(x) for x in v)
+    return v
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = pd.DataFrame()
+    for c in sorted(df.columns):
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s).astype("datetime64[us]").astype("int64")
+        else:
+            s = s.map(_cell)
+        out[c] = s
+    return out.sort_values(by=list(out.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+    from kafka_streams_reorder_timestamp_spark.session import get_spark
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import TABLES
+
+    spark = get_spark(app_name="parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    results: dict[str, dict] = {}
+    n_green = n_no_oracle = n_bad = 0
+    for name, spec in registry.REGISTRY.items():
+        row = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        try:
+            spark.catalog.clearCache()
+            sdf = spec.builder(spark, sf_dir).toPandas()
+            row["spark_rows"] = len(sdf)
+            if spec.oracle is None:
+                row["err"] = "no_oracle"
+                n_no_oracle += 1
+            else:
+                odf = con.execute(spec.oracle).fetch_df()
+                row["oracle_rows"] = len(odf)
+                row["rows_match"] = len(sdf) == len(odf)
+                row["schema_match"] = sorted(sdf.columns) == sorted(odf.columns)
+                row["hash_match"] = bool(
+                    row["rows_match"]
+                    and row["schema_match"]
+                    and _canon(sdf).equals(_canon(odf))
+                )
+                if row["hash_match"]:
+                    n_green += 1
+                else:
+                    n_bad += 1
+        except Exception as e:
+            row["err"] = f"{type(e).__name__}: {e}"[:300]
+            n_bad += 1
+            traceback.print_exc(limit=3, file=sys.stderr)
+        results[name] = row
+        tag = (
+            "OK"
+            if row["hash_match"]
+            else ("no_oracle" if row["err"] == "no_oracle" else "FAIL")
+        )
+        print(f"parity: {name}: {tag}", file=sys.stderr)
+
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_root, "PARITY_FULL.json"), "w") as f:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "n_queries": len(results),
+                "n_hash_green": n_green,
+                "n_no_oracle": n_no_oracle,
+                "n_failed": n_bad,
+                "queries": results,
+            },
+            f,
+            indent=1,
+        )
+    print(
+        json.dumps(
+            {
+                "n_queries": len(results),
+                "n_hash_green": n_green,
+                "n_no_oracle": n_no_oracle,
+                "n_failed": n_bad,
+            }
+        )
+    )
+    return 0 if n_bad == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
