@@ -1,0 +1,157 @@
+"""Document chunking + sequence packing — the tokenizer-adjacent
+operators that turn a cleaned corpus into model-ready training rows.
+
+Reference tie-in: absent from the reference (SURVEY §2.2 — mandated
+LLM-pipeline extension surface).
+
+Design for 100 TB:
+  - chunking is a narrow map + explode: each document produces its own
+    chunks without any shuffle, and the explode multiplies rows only by
+    ceil(n_tokens/stride) — output-proportional, the same shape at any
+    corpus size;
+  - packing is ONE window pass per language partition (cumulative token
+    sum -> integer bin id) + one partial-agg shuffle — the greedy
+    first-fit packers that need sequential state are deliberately
+    avoided: offset-bin packing is deterministic, order-stable, and
+    embarrassingly parallel (each partition's bins depend only on the
+    prefix sums inside that partition);
+  - both operators emit md5 chunk fingerprints (strings, not arrays) so
+    results are hash-checkable by the driver and joinable back to
+    dedup/decontamination stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+CHUNK = 64  # tokens per chunk
+STRIDE = 48  # tokens between chunk starts (CHUNK-STRIDE = 16 overlap)
+PACK_BUDGET = 2048  # tokens per packed training sequence
+
+
+def _tokens(col):
+    """Whitespace tokens of lowercased text — identical to the oracle's
+    regexp_split_to_array + filter."""
+    return F.filter(
+        F.split(F.trim(F.lower(col)), r"\s+"), lambda t: t != ""
+    )
+
+
+@register(
+    "chunk_documents_sliding",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id < 60
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {STRIDE})) AS s
+      FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           CAST((s - 1) / {STRIDE} AS BIGINT) AS chunk_idx,
+           len(list_slice(t, s, least(s + {CHUNK} - 1, len(t))))
+             AS chunk_tokens,
+           md5(array_to_string(
+                 list_slice(t, s, least(s + {CHUNK} - 1, len(t))), ' '))
+             AS chunk_md5
+    FROM starts
+    """,
+    doc=f"Sliding-window chunking: split each document into "
+    f"{CHUNK}-token chunks every {STRIDE} tokens ({CHUNK - STRIDE} "
+    "overlap) — the context-window preparation step before "
+    "tokenization. Pure narrow map + explode (sequence of starts -> "
+    "slice), no shuffle anywhere: each task chunks its own documents "
+    "and output scales with chunk count, not corpus size. Chunks are "
+    "emitted as md5 fingerprints (joinable to dedup/decontamination, "
+    "hashable by the driver). Restricted to doc_id<60 to keep the "
+    "checked output compact.",
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 60))
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    chunk = F.slice(F.col("t"), F.col("s"), CHUNK)
+    return (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t"), F.lit(STRIDE))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / STRIDE).cast("bigint").alias("chunk_idx"),
+            F.size(chunk).alias("chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@register(
+    "pack_training_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> '')) AS n_tok
+      FROM documents WHERE text IS NOT NULL
+    ), offsets AS (
+      SELECT doc_id, lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS off
+      FROM tok
+    )
+    SELECT lang, CAST(off // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM offsets
+    GROUP BY 1, 2
+    """,
+    doc=f"Deterministic sequence packing: per language, documents are "
+    "laid out in doc_id order and binned by their cumulative token "
+    f"START offset div {PACK_BUDGET} — every engine, run, and cluster "
+    "size produces the same packs (unlike greedy first-fit, which "
+    "needs sequential state). One window pass (prefix sum) + one "
+    "partial-agg shuffle; at 100 TB each language partition computes "
+    "its own prefix sums independently. Packs can exceed the budget "
+    "by at most one document's tokens — the standard concat-then-cut "
+    "training layout tolerates that (the cut happens at tokenization).",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tok")
+        )
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    off = d.withColumn("off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        off.groupBy(
+            "lang",
+            F.expr(f"off div {PACK_BUDGET}").alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
