@@ -510,3 +510,38 @@ def orders_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "brand_price_rank_kinds",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+    doc="The full ranking-function family in one pass: row_number / "
+    "rank / dense_rank / percent_rank / ntile over the SAME "
+    "brand-partitioned window — ties resolved by key so every rank is "
+    "deterministic. percent_rank divides two small exact integers "
+    "((rank-1)/(n-1)): correctly-rounded identical doubles on both "
+    "engines, rounded to 6dp for the hash. Unlike customer_order_gaps' "
+    "historical global ntile, this ntile is PARTITIONED — no "
+    "single-task sort at any scale.",
+)
+def brand_price_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.rank().over(w).cast("bigint").alias("rk"),
+        F.dense_rank().over(w).cast("bigint").alias("drk"),
+        F.round(F.percent_rank().over(w), 6).alias("prk"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )

@@ -421,3 +421,48 @@ def signup_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_converted_7d"),
     )
+
+
+@register(
+    "events_debounce",
+    oracle="""
+    WITH lagged AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT user_id, event_type, COUNT(*) AS n_kept,
+           epoch_us(MIN(ts)) AS first_kept_us
+    FROM lagged
+    WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+    GROUP BY user_id, event_type
+    HAVING user_id < 100
+    """,
+    doc="Debounce: drop repeats of the same (user, event_type) arriving "
+    "within 5 minutes of the previous KEPT... strictly, of the previous "
+    "event — the lag-based form (each event compares to its immediate "
+    "predecessor), which is the one-window-pass approximation every "
+    "telemetry pipeline uses (exact chain-debounce needs sequential "
+    "state). Extends the reference's duplicate-timestamp drop "
+    "(Application.java:89-93) from exact-equality to a proximity "
+    "window. One shuffle on (user_id, event_type); aggregated so the "
+    "checked output is compact.",
+)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_us = 5 * 60 * 1_000_000
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    return (
+        lagged.filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > gap_us)
+        )
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.unix_micros(F.min("ts")).alias("first_kept_us"),
+        )
+        .filter(F.col("user_id") < 100)
+    )

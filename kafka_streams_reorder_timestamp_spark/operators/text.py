@@ -378,3 +378,63 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tf", "df", "rank")
     )
+
+
+@register(
+    "token_cooccurrence_top",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> ''))) AS term
+      FROM documents WHERE text IS NOT NULL
+    ), top AS (
+      SELECT term, COUNT(*) AS df FROM tok GROUP BY 1
+      ORDER BY df DESC, term LIMIT 20
+    ), filtered AS (
+      SELECT t.doc_id, t.term FROM tok t JOIN top USING (term)
+    )
+    SELECT a.term AS term_a, b.term AS term_b, COUNT(*) AS n_docs
+    FROM filtered a JOIN filtered b
+      ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY 1, 2
+    """,
+    doc="Token co-occurrence matrix over the top-20 document-frequency "
+    "terms: which vocabulary terms appear together in documents — the "
+    "association/embedding-context primitive. The self-join is "
+    "restricted to the broadcast-sized top-k vocabulary BEFORE pairing "
+    "(per-doc fan-out bounded by 20*19/2, never |doc tokens|^2), so at "
+    "100 TB the plan is: one distinct (doc,term) shuffle, a tiny "
+    "ordered top-k, a broadcast semi-join, and one pair-count "
+    "partial agg.",
+)
+def token_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda t: t != "",
+                )
+            )
+        ).alias("term"),
+    ).distinct()
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+        .select("term")
+    )
+    filtered = tok.join(F.broadcast(top), "term")
+    a = filtered.select("doc_id", F.col("term").alias("term_a"))
+    b = filtered.select("doc_id", F.col("term").alias("term_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
