@@ -429,12 +429,33 @@ def token_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("term")
     )
-    filtered = tok.join(F.broadcast(top), "term")
-    a = filtered.select("doc_id", F.col("term").alias("term_a"))
-    b = filtered.select("doc_id", F.col("term").alias("term_b"))
+    # Pairs come from a per-doc sorted term array (collect + in-array
+    # combination explode), NOT a doc_id self-join: fan-out is bounded
+    # by C(k,2) per document and `tok` has only TWO consumers (the
+    # top-k count and this branch) whose shared distinct subtree is
+    # identical, so the exchange is computed once and reused — no
+    # persist needed, no third corpus pass.
+    terms = (
+        tok.join(F.broadcast(top), "term")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("term")).alias("ts"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ts"), i + 2, F.size(F.col("ts"))),
+                lambda y: F.struct(
+                    x.alias("term_a"), y.alias("term_b")
+                ),
+            ),
+        )
+    )
     return (
-        a.join(b, "doc_id")
-        .filter(F.col("term_a") < F.col("term_b"))
-        .groupBy("term_a", "term_b")
+        terms.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.term_a").alias("term_a"),
+            F.col("p.term_b").alias("term_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
