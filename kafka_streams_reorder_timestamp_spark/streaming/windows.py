@@ -123,9 +123,17 @@ def interval_join(
     before: str = "0 seconds",
     after: str = "5 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join on equi-keys plus an event-time
-    interval: right rows within [left_ts - before, left_ts + after].
+    """Stream-stream join on equi-keys plus an event-time interval:
+    right rows within [left_ts - before, left_ts + after].
+
+    `how`: "inner" or "left_outer". The outer form emits an
+    all-null right side for left rows with no interval match — but only
+    once the watermark proves no match can still arrive, which is why
+    outer stream-stream joins REQUIRE the time-bound condition (Spark
+    rejects an unbounded outer join: the null verdict would never be
+    safe to emit).
 
     Both sides carry watermarks, so Spark bounds the join state to the
     interval + watermark horizon on each side (otherwise a
@@ -135,9 +143,12 @@ def interval_join(
 
     Works identically on batch DataFrames (watermark is a no-op there),
     which is how the test pins stream-vs-batch equivalence. Key columns
-    are returned once; both timestamp columns are kept. Non-key column
-    names must not collide (rename before joining).
+    are returned once (from the left side); both timestamp columns are
+    kept. Non-key column names must not collide (rename before
+    joining).
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError("interval_join supports inner and left_outer")
     on = list(on)
     overlap = (set(left.columns) & set(right.columns)) - set(on)
     if overlap:
@@ -151,7 +162,7 @@ def interval_join(
     lo = F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {before}")
     hi = F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {after}")
     cond = cond & F.col(f"r.{right_ts}").between(lo, hi)
-    joined = l_w.join(r_w, cond)
+    joined = l_w.join(r_w, cond, how)
     keep = (
         [F.col(f"l.{k}").alias(k) for k in on]
         + [F.col(f"l.{c}").alias(c) for c in left.columns if c not in on]

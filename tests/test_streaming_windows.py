@@ -346,3 +346,67 @@ def test_maintain_view_corruption_fails_loudly(spark, tmp_path):
     (view / "_LATEST").unlink()
     with pytest.raises(RuntimeError, match="no _LATEST"):
         current_view_snapshot(spark, str(view))
+
+
+def test_interval_join_left_outer_matches_batch(spark, tmp_path):
+    """Left-outer stream-stream interval join: impressions with no
+    click inside their interval surface once with a null click side
+    (emitted only after the watermark passes), and the streaming
+    answer converges to the batch left join."""
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        interval_join,
+    )
+
+    imp_rows = [
+        ("2024-01-01 00:00:00", 1, "i1"),    # gets c1
+        ("2024-01-01 01:00:00", 3, "i4"),    # NO click -> null row
+        ("2024-01-01 06:00:00", 99, "i-sentinel"),
+    ]
+    clk_rows = [
+        ("2024-01-01 00:05:00", 1, "c1"),
+        ("2024-01-01 06:00:00", 99, "c-sentinel"),
+    ]
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    spark.createDataFrame(imp_rows, ["ts_s", "user_id", "imp_id"]).select(
+        F.to_timestamp("ts_s").alias("imp_ts"), "user_id", "imp_id"
+    ).coalesce(1).write.parquet(str(imp_dir))
+    spark.createDataFrame(clk_rows, ["ts_s", "user_id", "click_id"]).select(
+        F.to_timestamp("ts_s").alias("click_ts"), "user_id", "click_id"
+    ).coalesce(1).write.parquet(str(clk_dir))
+
+    imp_schema = "imp_ts timestamp, user_id bigint, imp_id string"
+    clk_schema = "click_ts timestamp, user_id bigint, click_id string"
+
+    def join(l, r):
+        return interval_join(
+            l, r, on=["user_id"], left_ts="imp_ts", right_ts="click_ts",
+            before="0 seconds", after="10 minutes", watermark="1 minute",
+            how="left_outer",
+        )
+
+    q = (
+        join(
+            spark.readStream.schema(imp_schema).parquet(str(imp_dir)),
+            spark.readStream.schema(clk_schema).parquet(str(clk_dir)),
+        )
+        .writeStream.format("memory")
+        .queryName("ij_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("ij_outer").toPandas()
+    got = got[got.user_id != 99]
+    batch = join(
+        spark.read.parquet(str(imp_dir)), spark.read.parquet(str(clk_dir))
+    ).toPandas()
+    batch = batch[batch.user_id != 99]
+    key = ["imp_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert list(g["imp_id"]) == list(b["imp_id"]) == ["i1", "i4"]
+    assert g[g.imp_id == "i4"]["click_id"].isna().all()
+    assert b[b.imp_id == "i4"]["click_id"].isna().all()
+    assert g[g.imp_id == "i1"]["click_id"].iloc[0] == "c1"
