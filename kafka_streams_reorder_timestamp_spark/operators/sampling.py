@@ -238,3 +238,60 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_cents",
         )
     )
+
+
+@register(
+    "source_lang_divergence",
+    oracle="""
+    WITH counts AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), src AS (
+      SELECT source, SUM(n) AS n_src FROM counts GROUP BY 1
+    ), gl AS (
+      SELECT lang, SUM(n) AS n_lang FROM counts GROUP BY 1
+    ), tot AS (
+      SELECT SUM(n) AS n_tot FROM counts
+    )
+    SELECT c.source,
+           CAST(s.n_src AS BIGINT) AS n_docs,
+           ROUND(SUM((c.n * 1.0 / s.n_src)
+                     * round(ln((c.n * 1.0 / s.n_src)
+                                / (g.n_lang * 1.0 / t.n_tot)), 9)), 6)
+             AS kl_divergence
+    FROM counts c
+    JOIN src s USING (source)
+    JOIN gl g USING (lang)
+    CROSS JOIN tot t
+    GROUP BY c.source, s.n_src
+    """,
+    doc="Corpus-mixture drift: per source, the KL divergence of its "
+    "language distribution from the global language distribution — "
+    "the data-quality monitor that flags a source whose mix shifted. "
+    "All probabilities are exact integer-count ratios; only ln() is "
+    "transcendental, so each term's log is quantized to 9 decimals on "
+    "both engines before the weighted sum (same treatment as "
+    "tfidf_top_terms). Three tiny partial-agg shuffles over "
+    "(source, lang) cardinality — never the corpus; the global "
+    "distribution broadcasts.",
+)
+def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    src = counts.groupBy("source").agg(F.sum("n").alias("n_src"))
+    glob = counts.groupBy("lang").agg(F.sum("n").alias("n_lang"))
+    tot = counts.agg(F.sum("n").alias("n_tot"))
+    p = F.col("n") * F.lit(1.0) / F.col("n_src")
+    q = F.col("n_lang") * F.lit(1.0) / F.col("n_tot")
+    term = p * F.round(F.log(p / q), 9)
+    return (
+        counts.join(src, "source")
+        .join(F.broadcast(glob), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n_src")
+        .agg(F.round(F.sum(term), 6).alias("kl_divergence"))
+        .select(
+            "source",
+            F.col("n_src").cast("bigint").alias("n_docs"),
+            "kl_divergence",
+        )
+    )
