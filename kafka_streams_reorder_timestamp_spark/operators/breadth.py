@@ -16,6 +16,8 @@ from ..functions.rank import global_rank_buckets
 from ..sources.catalog import load_table
 from .registry import register
 
+DEC = "decimal(25,6)"
+
 
 @register(
     "nation_balance_fulljoin",
@@ -544,4 +546,46 @@ def brand_price_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("bigint").alias("drk"),
         F.round(F.percent_rank().over(w), 6).alias("prk"),
         F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@register(
+    "orders_scd2_history",
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS version_key,
+           epoch_us(o_orderdate) AS valid_from_us,
+           epoch_us(LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+             AS valid_to_us,
+           CAST(LEAD(o_orderdate) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL AS INTEGER) AS is_current,
+           ROUND(CAST(o_totalprice AS DECIMAL(25,6)), 2)::DOUBLE AS amount
+    FROM orders WHERE o_custkey < 200
+    """,
+    doc="SCD Type-2 history construction: each customer's orders become "
+    "versioned rows with [valid_from, valid_to) ranges via lead() — "
+    "valid_to = next version's start, NULL marks the current row. The "
+    "slowly-changing-dimension pattern every warehouse maintains, as "
+    "ONE window pass per entity partition (no self-join on "
+    "date < next_date). Complements orders_upsert_latest (SCD1 — "
+    "keep-latest): SCD2 keeps the full change history queryable "
+    "as-of any time. Restricted to o_custkey<200 for compact checked "
+    "output.",
+)
+def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    ts = F.col("o_orderdate").cast("timestamp")
+    return o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("version_key"),
+        F.unix_micros(ts).alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        nxt.isNull().cast("int").alias("is_current"),
+        F.round(F.col("o_totalprice").cast(DEC), 2)
+        .cast("double")
+        .alias("amount"),
     )

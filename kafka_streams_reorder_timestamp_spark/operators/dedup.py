@@ -599,3 +599,72 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.join(corpus, "fingerprint", "left_anti").select(
         "doc_id", "fingerprint"
     )
+
+
+@register(
+    "dedup_fuzzy_prefix",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, lower(text) AS t
+      FROM documents WHERE text IS NOT NULL AND doc_id < 200
+    ), corpus AS (
+      SELECT doc_id, lang, source, substr(t, 1, 50) AS p FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source, substr('xq ' || t, 1, 50)
+      FROM base WHERE doc_id < 30
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.p, b.p) AS BIGINT) AS edit_dist
+    FROM corpus a JOIN corpus b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.p, b.p) <= 10
+    """,
+    doc="Edit-distance near-dup: document pairs whose 50-char prefixes "
+    "are within Levenshtein 10, blocked on (lang, source) — the fuzzy "
+    "string-matching family (typo/ocr variants) that set-based "
+    "Jaccard misses. A deterministic planted set ('xq '-prefixed "
+    "copies of the 30 lowest doc_ids, +1e6 id offset) guarantees "
+    "detectable pairs, the dedup-family convention. Levenshtein is an "
+    "exact integer DP identical on both engines. Same scale shape as "
+    "dedup_jaccard_pairs: the (lang, source) block join bounds "
+    "candidate pairs, the distance runs on fixed-length prefixes "
+    "(O(50^2) per pair, never full-text), and at 100 TB the blocks "
+    "shuffle independently. Restricted to doc_id<200 for compact "
+    "checked output.",
+)
+def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 200))
+        .select("doc_id", "lang", "source", F.lower(F.col("text")).alias("t"))
+    )
+    planted = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        "lang",
+        "source",
+        F.substring(F.concat(F.lit("xq "), F.col("t")), 1, 50).alias("p"),
+    )
+    d = base.select(
+        "doc_id", "lang", "source", F.substring("t", 1, 50).alias("p")
+    ).unionByName(planted)
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        "source",
+        F.col("p").alias("pa"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        "source",
+        F.col("p").alias("pb"),
+    )
+    dist = F.levenshtein("pa", "pb")
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(dist <= 10)
+        .select(
+            "doc_a", "doc_b", dist.cast("bigint").alias("edit_dist")
+        )
+    )
