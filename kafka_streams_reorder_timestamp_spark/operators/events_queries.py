@@ -466,3 +466,48 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("user_id") < 100)
     )
+
+
+@register(
+    "user_type_value_map",
+    oracle="""
+    WITH per_type AS (
+      SELECT user_id, event_type,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE user_id < 100
+      GROUP BY 1, 2
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN cents END) AS click_cents,
+           MAX(CASE WHEN event_type = 'purchase' THEN cents END)
+             AS purchase_cents,
+           MAX(CASE WHEN event_type = 'error' THEN cents END) AS error_cents
+    FROM per_type GROUP BY user_id
+    """,
+    doc="MapType surface: per user, a map<event_type, cents> built with "
+    "map_from_entries over the per-type aggregates, then probed with "
+    "element_at / size — the typed key-value aggregation shape (map "
+    "columns shuffle as one value, no row explosion). Values are "
+    "exact integer cents; the emitted columns are scalar probes so "
+    "the driver canonicalizer (which cannot hash map cells) sees only "
+    "hashable primitives. The oracle is the equivalent conditional "
+    "aggregation.",
+)
+def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    cents = F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    per_type = ev.groupBy("user_id", "event_type").agg(cents)
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cents"))
+        ).alias("m")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("bigint").alias("n_types"),
+        F.element_at("m", "click").alias("click_cents"),
+        F.element_at("m", "purchase").alias("purchase_cents"),
+        F.element_at("m", "error").alias("error_cents"),
+    )

@@ -251,3 +251,45 @@ def skew_salted_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+@register(
+    "user_value_ema",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS k
+      FROM events
+    )
+    SELECT user_id,
+           ROUND(SUM(CAST(round(value * 100) AS BIGINT)
+                     * CAST(POW(2, 20 - k) AS BIGINT))
+                 / (100.0 * 1048576), 6) AS ema_value,
+           COUNT(*) AS n_used
+    FROM ordered WHERE k <= 20 AND user_id < 200
+    GROUP BY user_id
+    """,
+    doc="Exponential moving average (alpha=1/2) over each user's last "
+    "20 events — the smoothing/trend primitive. EMA looks inherently "
+    "sequential, but with alpha=1/2 the weights are powers of two, so "
+    "the weighted sum runs in EXACT BIGINT (cents x 2^(20-k)) — "
+    "order-independent, partitioning-independent, and bit-identical "
+    "across engines; only the final single division returns to "
+    "doubles. One ranking window + one partial agg, no sequential "
+    "state. Restricted to user_id<200 for compact checked output.",
+)
+def user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 200)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("k", F.row_number().over(w)).filter(F.col("k") <= 20)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    weight = F.pow(F.lit(2), F.lit(20) - F.col("k")).cast("bigint")
+    return ranked.groupBy("user_id").agg(
+        F.round(
+            F.sum(cents * weight) / F.lit(100.0 * 1048576), 6
+        ).alias("ema_value"),
+        F.count(F.lit(1)).alias("n_used"),
+    )
