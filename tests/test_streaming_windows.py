@@ -410,3 +410,76 @@ def test_interval_join_left_outer_matches_batch(spark, tmp_path):
     assert g[g.imp_id == "i4"]["click_id"].isna().all()
     assert b[b.imp_id == "i4"]["click_id"].isna().all()
     assert g[g.imp_id == "i1"]["click_id"].iloc[0] == "c1"
+
+
+def test_streaming_ema_matches_batch_recurrence(spark, tmp_path):
+    """Keyed streaming EMA across >=2 micro-batches equals the plain
+    sequential recurrence over the full ordered input — the
+    fold-composition property that makes the operator batch-boundary
+    independent."""
+    from kafka_streams_reorder_timestamp_spark.streaming.stateful import (
+        streaming_ema,
+    )
+
+    rows1 = [
+        ("2024-01-01 00:00:00", 1, 10.0),
+        ("2024-01-01 00:01:00", 1, 20.0),
+        ("2024-01-01 00:00:30", 2, 5.0),
+    ]
+    rows2 = [
+        ("2024-01-01 00:02:00", 1, 40.0),
+        ("2024-01-01 00:03:00", 2, 15.0),
+    ]
+    src = tmp_path / "in"
+    for rows in (rows1, rows2):
+        (
+            spark.createDataFrame(rows, ["ts_s", "user_id", "value"])
+            .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+
+    q = (
+        streaming_ema(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            ["user_id"],
+            "ts",
+            "value",
+            alpha=0.5,
+        )
+        .writeStream.format("memory")
+        .queryName("ema_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("ema_out").toPandas()
+    # last snapshot per key
+    final = (
+        got.sort_values(["user_id", "n_events"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+
+    # plain recurrence over the full ordered input
+    import pandas as pd
+
+    all_rows = pd.DataFrame(
+        rows1 + rows2, columns=["ts_s", "user_id", "value"]
+    ).sort_values(["user_id", "ts_s"])
+    expect = {}
+    for uid, grp in all_rows.groupby("user_id"):
+        ema = None
+        for v in grp["value"]:
+            ema = v if ema is None else 0.5 * v + 0.5 * ema
+        expect[uid] = ema
+    for uid, e in expect.items():
+        assert abs(final.loc[uid, "ema"] - e) < 1e-9, (uid, e, final)
+    assert int(final.loc[1, "n_events"]) == 3
+    assert int(final.loc[2, "n_events"]) == 2
