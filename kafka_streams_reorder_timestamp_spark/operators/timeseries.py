@@ -293,3 +293,59 @@ def user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ema_value"),
         F.count(F.lit(1)).alias("n_used"),
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ), contrib AS (
+      SELECT user_id,
+             unnest(generate_series(d, d + INTERVAL 6 DAY, INTERVAL 1 DAY))
+               AS win_day
+      FROM du
+    ), days AS (
+      SELECT DISTINCT date_trunc('day', ts) AS win_day FROM events
+    )
+    SELECT epoch_us(c.win_day) AS day_us,
+           COUNT(DISTINCT c.user_id) AS active_users_7d
+    FROM contrib c JOIN days USING (win_day)
+    GROUP BY 1
+    """,
+    doc="Rolling 7-day distinct active users per day — the DAU/WAU "
+    "retention metric. COUNT(DISTINCT) over a sliding window has no "
+    "direct window-function form, so each (day, user) observation is "
+    "EXPLODED into the 7 window-end days it contributes to and the "
+    "count-distinct runs per day — a 7x multiplication of the tiny "
+    "distinct (day,user) table, never of raw events (the same "
+    "contribute-explode trick streaming sliding windows use). "
+    "Restricted to days that actually occur (join with the observed "
+    "day set) so leading partial windows match the oracle exactly. "
+    "Two shuffles: the (day,user) distinct and the final per-day "
+    "distinct agg.",
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).distinct()
+    contrib = du.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                "d",
+                F.col("d") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("win_day"),
+    )
+    days = ev.select(F.date_trunc("day", "ts").alias("win_day")).distinct()
+    return (
+        contrib.join(days, "win_day")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .select(
+            F.unix_micros("win_day").alias("day_us"), "active_users_7d"
+        )
+    )

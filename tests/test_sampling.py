@@ -98,3 +98,66 @@ def test_pagerank_conserves_mass_and_is_deterministic(spark, sf_dir):
     # (n*unit - slack, n*unit]. Slack bound: <= ~1 unit per edge/node
     # per round, thousands of micro-units at most.
     assert n * 1_000_000 - 10_000 < sum(a.values()) <= n * 1_000_000
+
+
+def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
+    """Every token position of every chunked document is inside at
+    least one chunk; consecutive chunk starts differ by the stride;
+    each non-final chunk is exactly CHUNK tokens."""
+    from kafka_streams_reorder_timestamp_spark.operators.chunking import (
+        CHUNK,
+        STRIDE,
+        _tokens,
+    )
+
+    chunks = _run(spark, sf_dir, "chunk_documents_sliding").collect()
+    n_tok = dict(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") < 60))
+        .select("doc_id", F.size(_tokens(F.col("text"))).alias("n"))
+        .filter(F.col("n") > 0)
+        .collect()
+    )
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == set(n_tok)
+    for doc_id, rs in per_doc.items():
+        rs = sorted(rs, key=lambda r: r.chunk_idx)
+        n = n_tok[doc_id]
+        assert [r.chunk_idx for r in rs] == list(range(len(rs)))
+        covered = 0  # 1-based exclusive end of covered prefix
+        for i, r in enumerate(rs):
+            start = i * STRIDE + 1
+            assert start <= covered + 1  # no hole before this chunk
+            assert r.chunk_tokens == min(CHUNK, n - start + 1)
+            covered = max(covered, start + r.chunk_tokens - 1)
+        assert covered == n  # full coverage through the last token
+
+
+def test_packing_conserves_tokens_and_orders_bins(spark, sf_dir):
+    """Packs partition each language's documents: token mass is
+    conserved, pack ids are dense from 0, and doc-id ranges of
+    consecutive packs never interleave (offset binning is
+    order-stable)."""
+    rows = _run(spark, sf_dir, "pack_training_sequences").collect()
+    from kafka_streams_reorder_timestamp_spark.operators.chunking import (
+        _tokens,
+    )
+
+    totals = dict(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .groupBy("lang")
+        .agg(F.sum(F.size(_tokens(F.col("text")))).alias("t"))
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r.pack_id)
+        assert [r.pack_id for r in rs] == list(range(len(rs)))
+        assert sum(r.sum_tokens for r in rs) == totals[lang]
+        for a, b in zip(rs, rs[1:]):
+            assert a.last_doc < b.first_doc  # no interleaving
