@@ -105,8 +105,11 @@ def main() -> int:
     # that fit a conservative byte budget. "value" is always the true
     # total over ALL queries.
     repo_root = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
-        json.dump(full, f, indent=1, sort_keys=True)
+    try:
+        with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError as e:  # never let the artifact write kill the JSON line
+        print(f"bench: BENCH_FULL.json write failed: {e}", file=sys.stderr)
 
     BUDGET = 1700  # bytes for the printed line, < driver's 2000-char tail
     slowest = sorted(times.items(), key=lambda kv: -kv[1])

@@ -511,3 +511,65 @@ def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("m", "purchase").alias("purchase_cents"),
         F.element_at("m", "error").alias("error_cents"),
     )
+
+
+@register(
+    "events_hourly_anomalies",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS s2
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type, epoch_us(h.h) AS hour_us, h.n,
+           CAST(
+             CAST(h.n * t.c - t.s AS DECIMAL(38,0))
+               * CAST(h.n * t.c - t.s AS DECIMAL(38,0))
+             > 9 * CAST(t.c * t.s2 - t.s * t.s AS DECIMAL(38,0))
+             AS INTEGER) AS is_anomaly
+    FROM hourly h JOIN stats t USING (event_type)
+    WHERE CAST(h.n * t.c - t.s AS DECIMAL(38,0))
+            * CAST(h.n * t.c - t.s AS DECIMAL(38,0))
+          > 4 * CAST(t.c * t.s2 - t.s * t.s AS DECIMAL(38,0))
+    """,
+    doc="Hourly volume anomaly detection per event type: flag hours "
+    "whose count deviates more than 3 sigma (report from 2 sigma) "
+    "from the type's mean — WITHOUT ever computing a float mean or "
+    "stddev. |n - mu| > k*sigma is cross-multiplied into the exact "
+    "integer/decimal inequality (n*c - s)^2 > k^2 * (c*s2 - s^2) "
+    "over the (count, sum, sum-of-squares) triple, so the flag is "
+    "bit-identical on every engine and partitioning (float z-scores "
+    "drift in the last ulp). Two tiny shuffles: the hourly rollup and "
+    "the per-type stats broadcast back onto it.",
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("s2"),
+    )
+    dec = "decimal(38,0)"
+    dev = (F.col("n") * F.col("c") - F.col("s")).cast(dec)
+    var_term = (
+        F.col("c") * F.col("s2") - F.col("s") * F.col("s")
+    ).cast(dec)
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(dev * dev > 4 * var_term)
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            "n",
+            (dev * dev > 9 * var_term).cast("int").alias("is_anomaly"),
+        )
+    )
