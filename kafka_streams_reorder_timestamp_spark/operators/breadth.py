@@ -589,3 +589,64 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("amount"),
     )
+
+
+@register(
+    "segment_revenue_pareto",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT seg, rev,
+             SUM(rev) OVER (PARTITION BY seg
+                            ORDER BY rev DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(rev) OVER (PARTITION BY seg) AS total,
+             COUNT(*) OVER (PARTITION BY seg) AS n_cust
+    FROM cust
+    )
+    SELECT seg,
+           CAST(MIN(n_cust) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN (cum - rev) * 100 < total * 80
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_to_80pct
+    FROM ranked GROUP BY seg
+    """,
+    doc="Pareto concentration per market segment: how many top "
+    "customers cover 80% of segment revenue. A customer is in the "
+    "80% head iff the cumulative revenue BEFORE them is under the "
+    "threshold — compared as (cum - rev)*100 < total*80 in exact "
+    "decimal (no float division, no ulp drift at the boundary). "
+    "Cumulative sums are per-SEGMENT windows (no global sort); two "
+    "shuffles (per-customer agg, segment window) at any scale.",
+)
+def segment_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+    )
+    wc = (
+        Window.partitionBy("seg")
+        .orderBy(F.col("rev").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("seg")
+    ranked = cust.select(
+        "seg",
+        "rev",
+        F.sum("rev").over(wc).alias("cum"),
+        F.sum("rev").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n_cust"),
+    )
+    head = F.when(
+        (F.col("cum") - F.col("rev")) * 100 < F.col("total") * 80, 1
+    ).otherwise(0)
+    return ranked.groupBy("seg").agg(
+        F.min("n_cust").cast("bigint").alias("n_customers"),
+        F.sum(head).cast("bigint").alias("n_to_80pct"),
+    )
