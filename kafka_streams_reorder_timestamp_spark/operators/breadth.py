@@ -650,3 +650,58 @@ def segment_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_cust").cast("bigint").alias("n_customers"),
         F.sum(head).cast("bigint").alias("n_to_80pct"),
     )
+
+
+@register(
+    "customer_rfm_scores",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey,
+             epoch_us(MAX(o_orderdate)) AS r_us,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM cust)
+    SELECT o_custkey,
+           CAST((4 * (ROW_NUMBER() OVER (ORDER BY r_us DESC, o_custkey) - 1))
+                // n.n + 1 AS INTEGER) AS r_score,
+           CAST((4 * (ROW_NUMBER() OVER (ORDER BY f DESC, o_custkey) - 1))
+                // n.n + 1 AS INTEGER) AS f_score,
+           CAST((4 * (ROW_NUMBER() OVER (ORDER BY m_cents DESC, o_custkey) - 1))
+                // n.n + 1 AS INTEGER) AS m_score
+    FROM cust CROSS JOIN n
+    """,
+    doc="RFM (recency/frequency/monetary) quartile scoring per "
+    "customer — the classic segmentation primitive, with all three "
+    "global quartiles computed by the DISTRIBUTED rank "
+    "(functions/rank.py: value-bucket + local row_number + offset "
+    "prefix-sum), never a single-task global window sort; the oracle "
+    "uses plain global ROW_NUMBER, which is fine for DuckDB but would "
+    "be the classic straggler on a cluster. Quartile = "
+    "(4*(rn-1)) div N + 1 — remainder spread evenly, reproducible in "
+    "any ANSI engine. Monetary is exact integer cents; recency is "
+    "epoch-us of the last order.",
+)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp"))).alias(
+            "r_us"
+        ),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "m_cents"
+        ),
+    )
+    scored = cust
+    for col, out in (("r_us", "r_score"), ("f", "f_score"), ("m_cents", "m_score")):
+        scored = global_rank_buckets(
+            scored,
+            bucket_col=col,
+            order_by=[F.col(col).desc(), F.col("o_custkey")],
+            n_groups=4,
+            out_col=out,
+            descending=True,
+        )
+    return scored.select("o_custkey", "r_score", "f_score", "m_score")
