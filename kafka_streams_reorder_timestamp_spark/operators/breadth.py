@@ -705,3 +705,95 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             descending=True,
         )
     return scored.select("o_custkey", "r_score", "f_score", "m_score")
+
+
+@register(
+    "orders_time_rollup",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS rev
+    FROM orders
+    GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate),
+                    month(o_orderdate))
+    """,
+    doc="Time-hierarchy rollup (year > quarter > month): every grain "
+    "of the reporting calendar in one pass via ROLLUP — month rows, "
+    "quarter subtotals, year subtotals, grand total. Spark "
+    "pre-aggregates to the finest grain before Expand multiplies "
+    "rows (the multidim-agg posture), so the x4 applies to ~36 "
+    "month rows, not the fact scan. Exact decimal money.",
+)
+def orders_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        o.select(
+            F.year(d).cast("bigint").alias("yr"),
+            F.quarter(d).cast("bigint").alias("qtr"),
+            F.month(d).cast("bigint").alias("mon"),
+            F.col("o_totalprice").cast(DEC).alias("p"),
+        )
+        .rollup("yr", "qtr", "mon")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("p"), 2).cast("double").alias("rev"),
+        )
+    )
+
+
+@register(
+    "dq_orders_audit",
+    oracle="""
+    SELECT
+      (SELECT COUNT(*) FROM orders) AS n_rows,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL
+         OR o_orderdate IS NULL OR o_custkey IS NULL) AS n_null_critical,
+      (SELECT COUNT(*) FROM (
+         SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+        AS n_dup_pk,
+      (SELECT COUNT(*) FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_custkey = o.o_custkey))
+        AS n_orphan_custkey,
+      (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+        AS n_nonpositive_price
+    """,
+    doc="Data-quality audit in one row: volume, critical-column nulls, "
+    "duplicate primary keys (groupBy-HAVING, one digest-keyed "
+    "shuffle), referential orphans (left-anti join against the "
+    "customer dim — broadcast when the dim fits, shuffle-hash "
+    "otherwise), and domain violations. The contract-check stage "
+    "every ingest pipeline runs before promoting a batch; each check "
+    "is its own bounded aggregate and Spark unions them into one "
+    "row.",
+)
+def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n_rows = o.agg(F.count(F.lit(1)).alias("n_rows"))
+    n_null = o.filter(
+        F.col("o_totalprice").isNull()
+        | F.col("o_orderdate").isNull()
+        | F.col("o_custkey").isNull()
+    ).agg(F.count(F.lit(1)).alias("n_null_critical"))
+    n_dup = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n_dup_pk"))
+    )
+    n_orphan = o.join(
+        c, o["o_custkey"] == c["c_custkey"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphan_custkey"))
+    n_nonpos = o.filter(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).alias("n_nonpositive_price")
+    )
+    return (
+        n_rows.crossJoin(n_null)
+        .crossJoin(n_dup)
+        .crossJoin(n_orphan)
+        .crossJoin(n_nonpos)
+    )

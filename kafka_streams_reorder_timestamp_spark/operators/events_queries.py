@@ -573,3 +573,36 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dev * dev > 9 * var_term).cast("int").alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_daypart_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(CASE WHEN hour(ts) BETWEEN 0 AND 5 THEN 1 END) AS night,
+           COUNT(CASE WHEN hour(ts) BETWEEN 6 AND 11 THEN 1 END) AS morning,
+           COUNT(CASE WHEN hour(ts) BETWEEN 12 AND 17 THEN 1 END) AS afternoon,
+           COUNT(CASE WHEN hour(ts) BETWEEN 18 AND 23 THEN 1 END) AS evening,
+           COUNT(*) AS total
+    FROM events GROUP BY event_type
+    """,
+    doc="Multi-band conditional aggregation (TPC-DS q88 shape): four "
+    "day-part counts per event type from ONE scan — conditional "
+    "COUNT(CASE ...) instead of four self-joined subqueries, the "
+    "single-pass rewrite that matters when the scan is 100 TB. One "
+    "partial-agg shuffle of 5-row groups.",
+)
+def events_daypart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+
+    def band(lo, hi, name):
+        return F.count(F.when(h.between(lo, hi), 1)).alias(name)
+
+    return ev.groupBy("event_type").agg(
+        band(0, 5, "night"),
+        band(6, 11, "morning"),
+        band(12, 17, "afternoon"),
+        band(18, 23, "evening"),
+        F.count(F.lit(1)).alias("total"),
+    )
