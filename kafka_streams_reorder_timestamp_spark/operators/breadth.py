@@ -797,3 +797,57 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_orphan)
         .crossJoin(n_nonpos)
     )
+
+
+@register(
+    "nation_revenue_share",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_regionkey, n.n_name,
+             ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE
+               AS nation_rev
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r.r_name, nat.n_name, nat.nation_rev,
+           ROUND(nat.nation_rev * 100 / SUM(nat.nation_rev)
+                 OVER (PARTITION BY nat.n_regionkey), 4) AS region_share_pct
+    FROM nat JOIN region r ON r.r_regionkey = nat.n_regionkey
+    """,
+    doc="Percent-of-parent: each nation's share of its region's "
+    "revenue — aggregate once at nation grain (exact decimal, "
+    "rounded to cents BEFORE the share division so both engines "
+    "divide identical doubles), then one 25-row window computes the "
+    "regional denominators; the fact table is scanned once and the "
+    "share arithmetic touches only the aggregate. region/nation "
+    "broadcast.",
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast(DEC)), 2)
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nat.join(F.broadcast(r), nat["n_regionkey"] == r["r_regionkey"])
+        .select(
+            "r_name",
+            "n_name",
+            "nation_rev",
+            F.round(
+                F.col("nation_rev") * 100 / F.sum("nation_rev").over(w), 4
+            ).alias("region_share_pct"),
+        )
+    )

@@ -606,3 +606,43 @@ def events_daypart_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         band(18, 23, "evening"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+@register(
+    "top_event_type_per_user",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events WHERE user_id < 300 GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT user_id, event_type AS top_type, n AS n_top
+    FROM ranked WHERE rk = 1
+    """,
+    doc="Per-group mode (argmax): each user's most frequent event "
+    "type, ties to the lexicographically first type. Two bounded "
+    "shuffles — the (user, type) count partial agg, then a "
+    "user-keyed window over at most |event types| rows per user "
+    "(never raw events). The categorical-profile primitive feature "
+    "stores compute per entity.",
+)
+def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 300)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id", F.col("event_type").alias("top_type"),
+            F.col("n").alias("n_top"),
+        )
+    )
