@@ -41,6 +41,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # as LongType epoch nanos. Set it here (runtime-settable) so the
         # catalog works in ANY session, including the driver's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->LTZ normalization below and every downstream
+        # date_trunc/hour/unix_micros must agree with the DuckDB
+        # oracle's naive-UTC reading — pin the session timezone here
+        # (runtime-settable) so results don't depend on who built the
+        # SparkSession (the driver's harness may not set it).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         dtype = df.schema["ts"].dataType
