@@ -427,3 +427,216 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").alias("max_vec_id"),
         )
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e
+      FROM embeddings
+    ), scaled AS (
+      SELECT vec_id, label,
+             list_min(e) AS lo,
+             (list_max(e) - list_min(e)) / 255 AS step,
+             e
+      FROM base
+    ), err AS (
+      SELECT vec_id, label,
+             CASE WHEN step > 0 THEN
+               list_max(list_transform(e,
+                 x -> abs(x - (round((x - lo) / step) * step + lo))))
+             ELSE 0.0 END AS max_err
+      FROM scaled
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(max_err), 9) AS avg_max_err,
+           ROUND(MAX(max_err), 9) AS worst_err
+    FROM err GROUP BY label
+    """,
+    doc="Per-vector int8 affine quantization (scale = range/255, "
+    "zero-point = min) with reconstruction-error accounting per "
+    "label — the embedding-compression primitive that turns a 256-byte "
+    "float vector into 64 bytes + 2 params (4x smaller shuffles and "
+    "ANN indexes at 100 TB). The error expression is the same "
+    "double-arithmetic tree on both engines (divide, round-half-away "
+    "on positives, fused back), so the 9dp-rounded stats hash-match. "
+    "Pure higher-order array functions — no UDF, no shuffle except "
+    "the final label-grain partial agg.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("e")
+    )
+    lo = F.array_min("e")
+    step = (F.array_max("e") - F.array_min("e")) / F.lit(255)
+    scaled = e.select("vec_id", "label", lo.alias("lo"), step.alias("step"), "e")
+    recon_err = F.array_max(
+        F.transform(
+            F.col("e"),
+            lambda x: F.abs(
+                x
+                - (
+                    F.round((x - F.col("lo")) / F.col("step"), 0)
+                    * F.col("step")
+                    + F.col("lo")
+                )
+            ),
+        )
+    )
+    err = scaled.select(
+        "label",
+        F.when(F.col("step") > 0, recon_err).otherwise(F.lit(0.0)).alias(
+            "max_err"
+        ),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg("max_err"), 9).alias("avg_max_err"),
+        F.round(F.max("max_err"), 9).alias("worst_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation (ADC)
+# — the memory-scale ANN path: codes are M bytes per vector instead of
+# dim*4, and query cost is M table lookups per candidate.
+
+_PQ_M = 8  # subspaces
+_PQ_SUBDIM = DIM // _PQ_M
+_PQ_K = 16  # centroids per subspace (deterministic: the 16 lowest vec_ids)
+
+
+def _sq_dist_sql(a: str, b: str, dim: int, spark: bool = False) -> str:
+    """Unrolled left-associative squared L2 distance — identical fold
+    order on Spark and DuckDB, so distances are bit-identical and
+    argmin/rank can never flip cross-engine. Spark spells 1-based
+    access as element_at (its `[]` is 0-based); DuckDB lists are
+    1-based natively."""
+
+    def at(c: str, i: int) -> str:
+        return f"element_at({c}, {i})" if spark else f"{c}[{i}]"
+
+    return " + ".join(
+        f"({at(a, i)} - {at(b, i)}) * ({at(a, i)} - {at(b, i)})"
+        for i in range(1, dim + 1)
+    )
+
+
+def _pq_oracle() -> str:
+    d = _sq_dist_sql("s.sub", "c.cvec", _PQ_SUBDIM)
+    dp = _sq_dist_sql("p.sub", "c.cvec", _PQ_SUBDIM)
+    adc = " + ".join(
+        f"MAX(CASE WHEN g.m = {m} THEN d END)" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), subs AS (
+      SELECT vec_id, m,
+             list_slice(e, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
+      FROM base, (SELECT unnest(range({_PQ_M})) AS m)
+    ), cent AS (
+      SELECT vec_id AS cid, m, sub AS cvec FROM subs WHERE vec_id < {_PQ_K}
+    ), enc AS (
+      SELECT s.vec_id, s.m, c.cid,
+             ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                ORDER BY {d}, c.cid) AS rn
+      FROM subs s JOIN cent c USING (m)
+    ), codes AS (
+      SELECT vec_id, m, cid AS code FROM enc WHERE rn = 1
+    ), dtab AS (
+      SELECT p.vec_id AS probe_id, p.m, c.cid, {dp} AS d
+      FROM subs p JOIN cent c USING (m) WHERE p.vec_id < 5
+    ), adc AS (
+      SELECT t.probe_id, g.vec_id, {adc} AS approx_d
+      FROM codes g JOIN dtab t ON t.m = g.m AND t.cid = g.code
+      WHERE g.vec_id <> t.probe_id
+      GROUP BY t.probe_id, g.vec_id
+    )
+    SELECT probe_id, vec_id AS neighbor_id,
+           ROUND(approx_d, 6) AS approx_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY approx_d, vec_id) AS INT) AS rank
+    FROM adc
+    QUALIFY rank <= 10
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN with asymmetric distance "
+    f"computation: vectors are encoded as {_PQ_M} one-byte codes "
+    f"(argmin centroid per {_PQ_SUBDIM}-dim subspace; codebook = the "
+    f"{_PQ_K} lowest vec_ids' subvectors, deterministic), and each "
+    "probe scores candidates by summing one table lookup per "
+    "subspace — at 100 TB the PQ index is 32x smaller than raw "
+    "vectors and the scan never touches floats. Every distance is an "
+    "unrolled left-associative expression and the ADC sum is a fixed "
+    "8-term chain (pivoted MAX(CASE), not SUM) so both engines add "
+    "in the same order — the whole approximate pipeline is "
+    "bit-exact vs the oracle, argmin to final rank. Encode: one "
+    "corpus x codebook broadcast join; search: codes join the "
+    "probe's distance table (broadcast), one partial-agg per "
+    "(probe, vec).",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import functools
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("e")
+    )
+    m_axis = F.explode(
+        F.array(*[F.lit(m) for m in range(_PQ_M)])
+    ).alias("m")
+    subs = e.select("vec_id", "e", m_axis).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(e, m * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sub"),
+    )
+    cent = subs.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sub").alias("cvec")
+    )
+    d = F.expr(_sq_dist_sql("sub", "cvec", _PQ_SUBDIM, spark=True))
+    w_enc = Window.partitionBy("vec_id", "m").orderBy(F.col("_d"), F.col("cid"))
+    codes = (
+        subs.join(F.broadcast(cent), "m")
+        .select("vec_id", "m", "cid", d.alias("_d"))
+        .withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    dtab = (
+        subs.filter(F.col("vec_id") < 5)
+        .withColumnRenamed("vec_id", "probe_id")
+        .join(F.broadcast(cent), "m")
+        .select(
+            "probe_id",
+            F.col("m").alias("pm"),
+            F.col("cid").alias("pcid"),
+            d.alias("d"),
+        )
+    )
+    paired = codes.join(
+        F.broadcast(dtab),
+        (F.col("m") == F.col("pm")) & (F.col("code") == F.col("pcid")),
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    adc = functools.reduce(
+        lambda acc, m: acc + F.max(F.when(F.col("m") == m, F.col("d"))),
+        range(1, _PQ_M),
+        F.max(F.when(F.col("m") == 0, F.col("d"))),
+    )
+    scored = paired.groupBy("probe_id", "vec_id").agg(adc.alias("approx_d"))
+    w = Window.partitionBy("probe_id").orderBy("approx_d", "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("approx_d", 6).alias("approx_dist"),
+            "rank",
+        )
+    )
