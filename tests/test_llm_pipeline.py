@@ -292,3 +292,26 @@ def test_approx_sketches_within_bounds(spark, oracle_sf_dir):
             # rank error 1/10000 of n translates to a value tolerance we
             # bound loosely via the value range per type
             assert approx_q == pytest.approx(exact_q, rel=0.05, abs=2.0)
+
+
+def test_pq_adc_finds_true_neighbors(spark, sf_dir):
+    """PQ/ADC top-10 overlaps the exact cosine top-10 for every probe:
+    the coarse 16-centroid codebook (and L2-vs-cosine metric gap)
+    costs recall, but each probe must still recover true neighbors,
+    and the overlap is deterministic — every distance/argmin in the
+    PQ pipeline is exact double arithmetic with fixed fold order."""
+    from collections import defaultdict
+
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+
+    pq = registry.REGISTRY["ann_pq_adc_topk"].builder(spark, sf_dir).collect()
+    knn = registry.REGISTRY["knn_topk_cosine"].builder(spark, sf_dir).collect()
+    p_n, k_n = defaultdict(set), defaultdict(set)
+    for r in pq:
+        p_n[r.probe_id].add(r.neighbor_id)
+    for r in knn:
+        k_n[r.probe_id].add(r.neighbor_id)
+    assert set(p_n) == set(k_n) and len(k_n) == 5
+    overlaps = {pid: len(p_n[pid] & k_n[pid]) for pid in k_n}
+    assert all(v >= 1 for v in overlaps.values()), overlaps
+    assert sum(overlaps.values()) / len(overlaps) >= 2.0, overlaps
