@@ -295,3 +295,59 @@ def source_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_divergence",
         )
     )
+
+
+def _hex_digit_value_sql(h: str, i: int, strpos_fn: str) -> str:
+    """Numeric value of the i-th (1-based) hex digit of column/expr
+    `h`, as the SAME arithmetic on Spark (`instr`) and DuckDB
+    (`strpos`) — both return 1-based positions in the digit alphabet."""
+    return (
+        f"CAST({strpos_fn}('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+        " AS BIGINT)"
+    )
+
+
+def _hash48_sql(h: str, strpos_fn: str) -> str:
+    """First 12 hex digits of `h` as an exact BIGINT in [0, 2^48):
+    a 12-term positional expansion — portable across engines that
+    cannot cast hex strings to integers."""
+    return " + ".join(
+        f"{_hex_digit_value_sql(h, i + 1, strpos_fn)} * {16 ** (11 - i)}"
+        for i in range(12)
+    )
+
+
+@register(
+    "sample_weighted_docs",
+    oracle=f"""
+    WITH pri AS (
+      SELECT doc_id, lang, source, n_chars,
+             ({_hash48_sql('md5(CAST(doc_id AS VARCHAR))', 'strpos')})
+               * 1.0 / n_chars AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, source, n_chars
+    FROM pri ORDER BY priority, doc_id LIMIT 100
+    """,
+    doc="Deterministic weighted sample (100 docs, probability rising "
+    "with n_chars): the A-Res reservoir idea with the uniform draw "
+    "replaced by a 48-bit md5-derived integer — priority = "
+    "hash48(doc_id)/weight, keep the k smallest. hash48 is built by "
+    "positional expansion of the md5 hex digits (identical instr/"
+    "strpos arithmetic on both engines — neither can cast hex "
+    "to int portably), the division is one correctly-rounded double "
+    "op, and ties are impossible (distinct hashes), so the sample is "
+    "byte-identical everywhere. Global top-k plans "
+    "TakeOrderedAndProject (per-partition top-100 + merge), never a "
+    "full sort — one scan at any corpus size.",
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    h48 = _hash48_sql("md5(CAST(doc_id AS STRING))", "instr")
+    pri = F.expr(f"({h48}) * 1.0 / n_chars")
+    return (
+        d.select("doc_id", "lang", "source", "n_chars", pri.alias("_p"))
+        .orderBy("_p", "doc_id")
+        .limit(100)
+        .drop("_p")
+    )
