@@ -646,3 +646,44 @@ def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_top"),
         )
     )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_us), 6) AS avg_gap_us,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Inter-arrival time statistics per event type — the "
+    "throughput/burstiness profile. Gaps are exact integer "
+    "microsecond differences from one lag window; AVG is a single "
+    "correctly-rounded division of an exact BIGINT sum, so the "
+    "rounded stats hash-match across engines. One window shuffle on "
+    "event_type + one bounded partial agg.",
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "gap_us"
+        ),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us"), 6).alias("avg_gap_us"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )

@@ -351,3 +351,33 @@ def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .drop("_p")
     )
+
+
+@register(
+    "customer_orders_histogram_log2",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(n) AS min_orders, MAX(n) AS max_orders
+    FROM per_cust GROUP BY 1
+    """,
+    doc="Power-of-two histogram of orders per customer: "
+    "floor(log2(n)) computed EXACTLY as length(bin(n)) - 1 — the "
+    "binary-string trick that avoids floating log2 entirely (a float "
+    "log at a power-of-two boundary can land on either side by one "
+    "ulp, shifting histogram mass between engines). Two partial-agg "
+    "shuffles over bounded cardinality.",
+)
+def customer_orders_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (F.length(F.bin("n")) - 1).cast("bigint")
+    return per_cust.groupBy(bucket.alias("log2_bucket")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("n").alias("min_orders"),
+        F.max("n").alias("max_orders"),
+    )
