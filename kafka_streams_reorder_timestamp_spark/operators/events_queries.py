@@ -687,3 +687,70 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@register(
+    "event_type_audience_overlap",
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM tu GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.sz AS n_a, sb.sz AS n_b,
+           ROUND(i.n_both * 1.0 / (sa.sz + sb.sz - i.n_both), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc="Audience overlap between event types: Jaccard similarity of "
+    "user sets for every type pair — the cohort-overlap analysis "
+    "behind funnel design. The self-join runs on the DISTINCT "
+    "(type, user) table keyed by user (fan-out bounded by "
+    "|types|^2 per user, 5 types here), intersection and union "
+    "sizes are exact integers, and the one division is correctly "
+    "rounded — hash-stable. Two shuffles: the distinct and the "
+    "user-keyed pair join; the per-type sizes broadcast.",
+)
+def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = F.broadcast(
+        sizes.select(F.col("event_type").alias("type_a"), F.col("sz").alias("n_a"))
+    )
+    sb = F.broadcast(
+        sizes.select(F.col("event_type").alias("type_b"), F.col("sz").alias("n_b"))
+    )
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both") * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
