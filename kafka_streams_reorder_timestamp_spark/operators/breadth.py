@@ -851,3 +851,63 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_pct"),
         )
     )
+
+
+@register(
+    "brand_market_basket",
+    oracle="""
+    WITH ob AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    ), totals AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY 1
+    )
+    SELECT p.brand_a, p.brand_b, p.n_orders,
+           ROUND(p.n_orders * 1.0 / ta.n, 6) AS confidence_a_to_b
+    FROM pairs p JOIN totals ta ON ta.p_brand = p.brand_a
+    WHERE p.n_orders >= 10
+    """,
+    doc="Market-basket analysis: brand pairs co-purchased in the same "
+    "order, with confidence(A->B) = P(B in order | A in order) — the "
+    "association-rule primitive. The pair join runs on the DISTINCT "
+    "(order, brand) table keyed by order (fan-out bounded by "
+    "|brands-in-order|^2, ~25 brands total), support >= 10 prunes "
+    "the tail; counts exact, one rounded division. Two shuffles + a "
+    "broadcast of the 25-row brand totals.",
+)
+def brand_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 10)
+    )
+    totals = F.broadcast(
+        ob.groupBy(F.col("p_brand").alias("brand_a")).agg(
+            F.count(F.lit(1)).alias("n_a")
+        )
+    )
+    return pairs.join(totals, "brand_a").select(
+        "brand_a",
+        "brand_b",
+        "n_orders",
+        F.round(F.col("n_orders") * 1.0 / F.col("n_a"), 6).alias(
+            "confidence_a_to_b"
+        ),
+    )
