@@ -754,3 +754,81 @@ def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "events_weekly_users_hll",
+    oracle=None,  # sketch bytes are engine-specific; pytest bounds the
+    # estimates against exact weekly distincts (the mergeability
+    # property itself is what this query demonstrates)
+    doc="Mergeable-sketch rollup: DAILY per-type HLL sketches "
+    "(Datasketches hll_sketch_agg) are UNIONED up to weekly distinct-"
+    "user estimates without touching raw events again — the 100 TB "
+    "re-aggregation pattern: sketch once at the finest grain, derive "
+    "every coarser grain by merging KB-sized sketches (exact "
+    "COUNT(DISTINCT) cannot re-aggregate: distinct counts do not "
+    "sum). Two shuffles: the daily sketch build over raw events, "
+    "then a (type, week) merge of sketch bytes only.",
+)
+def events_weekly_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", "ts").alias("week"),
+        F.date_trunc("day", "ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type", "week")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                "approx_weekly_users"
+            ),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros("week").alias("week_us"),
+            "approx_weekly_users",
+            "n_days_merged",
+        )
+    )
+
+
+@register(
+    "events_audience_theta_setops",
+    oracle=None,  # sketch-based estimates; pytest bounds them against
+    # the exact audience sizes from event_type_audience_overlap's inputs
+    doc="Sketch set algebra: per-type Theta sketches of user audiences "
+    "support UNION, INTERSECTION and DIFFERENCE estimates — the "
+    "overlap analytics HLL cannot express (HLL only unions). One "
+    "sketch pass over events, then all pairwise set ops run on "
+    "KB-sized sketches: at 100 TB the exact pairwise self-join "
+    "(event_type_audience_overlap, the exact twin) is quadratic in "
+    "audience size, while this is O(types^2) sketch merges. Emits "
+    "click/purchase set-op estimates.",
+)
+def events_audience_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("sk").alias("sk_a")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_b")
+    )
+    both = a.crossJoin(b)
+    return both.select(
+        F.theta_sketch_estimate(F.col("sk_a")).alias("click_users"),
+        F.theta_sketch_estimate(F.col("sk_b")).alias("purchase_users"),
+        F.theta_sketch_estimate(
+            F.theta_union(F.col("sk_a"), F.col("sk_b"))
+        ).alias("union_users"),
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+        ).alias("both_users"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+        ).alias("click_only_users"),
+    )

@@ -315,3 +315,67 @@ def test_pq_adc_finds_true_neighbors(spark, sf_dir):
     overlaps = {pid: len(p_n[pid] & k_n[pid]) for pid in k_n}
     assert all(v >= 1 for v in overlaps.values()), overlaps
     assert sum(overlaps.values()) / len(overlaps) >= 2.0, overlaps
+
+
+def test_hll_weekly_rollup_within_bounds(spark, sf_dir):
+    """Weekly distinct-user estimates from merged daily HLL sketches
+    stay within HLL error of the exact weekly distincts — the
+    mergeability contract (sketch once daily, derive weekly by union,
+    never rescan raw events)."""
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    got = {
+        (r.event_type, r.week_us): r.approx_weekly_users
+        for r in registry.REGISTRY["events_weekly_users_hll"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        (r.event_type, r.week_us): r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(
+            "event_type", F.unix_micros("week").alias("week_us"), "n"
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(3, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_theta_setops_match_exact_audiences(spark, sf_dir):
+    """Theta-sketch union/intersection/difference estimates agree with
+    the exact click/purchase audience set sizes within sketch error."""
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    row = (
+        registry.REGISTRY["events_audience_theta_setops"]
+        .builder(spark, sf_dir)
+        .collect()[0]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    click = {
+        r.user_id
+        for r in ev.filter(F.col("event_type") == "click")
+        .select("user_id").distinct().collect()
+    }
+    purch = {
+        r.user_id
+        for r in ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().collect()
+    }
+
+    def close(est, exact):
+        assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+
+    close(row.click_users, len(click))
+    close(row.purchase_users, len(purch))
+    close(row.union_users, len(click | purch))
+    close(row.both_users, len(click & purch))
+    assert abs(row.click_only_users - len(click - purch)) <= max(
+        3, 0.05 * max(len(click - purch), 1)
+    )
