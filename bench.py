@@ -57,17 +57,26 @@ def main() -> int:
         .select(_noop(col("id"))).write.format("noop").mode("overwrite").save()
     warm_sec = time.perf_counter() - t_warm
 
-    # Each query is timed RUNS times and the minimum is recorded: the
-    # host shows multi-second steal-time spikes, and min-of-N is the
-    # standard way to report the engine's cost rather than the noise.
-    # The DataFrame cache is cleared between runs so a lazily-persisted
-    # subtree (e.g. the AllPairs shingle cache) is rebuilt each time —
-    # every recorded run is a cold-cache run.
-    RUNS = 2
+    # Each query is timed RUNS times; the MEDIAN is recorded (the host
+    # shows multi-second steal-time spikes — min-of-2, used through
+    # round 4, let a single lucky run mask them and a single unlucky
+    # pair fake a regression; median-of-5 settles sub-second deltas).
+    # The per-query min rides along in BENCH_FULL.json for continuity
+    # with the r01–r04 artifacts. The DataFrame cache is cleared
+    # between runs so a lazily-persisted subtree (e.g. the AllPairs
+    # shingle cache) is rebuilt each time — every recorded run is a
+    # cold-cache run.
+    RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
     times: dict[str, float] = {}
+    times_min: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, builder in registry.all_queries().items():
-        best = None
+        if only and name not in only:
+            continue
+        samples: list[float] = []
         for _ in range(RUNS):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
@@ -78,10 +87,17 @@ def main() -> int:
                 failed[name] = f"{type(e).__name__}: {e}"[:200]
                 print(f"bench: {name} FAILED: {failed[name]}", file=sys.stderr)
                 break
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        if best is not None and name not in failed:
-            times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        if samples and name not in failed:
+            samples.sort()
+            n = len(samples)
+            med = (
+                samples[n // 2]
+                if n % 2
+                else (samples[n // 2 - 1] + samples[n // 2]) / 2
+            )
+            times[name] = round(med, 3)
+            times_min[name] = round(samples[0], 3)
 
     total = round(sum(times.values()), 3)
     full = {
@@ -89,10 +105,12 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_min": times_min,
         "sf": sf,
         "n_queries": len(times),
         "warm_sec": round(warm_sec, 3),
         "runs_per_query": RUNS,
+        "stat": "median",
     }
     if failed:
         full["failed"] = failed
@@ -114,6 +132,7 @@ def main() -> int:
     BUDGET = 1700  # bytes for the printed line, < driver's 2000-char tail
     slowest = sorted(times.items(), key=lambda kv: -kv[1])
     out = dict(full)
+    out.pop("queries_min", None)  # full detail lives in BENCH_FULL.json
     if failed:
         out["failed"] = dict(list(failed.items())[:3])
         out["n_failed"] = len(failed)

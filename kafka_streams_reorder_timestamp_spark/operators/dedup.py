@@ -124,33 +124,114 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         ).alias("t"),
-    ).withColumn("sz", F.size("t"))
-    # Distribute the probe side across block keys: a single-file scan
-    # would otherwise run the whole blocked self-join (and the regexp
+    )
+    return blocked_jaccard_pairs(toks, ["lang", "source"], threshold=0.8)
+
+
+def blocked_jaccard_pairs(
+    toks: DataFrame,
+    block_cols: list[str],
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    set_col: str = "t",
+    block_cap: int = 20_000,
+    max_salt: int = 8,
+) -> DataFrame:
+    """Exact set-Jaccard pairs within blocks, skew-hardened.
+
+    A blocked self-join's parallelism is naturally bounded by the number
+    of DISTINCT blocks, and its cost is quadratic in block size — one
+    hot block (en, common-crawl at corpus scale) becomes one straggler
+    task. Blocks larger than `block_cap` rows are therefore split by a
+    DETERMINISTIC salt u = xxhash64(id) mod S (S = ceil(n/cap), capped
+    at `max_salt`) and self-joined on the TRIANGLE GRID of salt pairs
+    (i, j), i <= j: an A-side copy of each row goes to grid cells
+    (u, j>=u), a B-side copy to cells (i<=u, u), so every unordered
+    in-block pair meets in exactly one cell — (min salts, max salts) —
+    and the hot block's quadratic work spreads over S(S+1)/2
+    independent join keys. Replication factor is ~S+1 per row but ONLY
+    for oversized blocks (S=1 elsewhere reduces to the plain blocked
+    join bit-for-bit). Pair uniqueness: cell (i, i) takes id_a < id_b;
+    cells (i, j<i>...) i != j take each cross pair once and normalize
+    to (least, greatest). Deterministic salts keep the result
+    value-hash-stable across runs and engines.
+
+    The J >= t size band (min/max >= t) stays a lossless prefilter
+    evaluated before the array_intersect.
+    """
+    blocks = [F.col(c) for c in block_cols]
+    sized = toks.withColumn("sz", F.size(set_col))
+    # Per-block row counts: one tiny agg (distinct blocks only),
+    # broadcast back onto the rows to derive each block's salt count.
+    counts = sized.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+    salted = sized.join(F.broadcast(counts), block_cols).withColumn(
+        "_s",
+        F.least(
+            F.ceil(F.col("_bn") / F.lit(block_cap)).cast("int"),
+            F.lit(max_salt),
+        ),
+    )
+    salted = salted.withColumn(
+        "_u", F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
+    )
+    # Triangle grid: A-side explodes to cells (u, j >= u), B-side to
+    # cells (i <= u, u). The join below shuffles on
+    # (block_cols, _i, _j) — a hot block occupies S(S+1)/2 join keys
+    # instead of one, which is both the straggler fix locally and the
+    # partition spread a 1000-executor shuffle needs.
+    a = salted.withColumn(
+        "_j", F.explode(F.sequence(F.col("_u"), F.col("_s") - 1))
+    ).withColumnRenamed("_u", "_i")
+    b = salted.withColumn(
+        "_i", F.explode(F.sequence(F.lit(0), F.col("_u")))
+    ).withColumnRenamed("_u", "_j")
+    a = a.select(
+        *[F.col(c).alias(f"a_{c}") for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col(set_col).alias("t_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("_i").alias("i_a"),
+        F.col("_j").alias("j_a"),
+    )
+    # Distribute the probe side across (block, grid-cell) keys: a
+    # single-file scan would otherwise run every cell (and the
     # tokenize) in one task under a broadcast join. At cluster scale
     # this same hash partitioning is what the shuffle join needs anyway.
-    toks = toks.repartition(F.col("lang"), F.col("source"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
-    union = F.size(F.col("a.t")) + F.size(F.col("b.t")) - inter
-    jac = inter / union
-    # Jaccard >= t implies min(|A|,|B|)/max(|A|,|B|) >= t, so the size
-    # band is a lossless prefilter evaluated before array_intersect.
-    size_band = (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * 0.8) & (
-        F.col("b.sz") * F.lit(1.0) >= F.col("a.sz") * 0.8
+    a = a.repartition(
+        *[F.col(f"a_{c}") for c in block_cols], F.col("i_a"), F.col("j_a")
     )
+    b = b.select(
+        *[F.col(c).alias(f"b_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col(set_col).alias("t_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("_i").alias("i_b"),
+        F.col("_j").alias("j_b"),
+    )
+    on = [F.col(f"a_{c}") == F.col(f"b_{c}") for c in block_cols] + [
+        F.col("i_a") == F.col("i_b"),
+        F.col("j_a") == F.col("j_b"),
+    ]
+    # Each unordered pair once: same-salt cell orders by id; cross-salt
+    # cells pair A-fragment i with B-fragment j exactly once.
+    once = F.when(
+        F.col("i_a") == F.col("j_a"), F.col("id_a") < F.col("id_b")
+    ).otherwise(F.col("id_a") != F.col("id_b"))
+    size_band = (
+        F.col("sz_a") * F.lit(1.0) >= F.col("sz_b") * F.lit(threshold)
+    ) & (F.col("sz_b") * F.lit(1.0) >= F.col("sz_a") * F.lit(threshold))
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    inter = F.size(F.array_intersect(F.col("t_a"), F.col("t_b")))
+    union = F.col("sz_a") + F.col("sz_b") - inter
+    jac = inter / union
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & size_band,
-        )
-        .filter(jac >= 0.8)
+        a.join(b, cond & once & size_band)
+        .filter(jac >= threshold)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
             F.round(jac, 4).alias("jaccard"),
         )
     )

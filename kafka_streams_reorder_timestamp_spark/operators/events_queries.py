@@ -718,7 +718,11 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "|types|^2 per user, 5 types here), intersection and union "
     "sizes are exact integers, and the one division is correctly "
     "rounded — hash-stable. Two shuffles: the distinct and the "
-    "user-keyed pair join; the per-type sizes broadcast.",
+    "user-keyed pair join; the per-type sizes broadcast. This EXACT "
+    "variant is the sf-bounded ORACLE TWIN: its cost is quadratic in "
+    "audience size, so at corpus scale the default is "
+    "audience_overlap_matrix_theta, the same matrix from KB-sized "
+    "Theta sketches (error-bound-pinned against this twin in pytest).",
 )
 def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -753,6 +757,48 @@ def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("jaccard"),
         )
+    )
+
+
+@register(
+    "audience_overlap_matrix_theta",
+    oracle=None,  # sketch estimates are hash-function-specific; pytest
+    # pins every pair's estimates and Jaccard against the exact twin
+    # (event_type_audience_overlap) — below the sketch's sampling
+    # threshold Theta is exact, so the pin is tight at test SFs.
+    doc="THE 100 TB audience-overlap path: the full pairwise Jaccard "
+    "matrix computed from per-type Theta sketches instead of the "
+    "exact user-level self-join. ONE sketch pass over events (partial "
+    "aggregation — user ids never shuffle, only KB-sized sketch "
+    "partials), then every (type_a, type_b) cell is an intersection/"
+    "union of two sketches: O(|types|^2) merges of KB objects, "
+    "independent of audience size, where the exact twin "
+    "(event_type_audience_overlap) shuffles and joins the whole "
+    "DISTINCT (type, user) table — quadratic fan-out per hot user and "
+    "audience-sized shuffles at corpus scale. The tiny per-type sketch "
+    "table self-joins via broadcast.",
+)
+def audience_overlap_matrix_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    n_both = F.theta_sketch_estimate(
+        F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+    )
+    n_union = F.theta_sketch_estimate(
+        F.theta_union(F.col("sk_a"), F.col("sk_b"))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(n_both, 1).alias("n_both_est"),
+        F.round(F.theta_sketch_estimate("sk_a"), 1).alias("n_a_est"),
+        F.round(F.theta_sketch_estimate("sk_b"), 1).alias("n_b_est"),
+        F.round(n_both / n_union, 6).alias("jaccard_est"),
     )
 
 

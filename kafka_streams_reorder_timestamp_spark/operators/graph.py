@@ -128,10 +128,20 @@ def connected_components(
     "propagation + pointer jumping over the id-only edge table "
     "(O(log n) rounds, lineage truncated per round); the oracle is the "
     "same fixpoint as a DuckDB recursive CTE, so an ITERATIVE algorithm "
-    "is still value-hash-checked per round.",
+    "is still value-hash-checked per round. This exact-edge variant is "
+    "the sf-bounded ORACLE TWIN — at corpus scale the default is "
+    "dedup_clusters_lsh, whose candidate generation never goes "
+    "quadratic in a hot block.",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _clusters_from_pairs(pairs)
+
+
+def _clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) edge pairs -> (doc_id, cluster_id, cluster_size,
+    is_canonical) via connected components; cluster id = min doc_id =
+    the canonical survivor."""
     labels = connected_components(pairs, "doc_a", "doc_b")
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return labels.join(sizes, "label").select(
@@ -140,6 +150,33 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("label")).cast("int").alias("is_canonical"),
     )
+
+
+@register(
+    "dedup_clusters_lsh",
+    oracle=None,  # LSH hash-function-specific — driver records rows-only;
+    # pytest pins co-clustering of every planted near-dup plus >= 0.95
+    # pair-recall against the exact-edge clusters (test_graph.py).
+    doc="THE 100 TB duplicate-clustering path: connected components over "
+    "MinHash+LSH candidate pairs instead of the blocked exact-Jaccard "
+    "self-join. Candidate generation cost is banding (linear scans + "
+    "bucket joins), never quadratic in a (lang, source) block — at "
+    "corpus scale a hot block like (en, common-crawl) is a constant "
+    "fraction of the corpus and the exact path's within-block self-join "
+    "is O(block^2); LSH banding bounds fan-out by bucket size at any "
+    "corpus size. Runs over the same planted corpus as dedup_minhash_lsh "
+    "so the planted near-dups provably cluster; dedup_clusters (exact "
+    "edges, recursive-CTE oracle) is the sf-bounded oracle twin.",
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _planted_corpus, minhash_lsh_pairs
+    from ..sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = minhash_lsh_pairs(
+        _planted_corpus(d), "text", "doc_id", threshold=0.7
+    ).select("doc_a", "doc_b")
+    return _clusters_from_pairs(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -42,17 +42,22 @@ def register(name: str, oracle: str | None, doc: str = ""):
     return wrap
 
 
-def _last_verified_round() -> dict[str, int]:
-    """Map query name -> latest round whose CORRECTNESS_r{N}.json has a
-    row for it (any row — pass, fail, or no_oracle all count as
-    "the driver looked at it").
+def _driver_history() -> tuple[dict[str, int], set[str]]:
+    """(latest round with any CORRECTNESS_r{N}.json row per query,
+    names whose LATEST row was a failure).
+
+    A row is a failure when it carries a real error (anything but the
+    by-design ``no_oracle``) or any axis explicitly came back False.
 
     The driver's correctness gate checks only the FIRST 50 entries of
     ``queries()``; with 90+ registered queries a fixed order would leave
     the tail permanently unchecked. Ordering least-recently-verified
     first rotates coverage so every query gets a driver-verified row
-    within a couple of rounds. tests/test_oracle_parity.py still checks
-    the FULL registry locally every round regardless of this order.
+    within a couple of rounds — and a query whose latest row FAILED is
+    treated as never verified, so the gate keeps observing known
+    failures instead of rotating them out of the window for a full
+    cycle. tests/test_oracle_parity.py still checks the FULL registry
+    locally every round regardless of this order.
     """
     import glob
     import json
@@ -63,6 +68,7 @@ def _last_verified_round() -> dict[str, int]:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     seen: dict[str, int] = {}
+    latest_row: dict[str, tuple[int, dict]] = {}
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -75,15 +81,48 @@ def _last_verified_round() -> dict[str, int]:
             continue
         if not isinstance(rows, dict):
             continue
-        for name in rows:
+        for name, row in rows.items():
             seen[name] = max(seen.get(name, -1), rnd)
-    return seen
+            if not isinstance(row, dict):
+                row = {}
+            if name not in latest_row or rnd > latest_row[name][0]:
+                latest_row[name] = (rnd, row)
+    failed = set()
+    for name, (_, row) in latest_row.items():
+        err = row.get("err")
+        bad_err = err is not None and err != "no_oracle"
+        bad_axis = any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+        if bad_err or bad_axis:
+            failed.add(name)
+    return seen, failed
+
+
+_ROTATION_CACHE: tuple[tuple[str, ...], list[str]] | None = None
 
 
 def _rotated_names() -> list[str]:
-    seen = _last_verified_round()
+    """Registry names, least-recently-driver-verified first (failures
+    first of all). Cached per process — the CORRECTNESS_r*.json scan is
+    file I/O and its result cannot change mid-run; callers therefore
+    see one stable, reproducible order for the whole session."""
+    global _ROTATION_CACHE
+    names = tuple(REGISTRY)
+    if _ROTATION_CACHE is not None and _ROTATION_CACHE[0] == names:
+        return _ROTATION_CACHE[1]
+    seen, failed = _driver_history()
     order = {name: i for i, name in enumerate(REGISTRY)}
-    return sorted(REGISTRY, key=lambda n: (seen.get(n, -1), order[n]))
+    rotated = sorted(
+        REGISTRY,
+        key=lambda n: (
+            -2 if n in failed else seen.get(n, -1),  # fail ≺ never-seen ≺ old
+            order[n],
+        ),
+    )
+    _ROTATION_CACHE = (names, rotated)
+    return rotated
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -35,18 +35,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     own schema and the engine's schemas module documents the contract."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
+    # Every DATE/TIMESTAMP → epoch conversion in the registry (not just
+    # on `events` — e.g. orders_scd2_history's valid_from_us from
+    # `orders` alone) must agree with the DuckDB oracle's naive-UTC
+    # reading — pin the session timezone on EVERY load (runtime-
+    # settable) so results don't depend on who built the SparkSession
+    # or on which table a query happens to touch first.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark cannot read
         # natively ([PARQUET_TYPE_ILLEGAL]); the legacy conf surfaces it
         # as LongType epoch nanos. Set it here (runtime-settable) so the
         # catalog works in ANY session, including the driver's.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ->LTZ normalization below and every downstream
-        # date_trunc/hour/unix_micros must agree with the DuckDB
-        # oracle's naive-UTC reading — pin the session timezone here
-        # (runtime-settable) so results don't depend on who built the
-        # SparkSession (the driver's harness may not set it).
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         dtype = df.schema["ts"].dataType

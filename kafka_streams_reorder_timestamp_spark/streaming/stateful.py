@@ -44,11 +44,19 @@ def streaming_ema(
 
     The EMA recurrence ``ema <- alpha*x + (1-alpha)*ema`` is a fold,
     and folds COMPOSE: applying it to batch 2 starting from batch 1's
-    result equals applying it to the concatenation — so the streamed
-    answer is independent of micro-batch boundaries and equals the
+    result equals applying it to the concatenation — so WHEN micro-batch
+    boundaries respect event-time order (each batch's rows are no
+    earlier than the previous batch's), the streamed answer equals the
     batch recurrence over the full ordered input (pinned by test).
-    Within a batch the fold is evaluated in closed form with one numpy
-    dot product (weights (1-alpha)^(m-1-i)), not a Python loop per row.
+    Rows are sorted by event time WITHIN each batch, but a late row
+    that lands in a LATER micro-batch is folded at arrival position —
+    as the most recent observation — not retroactively inserted at its
+    event-time slot; ``last_ts_us`` in the emitted snapshot lets a
+    consumer detect that regression (snapshot's last_ts_us decreases or
+    repeats). Retroactive insertion would need O(history) state, which
+    this operator deliberately avoids. Within a batch the fold is
+    evaluated in closed form with one numpy dot product (weights
+    (1-alpha)^(m-1-i)), not a Python loop per row.
 
     State per key is O(1): (ema, n, last_ts_us). No timers — the
     snapshot cadence is the micro-batch cadence; keys absent from a

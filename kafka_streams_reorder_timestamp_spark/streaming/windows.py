@@ -201,14 +201,49 @@ def _view_fs(spark, path: str):
     return jvm, fs, hpath
 
 
+def _list_manifests(fs, root) -> list[tuple[int, "object"]]:
+    """All versioned manifests ``_LATEST.<seq>`` under the view root as
+    (seq, Path), ascending by seq. A legacy unversioned ``_LATEST`` (from
+    a view written by an older build) is returned as seq -1 so any
+    versioned manifest supersedes it."""
+    if not fs.exists(root):
+        return []
+    found: list[tuple[int, object]] = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name == _VIEW_MANIFEST:
+            found.append((-1, status.getPath()))
+        elif name.startswith(_VIEW_MANIFEST + "."):
+            suffix = name[len(_VIEW_MANIFEST) + 1 :]
+            if suffix.isdigit():
+                found.append((int(suffix), status.getPath()))
+    found.sort(key=lambda t: t[0])
+    return found
+
+
+def _read_manifest(jvm, fs, manifest_path) -> str:
+    stream = fs.open(manifest_path)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        ).strip()
+    finally:
+        stream.close()
+
+
 def current_view_snapshot(spark, view_path: str) -> str | None:
     """Resolve the live snapshot directory of a maintained view, or
-    None if the view was never created. Raises if the manifest exists
+    None if the view was never created. Raises if a manifest exists
     but points at a missing snapshot (corruption must fail loudly, not
-    masquerade as an empty first batch)."""
+    masquerade as an empty first batch).
+
+    The manifest is versioned (``_LATEST.<seq>``; highest seq wins), so
+    a swap is a pure create — there is never a moment where data exists
+    with no manifest, and a crash between creates leaves the previous
+    manifest live."""
     jvm, fs, root = _view_fs(spark, view_path)
-    manifest = jvm.org.apache.hadoop.fs.Path(root, _VIEW_MANIFEST)
-    if not fs.exists(manifest):
+    manifests = _list_manifests(fs, root)
+    if not manifests:
         if fs.exists(root) and fs.listStatus(root).__len__() > 0:
             raise RuntimeError(
                 f"view at {view_path} has data but no {_VIEW_MANIFEST} "
@@ -217,17 +252,12 @@ def current_view_snapshot(spark, view_path: str) -> str | None:
                 "aggregates)"
             )
         return None
-    stream = fs.open(manifest)
-    try:
-        name = jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        ).strip()
-    finally:
-        stream.close()
+    _, live = manifests[-1]
+    name = _read_manifest(jvm, fs, live)
     snap = jvm.org.apache.hadoop.fs.Path(root, name)
     if not fs.exists(snap):
         raise RuntimeError(
-            f"view manifest {view_path}/{_VIEW_MANIFEST} points at "
+            f"view manifest {view_path}/{live.getName()} points at "
             f"missing snapshot {name} — view is corrupted; restore "
             "from checkpoint replay or rebuild"
         )
@@ -257,17 +287,24 @@ def maintain_view(
     values changed; the upsert anti-joins them out of the stored view
     and unions the replacements in.
 
-    Crash safety: the view is never overwritten in place. Each batch
-    writes a NEW snapshot directory ``b=<batch_id>`` and then swaps a
-    one-line ``_LATEST`` manifest to it via write-temp + atomic rename,
-    so every moment in time has a complete live snapshot. A crash
-    mid-snapshot leaves the manifest on the previous snapshot and the
-    replayed batch rewrites the same ``b=<batch_id>`` dir (idempotent);
-    a manifest that points nowhere, or data with no manifest, raises
-    instead of being misread as "first batch". Older snapshots are
-    pruned only after the swap. At scale the snapshot write rewrites
-    only the view (key, aggregate) rows — never history — and can be
-    partitioned by key range so the anti-join is partition-local.
+    Crash safety: the view is never overwritten in place. Each upsert
+    ATTEMPT writes a fresh snapshot directory ``b=<batch_id>a<attempt>``
+    (attempt = first unused index, so a replayed micro-batch never
+    writes onto the directory its own lazy plan is reading — the
+    self-overwrite race a shared ``b=<batch_id>`` name would have) and
+    then publishes it by CREATING the next versioned manifest
+    ``_LATEST.<seq>``; readers resolve the highest seq. Because the
+    swap is a pure create (no delete-then-rename of the live manifest),
+    there is no moment where data exists without a manifest, and a
+    crash at any point leaves the previous manifest live and complete.
+    A manifest that points nowhere, or data with no manifest, raises
+    instead of being misread as "first batch". Pruning is delayed by
+    one generation: the previous live snapshot (and its manifest) are
+    kept so a reader that resolved the old manifest just before the
+    swap still finds its data; only older generations are deleted. At
+    scale the snapshot write rewrites only the view (key, aggregate)
+    rows — never history — and can be partitioned by key range so the
+    anti-join is partition-local.
 
     Returns the started StreamingQuery.
     """
@@ -285,35 +322,66 @@ def maintain_view(
             merged = existing.join(
                 batch.select(keys), keys, "left_anti"
             ).unionByName(batch)
-        new_name = f"b={batch_id}"
-        new_path = jvm.org.apache.hadoop.fs.Path(root, new_name)
+        # Fresh dir per attempt: never reuse a name that exists (a
+        # previous crashed attempt, or — on replay — the live snapshot
+        # this merge is lazily reading from).
+        attempt = 0
+        while True:
+            new_name = f"b={batch_id}a{attempt}"
+            new_path = jvm.org.apache.hadoop.fs.Path(root, new_name)
+            if not fs.exists(new_path):
+                break
+            attempt += 1
         merged.write.mode("overwrite").parquet(str(new_path))
 
-        # Atomic pointer swap: temp file + rename (atomic on HDFS and
-        # POSIX; on object stores pair this with a rename-capable
-        # metadata layer).
-        manifest = jvm.org.apache.hadoop.fs.Path(root, _VIEW_MANIFEST)
+        # Publish: create the next versioned manifest. Write a temp
+        # file then rename to the (nonexistent) final name — atomic on
+        # HDFS and POSIX; on object stores pair with a rename-capable
+        # metadata layer.
+        manifests = _list_manifests(fs, root)
+        next_seq = (manifests[-1][0] + 1) if manifests else 0
+        final = jvm.org.apache.hadoop.fs.Path(
+            root, f"{_VIEW_MANIFEST}.{next_seq}"
+        )
         tmp = jvm.org.apache.hadoop.fs.Path(
-            root, f"{_VIEW_MANIFEST}.tmp.{batch_id}"
+            root, f".{_VIEW_MANIFEST}.tmp.{batch_id}.{attempt}"
         )
         out = fs.create(tmp, True)
         try:
             out.write(bytearray(new_name.encode("utf-8")))
         finally:
             out.close()
-        if fs.exists(manifest):
-            fs.delete(manifest, False)
-        if not fs.rename(tmp, manifest):
+        if not fs.rename(tmp, final):
             raise RuntimeError(f"manifest swap failed for {view_path}")
-        # Prune superseded snapshots (anything but the live one).
+
+        # Prune, one generation behind: keep the live snapshot and the
+        # previous live one (a concurrent reader may have just resolved
+        # it); drop everything older, plus manifests older than the
+        # previous generation and any orphaned tmp files.
+        keep_names = {new_name}
+        keep_seqs = {next_seq}
+        if manifests:
+            prev_seq, prev_path = manifests[-1]
+            keep_seqs.add(prev_seq)
+            keep_names.add(_read_manifest(jvm, fs, prev_path))
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             if (
                 status.isDirectory()
                 and name.startswith("b=")
-                and name != new_name
+                and name not in keep_names
             ):
                 fs.delete(status.getPath(), True)
+            elif name.startswith("." + _VIEW_MANIFEST + ".tmp."):
+                fs.delete(status.getPath(), False)
+            elif name == _VIEW_MANIFEST and -1 not in keep_seqs:
+                fs.delete(status.getPath(), False)
+            elif (
+                name.startswith(_VIEW_MANIFEST + ".")
+                and name[len(_VIEW_MANIFEST) + 1 :].isdigit()
+                and int(name[len(_VIEW_MANIFEST) + 1 :]) not in keep_seqs
+            ):
+                fs.delete(status.getPath(), False)
 
     return (
         agg_stream.writeStream.outputMode("update")

@@ -40,3 +40,58 @@ def test_edge_direction_is_irrelevant(spark):
 def test_dense_clique_single_round_shape(spark):
     got = _labels(spark, [(a, b) for a in range(6) for b in range(a + 1, 6)])
     assert got == {i: 0 for i in range(6)}
+
+
+def test_lsh_clusters_match_exact_clusters_on_planted_corpus(spark, sf_dir):
+    """dedup_clusters_lsh (the 100 TB path: LSH candidate edges) must
+    co-cluster every planted near-duplicate with its source and agree
+    with clustering over the exact shingle-Jaccard edge set at >= 0.95
+    same-cluster pair recall — closing the loop LSH edges -> exact
+    edges -> DuckDB oracle (dedup_jaccard_shingles)."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        _planted_corpus,
+        shingle_jaccard_pairs,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.graph import (
+        _clusters_from_pairs,
+        dedup_clusters_lsh,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    from pyspark.sql import functions as F
+
+    lsh_rows = dedup_clusters_lsh(spark, sf_dir).collect()
+    lsh_label = {r.doc_id: r.cluster_id for r in lsh_rows}
+    # every planted perturbation (doc_id >= 1e9) clusters with its source
+    planted = [r.doc_id for r in lsh_rows if r.doc_id >= 1_000_000_000]
+    assert len(planted) >= 20, "planted near-dups missing from LSH clusters"
+    for pid in planted:
+        src = pid - 1_000_000_000
+        assert lsh_label.get(src) == lsh_label[pid], (src, pid)
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    exact_pairs = shingle_jaccard_pairs(
+        _planted_corpus(d), "text", "doc_id", threshold=0.7
+    ).select("doc_a", "doc_b")
+    exact_rows = _clusters_from_pairs(exact_pairs).collect()
+    exact_label = {r.doc_id: r.cluster_id for r in exact_rows}
+
+    def same_cluster_pairs(label):
+        from collections import defaultdict
+
+        groups = defaultdict(list)
+        for doc, lab in label.items():
+            groups[lab].append(doc)
+        out = set()
+        for docs in groups.values():
+            docs.sort()
+            out.update(
+                (a, b) for i, a in enumerate(docs) for b in docs[i + 1 :]
+            )
+        return out
+
+    truth = same_cluster_pairs(exact_label)
+    got = same_cluster_pairs(lsh_label)
+    assert truth, "exact clustering found no co-clustered pairs — vacuous"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"LSH cluster pair-recall {recall:.3f} < 0.95"

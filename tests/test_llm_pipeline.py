@@ -379,3 +379,35 @@ def test_theta_setops_match_exact_audiences(spark, sf_dir):
     assert abs(row.click_only_users - len(click - purch)) <= max(
         3, 0.05 * max(len(click - purch), 1)
     )
+
+
+def test_theta_overlap_matrix_matches_exact_twin(spark, sf_dir):
+    """audience_overlap_matrix_theta (the 100 TB path) reproduces the
+    exact pairwise overlap matrix (event_type_audience_overlap, its
+    oracle twin) within sketch error on every (type_a, type_b) cell —
+    sizes, intersection, and Jaccard."""
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+
+    est = {
+        (r.type_a, r.type_b): r
+        for r in registry.REGISTRY["audience_overlap_matrix_theta"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        (r.type_a, r.type_b): r
+        for r in registry.REGISTRY["event_type_audience_overlap"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert set(est) == set(exact) and exact, "matrix cells differ"
+
+    def close(e, x):
+        assert abs(e - x) <= max(3, 0.05 * x), (e, x)
+
+    for k, r in est.items():
+        t = exact[k]
+        close(r.n_a_est, t.n_a)
+        close(r.n_b_est, t.n_b)
+        close(r.n_both_est, t.n_both)
+        assert abs(r.jaccard_est - t.jaccard) <= 0.05, (k, r, t)

@@ -96,3 +96,49 @@ def test_salted_join_left(spark):
     out = salted_join(big, small, ["k"], how="left").collect()
     got = {(r.k, r.v, r.d) for r in out}
     assert got == {(1, "x", "dim1"), (1, "y", "dim1"), (2, "z", None)}
+
+
+def test_blocked_jaccard_salting_is_exact_and_spreads_hot_block(spark):
+    """One hot block far above block_cap: the triangle-grid salted
+    self-join must (a) return exactly the pairs a brute-force in-block
+    Jaccard finds, and (b) spread the block over multiple grid-cell
+    join keys — the no-single-block-straggler property. Small blocks
+    (S=1) must reduce to the plain blocked join."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+    )
+    from kafka_streams_reorder_timestamp_spark.plans import physical_plan
+
+    # 60 docs in ONE block; 10 planted near-dup pairs (drop last word of
+    # a 25-token doc -> J = 24/25 = 0.96), the rest disjoint vocab.
+    rows = []
+    for i in range(10):
+        toks = [f"t{i}_{j}" for j in range(25)]
+        rows.append((i, "hot", toks))
+        rows.append((1000 + i, "hot", toks[:-1]))
+    for i in range(40):
+        rows.append((2000 + i, "hot", [f"z{i}_{j}" for j in range(25)]))
+    # plus a small block that must stay unsalted (S=1)
+    small = [(3000, "cold", ["a", "b", "c"]), (3001, "cold", ["a", "b", "c"])]
+    df = spark.createDataFrame(rows + small, ["doc_id", "blk", "t"])
+
+    got = blocked_jaccard_pairs(
+        df, ["blk"], threshold=0.8, block_cap=10, max_salt=4
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got.collect()}
+    expect = {(i, 1000 + i) for i in range(10)} | {(3000, 3001)}
+    assert set(pairs) == expect, sorted(set(pairs) ^ expect)
+    for (a, b), j in pairs.items():
+        assert j >= 0.8
+
+    # structural: the probe side is hash-partitioned on the grid keys,
+    # so the hot block occupies S(S+1)/2 join keys, not one.
+    plan = physical_plan(got)
+    assert "i_a" in plan and "j_a" in plan
+    assert "hashpartitioning" in plan
+
+    # exactness against an unsalted run of the same helper (cap high
+    # enough that S=1 everywhere — the plain blocked join)
+    plain = blocked_jaccard_pairs(df, ["blk"], threshold=0.8, block_cap=10_000)
+    plain_pairs = {(r.doc_a, r.doc_b) for r in plain.collect()}
+    assert plain_pairs == set(pairs)

