@@ -911,3 +911,93 @@ def brand_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             "confidence_a_to_b"
         ),
     )
+
+
+@register(
+    "lineitem_returnflag_pivot",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(SUM(CASE WHEN l_returnflag = 'A'
+                 THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2)::DOUBLE
+             AS qty_a,
+           ROUND(SUM(CASE WHEN l_returnflag = 'N'
+                 THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2)::DOUBLE
+             AS qty_n,
+           ROUND(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2)::DOUBLE
+             AS qty_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="PIVOT: quantity totals by line status with return flags spread "
+    "into columns — the long-to-wide reshape surface "
+    "(relational `df.groupBy().pivot().agg()`). The pivot values are "
+    "DECLARED ('A','N','R'), not discovered, so no extra distinct-scan "
+    "job runs and the plan is one partial+final aggregation exactly "
+    "like the un-pivoted groupBy — at 100 TB pivot costs nothing over "
+    "the agg; sums in exact decimal, rounded once. Oracle = the "
+    "equivalent conditional aggregation.",
+)
+def lineitem_returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(qty))
+    )
+    return out.select(
+        "l_linestatus",
+        F.round(F.col("A"), 2).cast("double").alias("qty_a"),
+        F.round(F.col("N"), 2).cast("double").alias("qty_n"),
+        F.round(F.col("R"), 2).cast("double").alias("qty_r"),
+    )
+
+
+@register(
+    "customer_cohort_retention",
+    oracle="""
+    WITH fo AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), act AS (
+      SELECT DISTINCT o.o_custkey, f.cohort,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.cohort) * 12 + month(f.cohort)) AS month_n
+      FROM orders o JOIN fo f ON o.o_custkey = f.o_custkey
+    )
+    SELECT epoch_us(cohort) AS cohort_month_us,
+           CAST(month_n AS BIGINT) AS month_n,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: customers grouped by first-order "
+    "month, counted as active in each later month — the "
+    "(cohort x months-since) retention triangle behind every growth "
+    "dashboard. Month offsets are exact integer arithmetic "
+    "(year*12+month), so the matrix is engine-independent. Shape: one "
+    "min-agg per customer, one co-partitioned join back onto orders "
+    "(both sides hash on o_custkey — single shuffle each), one "
+    "distinct + count. No window functions, no skew (custkey is "
+    "uniform).",
+)
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    fo = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    midx = F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    cidx = F.year("cohort") * 12 + F.month("cohort")
+    act = (
+        o.join(fo, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort",
+            (midx - cidx).cast("long").alias("month_n"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.unix_micros(F.col("cohort").cast("timestamp")).alias("cohort_month_us"),
+        "month_n",
+    ).agg(F.count(F.lit(1)).alias("n_active"))

@@ -749,3 +749,48 @@ def dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b", dist.cast("bigint").alias("edit_dist")
         )
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT lang, source,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+      FROM documents WHERE text IS NOT NULL
+    ), g AS (
+      SELECT lang, source, f, COUNT(*) AS n FROM fp GROUP BY 1, 2, 3
+    )
+    SELECT lang, source,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_duplicates,
+           ROUND((SUM(n) - COUNT(*)) * 1.0 / SUM(n), 6) AS dup_rate
+    FROM g GROUP BY 1, 2
+    """,
+    doc="Curation reporting: exact-duplicate rate per (lang, source) — "
+    "the per-provider quality score a corpus pipeline publishes after "
+    "each dedup pass (which sources ship redundant data). Two "
+    "aggregations over digests only: raw text collapses to md5 "
+    "fingerprints in the map stage, so the shuffles carry (block, "
+    "digest, count) — never documents — and the second agg input is "
+    "one row per distinct digest. Uniform 128-bit keys, no skew at "
+    "any corpus size.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    g = (
+        d.select(
+            "lang",
+            "source",
+            F.md5(normalize_text(F.col("text"))).alias("f"),
+        )
+        .groupBy("lang", "source", "f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return g.groupBy("lang", "source").agg(
+        F.sum("n").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).alias("n_duplicates"),
+        F.round(
+            (F.sum("n") - F.count(F.lit(1))) * 1.0 / F.sum("n"), 6
+        ).alias("dup_rate"),
+    )

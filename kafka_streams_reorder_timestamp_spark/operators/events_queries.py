@@ -878,3 +878,76 @@ def events_audience_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_difference(F.col("sk_a"), F.col("sk_b"))
         ).alias("click_only_users"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT v.user_id,
+           epoch_us(v.t1) AS view_us,
+           epoch_us(c.t2) AS click_us,
+           epoch_us(p.t3) AS purchase_us,
+           CAST(1 + (c.t2 IS NOT NULL)::INT + (p.t3 IS NOT NULL)::INT
+                AS BIGINT) AS funnel_depth
+    FROM v LEFT JOIN c ON c.user_id = v.user_id
+           LEFT JOIN p ON p.user_id = v.user_id
+    """,
+    doc="Ordered funnel: per user, the first view, the first click "
+    "AFTER that view, and the first purchase AFTER that click — "
+    "step timestamps must be causally ordered, which a naive "
+    "per-type MIN gets wrong (a click before the first view must not "
+    "count). Three aggregations and two joins, ALL keyed on user_id: "
+    "one hash partitioning serves every stage (co-partitioned joins, "
+    "no re-shuffle), per-step state is one row per user, and "
+    "timestamps stay exact epoch-µs integers. The LLM-pipeline "
+    "relevance: identical shape to multi-stage document lineage "
+    "(crawled -> cleaned -> deduped 'first time after' chains).",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("t1").alias("view_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).cast("long").alias("funnel_depth"),
+        )
+    )

@@ -50,7 +50,7 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
     by-design ``no_oracle``) or any axis explicitly came back False.
 
     The driver's correctness gate checks only the FIRST 50 entries of
-    ``queries()``; with 90+ registered queries a fixed order would leave
+    ``queries()``; with 100+ registered queries a fixed order would leave
     the tail permanently unchecked. Ordering least-recently-verified
     first rotates coverage so every query gets a driver-verified row
     within a couple of rounds — and a query whose latest row FAILED is
