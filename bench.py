@@ -123,20 +123,29 @@ def main() -> int:
     # that fit a conservative byte budget. "value" is always the true
     # total over ALL queries.
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    # A filtered run (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    # committed full artifact with a partial one — write it to a
+    # side file and mark the JSON so totals are never misread as a
+    # whole-registry number.
+    if only:
+        full["only"] = sorted(only)
+        artifact = "BENCH_PARTIAL.json"
+    else:
+        artifact = "BENCH_FULL.json"
     try:
-        with open(os.path.join(repo_root, "BENCH_FULL.json"), "w") as f:
+        with open(os.path.join(repo_root, artifact), "w") as f:
             json.dump(full, f, indent=1, sort_keys=True)
     except OSError as e:  # never let the artifact write kill the JSON line
-        print(f"bench: BENCH_FULL.json write failed: {e}", file=sys.stderr)
+        print(f"bench: {artifact} write failed: {e}", file=sys.stderr)
 
     BUDGET = 1700  # bytes for the printed line, < driver's 2000-char tail
     slowest = sorted(times.items(), key=lambda kv: -kv[1])
     out = dict(full)
-    out.pop("queries_min", None)  # full detail lives in BENCH_FULL.json
+    out.pop("queries_min", None)  # full detail lives in the artifact
     if failed:
         out["failed"] = dict(list(failed.items())[:3])
         out["n_failed"] = len(failed)
-    out["full"] = "BENCH_FULL.json"
+    out["full"] = artifact
     for k in range(len(slowest), -1, -1):
         out["queries"] = dict(slowest[:k])
         out["queries_shown"] = k

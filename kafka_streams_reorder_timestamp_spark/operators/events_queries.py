@@ -798,7 +798,11 @@ def audience_overlap_matrix_theta(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(n_both, 1).alias("n_both_est"),
         F.round(F.theta_sketch_estimate("sk_a"), 1).alias("n_a_est"),
         F.round(F.theta_sketch_estimate("sk_b"), 1).alias("n_b_est"),
-        F.round(n_both / n_union, 6).alias("jaccard_est"),
+        # disjoint audiences estimate to union 0 only when both sketches
+        # are empty; guard the division so the matrix never emits null
+        F.when(n_union > 0, F.round(n_both / n_union, 6))
+        .otherwise(F.lit(0.0))
+        .alias("jaccard_est"),
     )
 
 

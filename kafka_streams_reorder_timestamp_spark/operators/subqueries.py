@@ -454,29 +454,25 @@ def q2_min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "share ONE lineitem scan+shuffle (Catalyst gives the two consumers "
     "different column prunings, so exchange reuse alone does not "
     "dedupe them — round-5 plan audit measured the doubled scan). The "
-    "filter passes < 3000 rows by construction (at most 2999 parts "
-    "can each hold > 1/3000 of the total), so the eager "
-    "materialization that releases the cache is O(1)-bounded at any "
-    "scale.",
+    "persist is LAZY: nothing executes at plan-build time (registry "
+    "enumeration and plan-shape gates must see the real plan, not a "
+    "checkpointed Scan ExistingRDD), and within the one real action "
+    "the broadcast job computes the total first, filling the cache "
+    "the probe side then reads. The cache is reclaimed by "
+    "clearCache/ContextCleaner like the AllPairs shingle cache.",
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
     val = li.groupBy("l_partkey").agg(F.sum(rev).alias("v")).persist()
     tot = val.agg(F.sum("v").alias("t"))
-    out = (
+    return (
         val.join(F.broadcast(tot))
         .filter(F.col("v") * 3000 > F.col("t"))
         .select(
             "l_partkey", F.round("v", 2).cast("double").alias("part_value")
         )
     )
-    # The broadcast job computes `tot` first and fills the cache; the
-    # probe side then reads cached rows. Materialize the (<3000-row)
-    # result and drop the cache so nothing leaks across invocations.
-    out = out.localCheckpoint(eager=True)
-    val.unpersist()
-    return out
 
 
 @register(

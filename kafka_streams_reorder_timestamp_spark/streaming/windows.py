@@ -264,6 +264,30 @@ def current_view_snapshot(spark, view_path: str) -> str | None:
     return str(snap)
 
 
+def _writer_view_snapshot(spark, view_path: str) -> str | None:
+    """current_view_snapshot for the UPSERT path: a root that holds
+    ONLY unpublished attempt dirs (``b=*``) and/or manifest tmp files —
+    the state a crash between the first snapshot write and the first
+    manifest create legitimately leaves behind — resolves to None (the
+    replay writes a fresh attempt and publishes it) instead of raising.
+    Anything else without a manifest (real data files, foreign entries)
+    still raises: that is manifest loss, not an interrupted publish."""
+    try:
+        return current_view_snapshot(spark, view_path)
+    except RuntimeError:
+        _, fs, root = _view_fs(spark, view_path)
+        if _list_manifests(fs, root):
+            raise  # manifest exists but points at a missing snapshot
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            benign = (
+                status.isDirectory() and name.startswith("b=")
+            ) or name.startswith("." + _VIEW_MANIFEST + ".tmp.")
+            if not benign:
+                raise
+        return None
+
+
 def read_view(spark, view_path: str) -> DataFrame:
     """Read the current snapshot of a maintained view."""
     snap = current_view_snapshot(spark, view_path)
@@ -297,8 +321,11 @@ def maintain_view(
     swap is a pure create (no delete-then-rename of the live manifest),
     there is no moment where data exists without a manifest, and a
     crash at any point leaves the previous manifest live and complete.
-    A manifest that points nowhere, or data with no manifest, raises
-    instead of being misread as "first batch". Pruning is delayed by
+    A manifest that points nowhere, or real data with no manifest,
+    raises instead of being misread as "first batch" — with one carve-
+    out: a root holding only unpublished ``b=*`` attempt dirs (the
+    state a crash before the FIRST publish leaves) is "never created",
+    and the replayed batch publishes normally. Pruning is delayed by
     one generation: the previous live snapshot (and its manifest) are
     kept so a reader that resolved the old manifest just before the
     swap still finds its data; only older generations are deleted. At
@@ -314,7 +341,7 @@ def maintain_view(
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
         jvm, fs, root = _view_fs(spark, view_path)
-        snap = current_view_snapshot(spark, view_path)
+        snap = _writer_view_snapshot(spark, view_path)
         if snap is None:
             merged = batch
         else:

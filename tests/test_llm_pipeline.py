@@ -400,12 +400,18 @@ def test_theta_overlap_matrix_matches_exact_twin(spark, sf_dir):
         .builder(spark, sf_dir)
         .collect()
     }
-    assert set(est) == set(exact) and exact, "matrix cells differ"
+    # the theta matrix emits EVERY type pair; the exact twin's inner
+    # join omits zero-overlap pairs — those matrix cells must estimate
+    # (near) zero intersection, all shared cells must agree.
+    assert exact and set(exact) <= set(est), "matrix is missing exact cells"
 
     def close(e, x):
         assert abs(e - x) <= max(3, 0.05 * x), (e, x)
 
     for k, r in est.items():
+        if k not in exact:
+            assert r.n_both_est <= 3, (k, r)
+            continue
         t = exact[k]
         close(r.n_a_est, t.n_a)
         close(r.n_b_est, t.n_b)

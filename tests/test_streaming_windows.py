@@ -532,10 +532,10 @@ def test_maintain_view_snapshot_generations(spark, tmp_path):
     assert all("a" in s for s in snaps), snaps
     assert 1 <= len(snaps) <= 2, snaps
     assert 1 <= len(manifests) <= 2, manifests
+    # the live snapshot must be the one the HIGHEST-seq manifest names
     live = current_view_snapshot(spark, str(view))
-    assert live.split("/")[-1] == max(
-        manifests, key=lambda m: int(m.split(".")[-1])
-    ) or True  # live resolved via highest manifest; existence checked below
+    highest = max(manifests, key=lambda m: int(m.split(".")[-1]))
+    assert live.split("/")[-1] == (view / highest).read_text().strip()
     assert read_view(spark, str(view)).count() == 2
 
     # Resume with more data: same checkpoint, view keeps accumulating.
@@ -601,3 +601,59 @@ def test_maintain_view_legacy_manifest_compat(spark, tmp_path):
     )
     assert got.to_dict() == {1: 1.0, 2: 5.0}
     assert list(view.glob("_LATEST.*")), "versioned manifest should exist"
+
+
+def test_maintain_view_first_publish_crash_recovers(spark, tmp_path):
+    """A crash between the FIRST snapshot write and the first manifest
+    create leaves only an unpublished b=* attempt dir. The reader-facing
+    resolver still refuses the manifest-less state, but the WRITER must
+    recognize it as an interrupted publish and recover: the replayed
+    batch writes a fresh attempt and publishes normally."""
+    import pytest as _pytest
+
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        current_view_snapshot,
+        maintain_view,
+        read_view,
+    )
+
+    view = tmp_path / "view"
+    view.mkdir()
+    # simulate the orphaned first attempt (no manifest was ever created)
+    (
+        spark.createDataFrame([(1, 99.0)], ["user_id", "sum_v"])
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(view / "b=0a0"))
+    )
+    with _pytest.raises(RuntimeError, match="no _LATEST"):
+        current_view_snapshot(spark, str(view))  # readers still fail loudly
+
+    src = tmp_path / "in"
+    (
+        spark.createDataFrame(
+            [("2024-01-01 00:00:00", 1, 1.0), ("2024-01-01 00:01:00", 2, 2.0)],
+            ["ts_s", "user_id", "value"],
+        )
+        .select(F.to_timestamp("ts_s").alias("ts"), "user_id", "value")
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(str(src))
+    )
+    agg = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(str(src))
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("sum_v"))
+    )
+    q = maintain_view(agg, str(view), ["user_id"], str(tmp_path / "ck"))
+    q.awaitTermination(300)
+    got = (
+        read_view(spark, str(view))
+        .toPandas()
+        .set_index("user_id")["sum_v"]
+        .sort_index()
+    )
+    # the orphaned attempt's contents are NOT merged (it was never
+    # published); the replay's own aggregation is the published state
+    assert got.to_dict() == {1: 1.0, 2: 2.0}
