@@ -459,3 +459,110 @@ def token_cooccurrence_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: two-pass Misra-Gries candidates + exact recount
+
+
+def misra_gries_candidates(
+    df: DataFrame, text_col: str, capacity: int
+) -> DataFrame:
+    """Candidate heavy-hitter tokens via per-batch Misra-Gries summaries.
+
+    Each Arrow batch keeps at most `capacity` counters (decrement-all
+    when full — the classic MG step), so executor memory is O(capacity)
+    REGARDLESS of vocabulary size; a hash aggregation would hold the
+    batch's full vocabulary. Guarantee: any token with global frequency
+    > total/capacity has batch-local frequency > batch_total/capacity
+    in at least one batch (else the sum over batches contradicts the
+    global bound), and MG with `capacity` counters always surfaces
+    those — so the candidate set provably CONTAINS every global heavy
+    hitter; an exact distributed recount of the (small) candidate set
+    then removes false positives. Output: distinct candidate tokens.
+    """
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf[text_col]:
+                if text is None:
+                    continue
+                for tok in str(text).lower().split():
+                    tok = tok.strip()
+                    if not tok:
+                        continue
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # decrement-all; drop zeros (one dict sweep)
+                        counters = {
+                            t: c - 1 for t, c in counters.items() if c > 1
+                        }
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return (
+        df.select(text_col)
+        .mapInPandas(summarize, schema="token string")
+        .distinct()
+    )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS token
+      FROM documents WHERE text IS NOT NULL
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok)
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           ROUND(COUNT(*) * 1.0 / MAX(tot.n), 6) AS frequency
+    FROM tok, tot
+    GROUP BY token
+    HAVING COUNT(*) * 400 > MAX(tot.n)
+    """,
+    doc="EXACT heavy hitters with BOUNDED memory: tokens occurring in "
+    "> 1/400 of all token occurrences. Pass 1 runs a per-batch "
+    "Misra-Gries summary (mapInPandas, O(capacity) state per task — "
+    "never the vocabulary, which at 100 TB exceeds executor memory "
+    "for a plain hash agg before spilling) whose candidate set "
+    "provably contains every global heavy hitter; pass 2 recounts "
+    "ONLY the candidates exactly (explode + broadcast semi-join + "
+    "one partial agg) and filters with the exact integer threshold "
+    "count*400 > total. The approximate pass guarantees recall, the "
+    "exact pass guarantees precision — so this two-pass sketch "
+    "operator is fully value-hash-checkable against a brute-force "
+    "DuckDB oracle, unlike a one-pass sketch. Total occurrences come "
+    "from sum(size(tokens)) — no explode for the denominator.",
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = tokens(F.col("text"))
+    cand = misra_gries_candidates(d, "text", capacity=400)
+    # denominator: one codegen scan, no explode
+    total = d.agg(F.sum(F.size(tok)).alias("n"))
+    counts = (
+        d.select(F.explode(tok).alias("token"))
+        .join(F.broadcast(cand), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_occurrences") * 400 > F.col("n"))
+        .select(
+            "token",
+            "n_occurrences",
+            F.round(F.col("n_occurrences") * 1.0 / F.col("n"), 6).alias(
+                "frequency"
+            ),
+        )
+    )

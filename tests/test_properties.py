@@ -146,3 +146,60 @@ def test_asof_join_matches_pandas_merge_asof(spark, data):
     assert [None if pd.isna(v) else int(v) for v in got["rrow"]] == [
         None if pd.isna(v) else int(v) for v in exp["rrow"]
     ]
+
+
+# --------------------------------------------------------------------------
+# Salted blocked Jaccard: for ANY corpus and any (block_cap, max_salt),
+# the triangle-grid salted self-join returns exactly the pairs a
+# brute-force per-block Jaccard finds — salting changes the partition
+# layout, never the result.
+
+_corpus_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # block id (forces collisions)
+        st.lists(
+            st.integers(min_value=0, max_value=12),  # token universe
+            min_size=1,
+            max_size=8,
+            unique=True,
+        ),
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_corpus_strategy, st.sampled_from([1, 2, 100]))
+def test_salted_jaccard_equals_bruteforce_property(spark, corpus, cap):
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        blocked_jaccard_pairs,
+    )
+
+    rows = [
+        (i, f"blk{blk}", [f"w{t}" for t in toks])
+        for i, (blk, toks) in enumerate(corpus)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "blk", "t"])
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in blocked_jaccard_pairs(
+            df, ["blk"], threshold=0.5, block_cap=cap, max_salt=4
+        ).collect()
+    }
+
+    expect = {}
+    for i, (blk_a, ta) in enumerate(corpus):
+        for j in range(i + 1, len(corpus)):
+            blk_b, tb = corpus[j]
+            if blk_a != blk_b:
+                continue
+            sa, sb = set(ta), set(tb)
+            jac = len(sa & sb) / len(sa | sb)
+            if jac >= 0.5:
+                expect[(i, j)] = round(jac, 4)
+    assert got == expect
