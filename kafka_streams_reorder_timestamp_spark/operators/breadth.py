@@ -1001,3 +1001,41 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("cohort").cast("timestamp")).alias("cohort_month_us"),
         "month_n",
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "lineitem_measures_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2) AS l_quantity,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2)
+               AS l_extendedprice,
+             ROUND(SUM(CAST(l_discount AS DECIMAL(25,6))), 2) AS l_discount
+      FROM lineitem
+    )
+    SELECT 'l_quantity' AS measure, l_quantity::DOUBLE AS total FROM agg
+    UNION ALL
+    SELECT 'l_extendedprice', l_extendedprice::DOUBLE FROM agg
+    UNION ALL
+    SELECT 'l_discount', l_discount::DOUBLE FROM agg
+    """,
+    doc="UNPIVOT (melt): per-measure totals reshaped wide-to-long — the "
+    "inverse of lineitem_returnflag_pivot, completing the reshape "
+    "surface (relational `df.unpivot`). Scale shape: aggregate FIRST "
+    "(one decimal-exact partial+final agg over the fact scan), then "
+    "unpivot the ONE-ROW result — the Expand multiplication applies "
+    "to one row, not the corpus; unpivoting the raw table before "
+    "aggregating would push 3x the rows through the shuffle for the "
+    "same answer. Oracle = UNION ALL of the three aggregates.",
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[
+            F.round(F.sum(F.col(c).cast(DEC)), 2).alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ]
+    )
+    return agg.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "total"
+    ).select("measure", F.col("total").cast("double").alias("total"))
