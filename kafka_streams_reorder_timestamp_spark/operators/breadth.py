@@ -685,25 +685,35 @@ def segment_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp"))).alias(
-            "r_us"
-        ),
-        F.count(F.lit(1)).alias("f"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-            "m_cents"
-        ),
-    )
-    scored = cust
+    # Lazy persist: each of the three rank passes reads the customer
+    # aggregate THREE times (bounds agg, per-bucket counts agg, main
+    # branch) — chaining the passes compounded that into up to 27
+    # re-executions of this subtree (round-5 plan audit); ranking the
+    # three measures independently off the cache and joining the
+    # (custkey, score) outputs makes it one orders scan + three
+    # cached-input rank passes + two co-partitioned small joins.
+    cust = (
+        o.groupBy("o_custkey").agg(
+            F.unix_micros(F.max(F.col("o_orderdate").cast("timestamp"))).alias(
+                "r_us"
+            ),
+            F.count(F.lit(1)).alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "m_cents"
+            ),
+        )
+    ).persist()
+    scored = None
     for col, out in (("r_us", "r_score"), ("f", "f_score"), ("m_cents", "m_score")):
-        scored = global_rank_buckets(
-            scored,
+        part = global_rank_buckets(
+            cust.select("o_custkey", col),
             bucket_col=col,
             order_by=[F.col(col).desc(), F.col("o_custkey")],
             n_groups=4,
             out_col=out,
             descending=True,
-        )
+        ).select("o_custkey", out)
+        scored = part if scored is None else scored.join(part, "o_custkey")
     return scored.select("o_custkey", "r_score", "f_score", "m_score")
 
 
