@@ -8,6 +8,10 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 All real logic lives in ``kafka_streams_reorder_timestamp_spark``;
 this module only adapts the engine's query registry to the driver's
 calling convention.
+
+Cache contract (see ``operators/registry.py``): a few builders persist
+a shared intermediate; long-lived sessions enumerating many queries
+should ``spark.catalog.clearCache()`` between query actions.
 """
 
 from __future__ import annotations

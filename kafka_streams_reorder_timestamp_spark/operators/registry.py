@@ -11,6 +11,17 @@ Parity rules (so the driver's order-insensitive value-hash matches):
     order differs between engines by a few ulps otherwise);
   - timestamps are emitted as epoch microseconds (BIGINT) because the
     DuckDB views carry nanosecond timestamps while Spark uses micros.
+
+Cache contract: a few builders ``.persist()`` an intermediate that is
+consumed by more than one downstream branch (e.g.
+``customer_rfm_scores``, ``q11_important_parts``). The builder cannot
+unpersist it — the plan it returns is lazy and still references the
+cached table when the CALLER finally runs an action. Harness-style
+consumers that enumerate many queries in one long-lived session must
+therefore call ``spark.catalog.clearCache()`` after each query's
+action completes (``bench.py`` and ``parity.py`` both do); otherwise
+cached partitions accumulate in executor storage memory for the
+session's lifetime and are reclaimed only by the ContextCleaner.
 """
 
 from __future__ import annotations

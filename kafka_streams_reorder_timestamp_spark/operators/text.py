@@ -480,19 +480,29 @@ def misra_gries_candidates(
     those — so the candidate set provably CONTAINS every global heavy
     hitter; an exact distributed recount of the (small) candidate set
     then removes false positives. Output: distinct candidate tokens.
+
+    Tokenization happens JVM-side with the SAME `tokens()` expression
+    the exact recount uses — the candidate pass and the recount see
+    byte-identical tokens by construction. (A Python-side
+    `str.split()` here would split on Unicode whitespace like \\xa0
+    while the recount's engine rule is ASCII \\s+; a token containing
+    such a char would fragment only in the candidate pass, and a
+    genuine heavy hitter could miss the candidate set — silently
+    breaking the provable-recall guarantee.)
     """
     import pandas as pd
+
+    from ..functions.texthash import tokens
+
+    toks_df = df.select(tokens(F.col(text_col)).alias("toks"))
 
     def summarize(batches):
         counters: dict[str, int] = {}
         for pdf in batches:
-            for text in pdf[text_col]:
-                if text is None:
+            for toks in pdf["toks"]:
+                if toks is None:
                     continue
-                for tok in str(text).lower().split():
-                    tok = tok.strip()
-                    if not tok:
-                        continue
+                for tok in toks:
                     if tok in counters:
                         counters[tok] += 1
                     elif len(counters) < capacity:
@@ -504,11 +514,7 @@ def misra_gries_candidates(
                         }
         yield pd.DataFrame({"token": list(counters.keys())})
 
-    return (
-        df.select(text_col)
-        .mapInPandas(summarize, schema="token string")
-        .distinct()
-    )
+    return toks_df.mapInPandas(summarize, schema="token string").distinct()
 
 
 @register(

@@ -264,24 +264,38 @@ def current_view_snapshot(spark, view_path: str) -> str | None:
     return str(snap)
 
 
-def _writer_view_snapshot(spark, view_path: str) -> str | None:
+def _writer_view_snapshot(
+    spark, view_path: str, batch_id: int
+) -> str | None:
     """current_view_snapshot for the UPSERT path: a root that holds
-    ONLY unpublished attempt dirs (``b=*``) and/or manifest tmp files —
-    the state a crash between the first snapshot write and the first
-    manifest create legitimately leaves behind — resolves to None (the
-    replay writes a fresh attempt and publishes it) instead of raising.
-    Anything else without a manifest (real data files, foreign entries)
-    still raises: that is manifest loss, not an interrupted publish."""
+    ONLY unpublished attempt dirs of the REPLAYING batch itself
+    (``b=<batch_id>a<n>``) and/or manifest tmp files — the state a
+    crash between the first snapshot write and the first manifest
+    create legitimately leaves behind — resolves to None (the replay
+    writes a fresh attempt and publishes it) instead of raising.
+
+    The benign set is keyed to ``batch_id`` on purpose: an attempt dir
+    from any OTHER batch can only be manifest-less if its publish
+    succeeded and the manifests were later lost — published snapshots
+    are also ``b=*`` dirs, so accepting every ``b=*`` here would let
+    total manifest loss after N publishes silently rebuild the view
+    from the current micro-batch alone (and then prune the orphaned
+    snapshots, discarding all prior aggregate state). Foreign ``b=*``
+    dirs, real data files, or anything else without a manifest still
+    raise: that is manifest loss, not an interrupted first publish."""
     try:
         return current_view_snapshot(spark, view_path)
     except RuntimeError:
         _, fs, root = _view_fs(spark, view_path)
         if _list_manifests(fs, root):
             raise  # manifest exists but points at a missing snapshot
+        own_attempt = f"b={batch_id}a"
         for status in fs.listStatus(root):
             name = status.getPath().getName()
             benign = (
-                status.isDirectory() and name.startswith("b=")
+                status.isDirectory()
+                and name.startswith(own_attempt)
+                and name[len(own_attempt) :].isdigit()
             ) or name.startswith("." + _VIEW_MANIFEST + ".tmp.")
             if not benign:
                 raise
@@ -323,9 +337,11 @@ def maintain_view(
     crash at any point leaves the previous manifest live and complete.
     A manifest that points nowhere, or real data with no manifest,
     raises instead of being misread as "first batch" — with one carve-
-    out: a root holding only unpublished ``b=*`` attempt dirs (the
-    state a crash before the FIRST publish leaves) is "never created",
-    and the replayed batch publishes normally. Pruning is delayed by
+    out: a root holding only the replaying batch's OWN unpublished
+    attempt dirs ``b=<batch_id>a<n>`` (the state a crash before the
+    FIRST publish leaves) is "never created", and the replayed batch
+    publishes normally. Attempt dirs of other batches do not qualify —
+    manifest-less published snapshots mean manifest loss and raise. Pruning is delayed by
     one generation: the previous live snapshot (and its manifest) are
     kept so a reader that resolved the old manifest just before the
     swap still finds its data; only older generations are deleted. At
@@ -341,7 +357,7 @@ def maintain_view(
         spark = batch.sparkSession
         batch = batch.localCheckpoint(eager=True)
         jvm, fs, root = _view_fs(spark, view_path)
-        snap = _writer_view_snapshot(spark, view_path)
+        snap = _writer_view_snapshot(spark, view_path, batch_id)
         if snap is None:
             merged = batch
         else:

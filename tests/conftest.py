@@ -31,3 +31,18 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def oracle_sf_dir() -> str:
     return ORACLE_SF_DIR
+
+
+# Larger dataset for volume/throughput tests (100k-row events table).
+# Overridable so the suite is portable off this sandbox; tests that
+# need it skip when the directory is absent.
+VOLUME_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_VOLUME_SF_DIR", "/root/testdata/sf0.1"
+)
+
+
+@pytest.fixture(scope="session")
+def volume_sf_dir() -> str:
+    if not os.path.isdir(VOLUME_SF_DIR):
+        pytest.skip(f"volume dataset {VOLUME_SF_DIR} not available")
+    return VOLUME_SF_DIR

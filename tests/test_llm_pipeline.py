@@ -439,14 +439,20 @@ def test_misra_gries_candidates_contain_heavy_hitters(spark):
             toks.append("heavy_beta")
         if i % 20 == 10:
             toks.append("heavy_gamma")
+        if i % 20 == 15:
+            # contains U+00A0: Unicode whitespace for Python str.split()
+            # but NOT engine \s+ — one token under the engine rule. A
+            # Python-side tokenizer in the candidate pass would fragment
+            # it and the heavy hitter would miss the candidate set.
+            toks.append("heavy\xa0delta")
         rows.append((i, " ".join(toks)))
     df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
     cand = {r.token for r in misra_gries_candidates(df, "text", 50).collect()}
-    total = 20000 * 3 + 3000
-    # each heavy token: 1000 occurrences > total/50 = 1260? no — use the
+    total = 20000 * 3 + 4000
+    # each heavy token: 1000 occurrences > total/50 = 1280? no — use the
     # real guarantee threshold: tokens above total/capacity MUST appear
     assert 1000 > total / 100  # sanity: heavies are genuinely heavy
-    for t in ("heavy_alpha", "heavy_beta", "heavy_gamma"):
-        assert t in cand, f"{t} missing from {len(cand)} candidates"
+    for t in ("heavy_alpha", "heavy_beta", "heavy_gamma", "heavy\xa0delta"):
+        assert t in cand, f"{t!r} missing from {len(cand)} candidates"
     # and the summary stayed small relative to the ~60k-token vocabulary
     assert len(cand) <= 50 * 8  # capacity x partitions upper bound

@@ -657,3 +657,39 @@ def test_maintain_view_first_publish_crash_recovers(spark, tmp_path):
     # the orphaned attempt's contents are NOT merged (it was never
     # published); the replay's own aggregation is the published state
     assert got.to_dict() == {1: 1.0, 2: 2.0}
+
+
+def test_writer_refuses_foreign_attempt_dirs_as_first_batch(spark, tmp_path):
+    """Total manifest loss after N publishes leaves published b=* dirs
+    with no manifest. The writer's first-publish carve-out must NOT
+    accept those as 'never created' — that would rebuild the view from
+    one micro-batch and prune the orphans, silently discarding all
+    prior aggregate state. Only the replaying batch's own attempt dirs
+    b=<batch_id>a<n> are benign."""
+    import pytest as _pytest
+
+    from kafka_streams_reorder_timestamp_spark.streaming.windows import (
+        _writer_view_snapshot,
+    )
+
+    view = tmp_path / "view"
+    view.mkdir()
+    df = spark.createDataFrame([(1, 99.0)], ["user_id", "sum_v"]).coalesce(1)
+    # two published-then-manifest-lost generations (pruning keeps two)
+    df.write.mode("overwrite").parquet(str(view / "b=0a0"))
+    df.write.mode("overwrite").parquet(str(view / "b=1a0"))
+
+    # any replaying batch sees at least one foreign b=* dir -> raise
+    for bid in (0, 1, 2):
+        with _pytest.raises(RuntimeError, match="no _LATEST"):
+            _writer_view_snapshot(spark, str(view), bid)
+
+    # but a root holding ONLY the replaying batch's own attempts is the
+    # legitimate interrupted-first-publish state and resolves to None
+    solo = tmp_path / "solo"
+    solo.mkdir()
+    df.write.mode("overwrite").parquet(str(solo / "b=7a0"))
+    df.write.mode("overwrite").parquet(str(solo / "b=7a1"))
+    assert _writer_view_snapshot(spark, str(solo), 7) is None
+    with _pytest.raises(RuntimeError, match="no _LATEST"):
+        _writer_view_snapshot(spark, str(solo), 8)
