@@ -53,10 +53,15 @@ def connected_components(
     # produced the pairs must not re-execute every round.
     sym = sym.localCheckpoint(eager=True)
 
+    # Seed = identity init + the first neighbor-min FUSED into one agg:
+    # label(v) = min(v, neighbors(v)). One shuffle and one checkpoint
+    # replace the separate distinct-node init plus a full first round —
+    # on the dominant real shape (small components, diameter 1-2) the
+    # loop below then runs exactly one confirming round.
     labels = (
-        sym.select("a")
-        .distinct()
-        .select(F.col("a").alias("id"), F.col("a").alias("label"))
+        sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).alias("label"))
+        .select(F.col("a").alias("id"), "label")
         .localCheckpoint(eager=True)
     )
 
@@ -173,8 +178,16 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.catalog import load_table
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # 64 hashes / 8 bands keeps r=8 — the SAME S-curve knee (1/8)^(1/8)
+    # ≈ 0.77 family as the pair query's 128/16 — at half the signature
+    # width and half the banding-explode rows. Catch probability for a
+    # true j >= 0.9 pair is 1-(1-0.9^8)^8 ≈ 0.989 per pair (vs ≈0.9998
+    # at 16 bands); the clustering recall floor (>= 0.95 same-cluster
+    # pair recall vs exact edges) is pinned by
+    # tests/test_graph.py::test_lsh_clusters_match_exact_clusters_on_planted_corpus.
     pairs = minhash_lsh_pairs(
-        _planted_corpus(d), "text", "doc_id", threshold=0.7
+        _planted_corpus(d), "text", "doc_id",
+        num_hashes=64, bands=8, threshold=0.7,
     ).select("doc_a", "doc_b")
     return _clusters_from_pairs(pairs)
 
