@@ -224,3 +224,94 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", normalize_text(F.col("text")).alias("norm")).join(
         F.broadcast(probes), F.expr("contains(norm, probe)")
     ).select("doc_id", "probe_id")
+
+
+@register(
+    "decontaminate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), probes AS (
+      SELECT doc_id AS probe_id,
+             array_to_string(list_slice(t, 1, 8), ' ') AS probe
+      FROM toks WHERE doc_id < 5
+    ), planted AS (
+      SELECT tk.doc_id + 2000000000 AS doc_id,
+             list_concat(list_slice(tk.t, 1, 12),
+                         str_split(p.probe, ' ')) AS t
+      FROM toks tk JOIN probes p ON p.probe_id = tk.doc_id - 10
+      WHERE len(tk.t) >= 12
+    ), all_toks AS (
+      SELECT doc_id, t FROM toks
+      UNION ALL SELECT doc_id, t FROM planted
+    ), spans AS (
+      SELECT doc_id, i - 1 AS span_offset,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM all_toks,
+           LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) g
+      WHERE len(t) >= 8
+    )
+    SELECT s.doc_id, p.probe_id, CAST(s.span_offset AS BIGINT) AS span_offset
+    FROM spans s JOIN probes p ON s.gram = p.probe
+    """,
+    doc="SPAN-level benchmark decontamination: for every document, "
+    "report WHERE each probe 8-gram matches (0-based token offset of "
+    "the window), not just that the document is contaminated — real "
+    "eval-set decon excises the matching span or paragraph rather than "
+    "dropping the whole document, so the pipeline needs offsets. "
+    "A deterministic planted slice (probe g-grams of docs 0-4 spliced "
+    "into docs 10-14 at token offset 12, ids +2e9) proves non-trivial "
+    "mid-document offsets are found, mirroring _planted_corpus. "
+    "Shape: tokenize once, slide an 8-token window per position "
+    "(in-row transform, no self-join), explode to (gram, offset) rows "
+    "that feed a MAP-SIDE broadcast hash join against the tiny probe "
+    "set — matches are filtered at the scan stage, so no shuffle ever "
+    "carries the corpus or its n_tokens-per-doc window rows; output "
+    "size is the number of contaminated spans only. Complements "
+    "decontaminate_docs (document-level containment flag).",
+)
+def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    probes = toks.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("probe_id"),
+        F.array_join(F.slice("t", 1, 8), " ").alias("probe"),
+    )
+    # Deterministic contamination: splice each probe's token run into
+    # the middle of a disjoint host doc (10-14) so matches occur at a
+    # non-zero offset the windowing must find.
+    planted = (
+        toks.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 15))
+        .filter(F.size("t") >= 12)
+        .join(
+            F.broadcast(probes),
+            F.col("probe_id") == F.col("doc_id") - 10,
+        )
+        .select(
+            (F.col("doc_id") + F.lit(2_000_000_000)).alias("doc_id"),
+            F.concat(F.slice("t", 1, 12), F.split("probe", " ")).alias("t"),
+        )
+    )
+    all_toks = toks.unionByName(planted).filter(F.size("t") >= 8)
+    # All 8-token windows of a doc as (offset, gram) structs, built
+    # in-row; docs shorter than 8 tokens contribute none (a sequence
+    # with a negative end would run DESCENDING, hence the guard above).
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 8),
+        lambda i: F.struct(
+            i.cast("long").alias("span_offset"),
+            F.array_join(F.slice(F.col("t"), i + 1, 8), " ").alias("gram"),
+        ),
+    )
+    spans = all_toks.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.span_offset").alias("span_offset"),
+        F.col("s.gram").alias("gram"),
+    )
+    return spans.join(
+        F.broadcast(probes), F.col("gram") == F.col("probe")
+    ).select("doc_id", "probe_id", "span_offset")
