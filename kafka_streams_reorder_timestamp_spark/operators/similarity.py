@@ -640,3 +640,126 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic near-duplicate pairs, bucketed by k-means centroid
+
+
+def _planted_embeddings(e: DataFrame) -> DataFrame:
+    """embeddings plus deterministic planted semantic near-duplicates:
+    copies of the 20 lowest vec_ids with +0.05 added to dimension 0,
+    new ids offset by 10^9. The perturbed copy's cosine to its source
+    is ~0.999 on these unit-scale vectors — above any semantic-dup
+    threshold — while cosines between unrelated vectors sit near 0.
+    Mirrors dedup._planted_corpus so recall is measurable per round."""
+    perturbed = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+        F.transform(
+            F.col("emb"),
+            lambda x, i: x + F.when(i == 0, F.lit(0.05)).otherwise(F.lit(0.0)),
+        ).alias("emb"),
+    )
+    return e.select("vec_id", "emb").unionByName(perturbed)
+
+
+@register(
+    "semdedup_pairs",
+    oracle=None,  # centroid-bucketed (data-dependent partitioning) —
+    # driver records rows-only; pytest pins 100% planted-pair recall
+    # plus co-bucketing (tests/test_llm_pipeline.py).
+    doc="SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, "
+    "'SemDeDup: Data-efficient learning at web-scale through semantic "
+    "deduplication'): assign every vector to its max-cosine k-means "
+    "centroid (the kmeans_assign_embeddings step, broadcast centroids, "
+    "one corpus scan + one max-struct partial agg — no per-vector "
+    "window sort), then compute pairwise cosine ONLY within each "
+    "centroid bucket as one numpy block matmul per bucket "
+    "(applyInPandas) and keep pairs >= 0.95. Near-identical vectors "
+    "share an argmax centroid, so semantic dups are found without the "
+    "all-pairs join: total work is sum(bucket^2), bounded by bucket "
+    "size, and at 100 TB k grows ~sqrt(N) (IVF codebook sizing) so "
+    "buckets stay executor-sized while the assignment stays one "
+    "broadcast scan. Assignment is MULTI-PROBE (each vector lands in "
+    "its top-2 centroid buckets): a pair sitting on a Voronoi boundary "
+    "can argmax to different centroids and a single-probe pass loses "
+    "it — with two probes the pair is found whenever the two top-2 "
+    "sets intersect, the standard IVF nprobe>1 recall lever, at a "
+    "bounded 4x within-bucket work factor. Cross-bucket duplicates "
+    "collapse in one final pair-keyed agg. Runs over embeddings plus "
+    "20 planted perturbed copies (ids +1e9) so recall is provable per "
+    "round.",
+)
+def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    threshold = 0.95
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster_id", T.LongType(), False),
+            T.StructField("vec_a", T.LongType(), False),
+            T.StructField("vec_b", T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["emb"].to_numpy()).astype("float64")
+        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+        cos = mn @ mn.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), key[0], dtype="int64"),
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "cos_sim": np.round(cos[ia[keep], ib[keep]], 6),
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    corpus = _planted_embeddings(e).withColumn("_n", l2_norm("emb", dim=DIM))
+    cent = (
+        e.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
+        .withColumn("_cn", l2_norm("cemb", dim=DIM))
+    )
+    cos = dot("emb", "cemb", dim=DIM) / (F.col("_n") * F.col("_cn"))
+    # Top-2 centroids per vector WITHOUT a per-vector window sort: the
+    # broadcast cross join keeps each vector's k rows inside one task,
+    # so collect_list combines map-side and the shuffle carries one
+    # k-struct array per vector; sort_array + slice picks the two best
+    # (ties to the LOWEST cid via the negated id in the struct order).
+    top2 = F.slice(
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("_cos").alias("c"), (-F.col("cid")).alias("nc"))
+            ),
+            asc=False,
+        ),
+        1,
+        2,
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cid", cos.alias("_cos"))
+        .groupBy("vec_id")
+        .agg(top2.alias("top2"), F.first("emb").alias("emb"))
+        .select("vec_id", "emb", F.explode("top2").alias("t"))
+        .select("vec_id", "emb", (-F.col("t.nc")).alias("cid"))
+    )
+    pairs = assigned.groupBy("cid").applyInPandas(block, schema=out_schema)
+    # A pair found in both of its shared probe buckets appears twice —
+    # collapse to one row (cos_sim is identical, cluster_id -> lowest).
+    return (
+        pairs.groupBy("vec_a", "vec_b")
+        .agg(
+            F.min("cluster_id").alias("cluster_id"),
+            F.min("cos_sim").alias("cos_sim"),
+        )
+        .select("cluster_id", "vec_a", "vec_b", "cos_sim")
+    )

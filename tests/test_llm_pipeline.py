@@ -456,3 +456,22 @@ def test_misra_gries_candidates_contain_heavy_hitters(spark):
         assert t in cand, f"{t!r} missing from {len(cand)} candidates"
     # and the summary stayed small relative to the ~60k-token vocabulary
     assert len(cand) <= 50 * 8  # capacity x partitions upper bound
+
+
+def test_semdedup_planted_pairs_recovered(spark, sf_dir):
+    """SemDeDup (centroid-bucketed semantic near-dup): every planted
+    perturbed copy (vec_id >= 1e9, cosine ~0.999 to its source) must be
+    recovered as a pair despite the bucketing — the top-2 multi-probe
+    assignment is what makes Voronoi-boundary pairs findable — and no
+    unrelated pair (random cosines ~0) may cross the 0.95 threshold."""
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    pdf = REGISTRY["semdedup_pairs"].builder(spark, sf_dir).toPandas()
+    planted = {(i, i + 1_000_000_000) for i in range(20)}
+    got = set(zip(pdf.vec_a, pdf.vec_b))
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"planted-pair recall {recall:.2f} < 0.95"
+    assert not (got - planted), f"false positives: {sorted(got - planted)[:5]}"
+    assert (pdf.cos_sim >= 0.95).all()
