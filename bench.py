@@ -72,6 +72,7 @@ def main() -> int:
     }
     times: dict[str, float] = {}
     times_min: dict[str, float] = {}
+    times_spread: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name, builder in registry.all_queries().items():
         if only and name not in only:
@@ -98,7 +99,15 @@ def main() -> int:
             )
             times[name] = round(med, 3)
             times_min[name] = round(samples[0], 3)
+            # Noise guard: relative spread (max-min)/median across the
+            # runs. Queries above NOISY_SPREAD are listed in "noisy" so
+            # a round-over-round delta on them can be attributed to
+            # machine variance without re-running (this host's observed
+            # noise floor reaches 2x on sub-second queries).
+            times_spread[name] = round((samples[-1] - samples[0]) / med, 3)
 
+    NOISY_SPREAD = 0.30
+    noisy = sorted(n for n, s in times_spread.items() if s > NOISY_SPREAD)
     total = round(sum(times.values()), 3)
     full = {
         "metric": "total_query_wall_sec",
@@ -106,6 +115,9 @@ def main() -> int:
         "unit": "sec",
         "queries": times,
         "queries_min": times_min,
+        "queries_spread": times_spread,
+        "noisy_spread_threshold": NOISY_SPREAD,
+        "noisy": noisy,
         "sf": sf,
         "n_queries": len(times),
         "warm_sec": round(warm_sec, 3),
@@ -141,7 +153,13 @@ def main() -> int:
     BUDGET = 1700  # bytes for the printed line, < driver's 2000-char tail
     slowest = sorted(times.items(), key=lambda kv: -kv[1])
     out = dict(full)
-    out.pop("queries_min", None)  # full detail lives in the artifact
+    # full detail lives in the artifact; the printed line only carries
+    # the noisy COUNT so the driver's record shows how trustworthy the
+    # per-query numbers are without blowing the byte budget
+    out.pop("queries_min", None)
+    out.pop("queries_spread", None)
+    out.pop("noisy", None)
+    out["n_noisy"] = len(noisy)
     if failed:
         out["failed"] = dict(list(failed.items())[:3])
         out["n_failed"] = len(failed)
