@@ -315,3 +315,177 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans.join(
         F.broadcast(probes), F.col("gram") == F.col("probe")
     ).select("doc_id", "probe_id", "span_offset")
+
+
+# Shared PII regexes — Java-regex and RE2 compatible, identical
+# semantics in Spark and DuckDB (ASCII classes, \b word boundaries).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+PII_IP = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+
+@register(
+    "docs_pii_redaction",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id < 10 THEN
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-867-530'
+                    || CAST(doc_id % 10 AS VARCHAR)
+                    || ' from 192.168.1.' || CAST(doc_id AS VARCHAR)
+             ELSE text END AS text2
+      FROM documents WHERE text IS NOT NULL
+    ), hits AS (
+      SELECT source,
+             len(regexp_extract_all(text2, '{PII_EMAIL}')) AS n_emails,
+             len(regexp_extract_all(text2, '{PII_PHONE}')) AS n_phones,
+             len(regexp_extract_all(text2, '{PII_IP}')) AS n_ips,
+             length(text2) - length(
+               regexp_replace(regexp_replace(regexp_replace(
+                 text2, '{PII_EMAIL}', '', 'g'),
+                 '{PII_PHONE}', '', 'g'),
+                 '{PII_IP}', '', 'g')) AS n_pii_chars
+      FROM base
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE n_emails + n_phones + n_ips > 0)
+             AS n_docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+           CAST(SUM(n_ips) AS BIGINT) AS total_ips,
+           CAST(SUM(n_pii_chars) AS BIGINT) AS total_pii_chars
+    FROM hits GROUP BY source
+    HAVING SUM(n_emails) + SUM(n_phones) + SUM(n_ips) > 0
+    """,
+    doc="PII detection/redaction accounting — the compliance pass every "
+    "training corpus needs before release: count emails, NANP phone "
+    "numbers and IPv4 addresses per source and the chars a redaction "
+    "pass would remove (length delta of chained regexp_replace). "
+    "Deterministic planted PII on docs 0-9 proves each pattern fires. "
+    "Pure narrow scan-side regex work (Spark codegen regexp_count / "
+    "regexp_replace — no UDF, no shuffle before the source-grain "
+    "partial agg); at 100 TB this runs at scan speed alongside any "
+    "other per-doc signal. The real production pattern list is a "
+    "config concern; the engine shape — N regexes fused into one "
+    "projection over one scan — is what this pins.",
+)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-867-530"),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(" from 192.168.1."),
+        F.col("doc_id").cast("string"),
+    )
+    text2 = F.when(F.col("doc_id") < 10, planted).otherwise(F.col("text"))
+    base = d.select("doc_id", "source", text2.alias("text2"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text2"), PII_EMAIL, ""), PII_PHONE, ""
+        ),
+        PII_IP,
+        "",
+    )
+    hits = base.select(
+        "source",
+        F.regexp_count(F.col("text2"), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text2"), F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count(F.col("text2"), F.lit(PII_IP)).alias("n_ips"),
+        (F.length("text2") - F.length(redacted)).alias("n_pii_chars"),
+    )
+    return (
+        hits.groupBy("source")
+        .agg(
+            F.count_if(
+                F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0
+            ).alias("n_docs_with_pii"),
+            F.sum("n_emails").alias("total_emails"),
+            F.sum("n_phones").alias("total_phones"),
+            F.sum("n_ips").alias("total_ips"),
+            F.sum("n_pii_chars").alias("total_pii_chars"),
+        )
+        .filter(
+            F.col("total_emails") + F.col("total_phones") + F.col("total_ips")
+            > 0
+        )
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 3000000000, text FROM documents
+      WHERE text IS NOT NULL AND doc_id < 10
+    ), fp AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd'
+                    THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM corpus
+    ), leaks AS (
+      SELECT fingerprint FROM fp
+      GROUP BY fingerprint HAVING COUNT(DISTINCT split) > 1
+    )
+    SELECT f.split,
+           COUNT(DISTINCT f.fingerprint) AS n_leaked_fingerprints,
+           COUNT(*) AS n_leaked_docs
+    FROM fp f JOIN leaks l USING (fingerprint)
+    GROUP BY f.split
+    """,
+    doc="Split-leakage audit: exact-duplicate texts whose copies land "
+    "in DIFFERENT train/val/test splits (the id-hash split assigns by "
+    "doc_id, so verbatim dups leak across the boundary — the classic "
+    "silent eval-inflation bug). Verbatim copies of docs 0-9 (ids "
+    "+3e9) are planted so the detector provably fires — their id-hash "
+    "splits differ from their sources'. Composes the engine's own "
+    "split rule (split_train_val_test) with the exact-dedup "
+    "fingerprint: one "
+    "fingerprint-keyed agg over uniform 128-bit keys finds fingerprints "
+    "spanning >1 split, then a semi-join back attributes leaked docs "
+    "per split. At 100 TB both sides are digest-only tables (16 "
+    "bytes/doc) — the corpus text is scanned once and never shuffled. "
+    "The fix a pipeline applies downstream is split-by-fingerprint "
+    "instead of split-by-id; this query is the detector that says "
+    "whether you must.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(3_000_000_000)).alias("doc_id"), "text"
+    )
+    d = base.unionByName(planted)
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    fp = d.select(
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        split.alias("split"),
+    )
+    leaks = (
+        fp.groupBy("fingerprint")
+        .agg(F.count_distinct("split").alias("_ns"))
+        .filter(F.col("_ns") > 1)
+        .select("fingerprint")
+    )
+    return (
+        fp.join(leaks, "fingerprint")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("fingerprint").alias("n_leaked_fingerprints"),
+            F.count(F.lit(1)).alias("n_leaked_docs"),
+        )
+    )

@@ -572,3 +572,86 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "docs_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id, lang,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               AS grams
+      FROM toks WHERE len(t) >= 3
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             len(grams) AS n_grams,
+             len(list_distinct(grams)) AS n_distinct
+      FROM sh
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+           CAST(SUM(n_distinct) AS BIGINT) AS total_distinct,
+           ROUND(1.0 - CAST(SUM(n_distinct) AS DOUBLE) / SUM(n_grams), 6)
+             AS corpus_rep_ratio,
+           ROUND(MAX(1.0 - CAST(n_distinct AS DOUBLE) / n_grams), 6)
+             AS worst_doc_rep_ratio
+    FROM per_doc GROUP BY lang
+    """,
+    doc="Intra-document repetition ratio (the Gopher-rules quality "
+    "signal that catches boilerplate and degenerate generations): per "
+    "doc, the fraction of 3-gram occurrences that are repeats "
+    "(1 - distinct/total), rolled up per lang. The rollup sums the "
+    "INTEGER counts and divides once, so the corpus ratio is exact "
+    "integer arithmetic + one double division — order-independent and "
+    "bit-identical on any engine (a per-doc double AVG would be "
+    "sum-order-sensitive); the per-doc worst case survives as a MAX, "
+    "which needs no order either. Shape: one narrow scan building "
+    "shingles in-row (no explode — array_distinct/size inside the "
+    "projection), one lang-grain partial agg. At 100 TB this is "
+    "scan-speed work like every other per-doc signal.",
+)
+def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", "lang", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    per_doc = toks.select(
+        "lang",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("n_distinct").alias("total_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_distinct").cast("double") / F.sum("n_grams"),
+            6,
+        ).alias("corpus_rep_ratio"),
+        F.round(
+            F.max(
+                F.lit(1.0)
+                - F.col("n_distinct").cast("double") / F.col("n_grams")
+            ),
+            6,
+        ).alias("worst_doc_rep_ratio"),
+    )
