@@ -73,6 +73,7 @@ def main() -> int:
     times: dict[str, float] = {}
     times_min: dict[str, float] = {}
     times_spread: dict[str, float] = {}
+    times_runs: dict[str, list[float]] = {}
     failed: dict[str, str] = {}
     for name, builder in registry.all_queries().items():
         if only and name not in only:
@@ -90,6 +91,7 @@ def main() -> int:
                 break
             samples.append(time.perf_counter() - t0)
         if samples and name not in failed:
+            raw = list(samples)  # chronological order, pre-sort
             samples.sort()
             n = len(samples)
             med = (
@@ -100,11 +102,17 @@ def main() -> int:
             times[name] = round(med, 3)
             times_min[name] = round(samples[0], 3)
             # Noise guard: relative spread (max-min)/median across the
-            # runs. Queries above NOISY_SPREAD are listed in "noisy" so
-            # a round-over-round delta on them can be attributed to
+            # STEADY-STATE runs — the chronologically FIRST run is
+            # excluded because it carries one-time plan compilation
+            # (analysis + codegen), which is a fixed cost, not machine
+            # noise (including it flagged ~80% of queries). Queries
+            # above NOISY_SPREAD are listed in "noisy" so a
+            # round-over-round delta on them can be attributed to
             # machine variance without re-running (this host's observed
             # noise floor reaches 2x on sub-second queries).
-            times_spread[name] = round((samples[-1] - samples[0]) / med, 3)
+            steady = sorted(raw[1:]) if len(raw) > 1 else sorted(raw)
+            times_spread[name] = round((steady[-1] - steady[0]) / med, 3)
+            times_runs[name] = [round(s, 3) for s in raw]
 
     NOISY_SPREAD = 0.30
     noisy = sorted(n for n, s in times_spread.items() if s > NOISY_SPREAD)
@@ -116,6 +124,7 @@ def main() -> int:
         "queries": times,
         "queries_min": times_min,
         "queries_spread": times_spread,
+        "queries_runs": times_runs,
         "noisy_spread_threshold": NOISY_SPREAD,
         "noisy": noisy,
         "sf": sf,
@@ -158,6 +167,7 @@ def main() -> int:
     # per-query numbers are without blowing the byte budget
     out.pop("queries_min", None)
     out.pop("queries_spread", None)
+    out.pop("queries_runs", None)
     out.pop("noisy", None)
     out["n_noisy"] = len(noisy)
     if failed:
