@@ -1,5 +1,6 @@
 from .reorder import reorder_stream
 from .reorder_tws import reorder_stream_tws, tws_available
+from .stateful import streaming_ema, streaming_heavy_hitters
 from .windows import (
     enrich_with_static,
     interval_join,
@@ -17,6 +18,8 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_dedup",
+    "streaming_ema",
+    "streaming_heavy_hitters",
     "tumbling_agg",
     "tws_available",
 ]

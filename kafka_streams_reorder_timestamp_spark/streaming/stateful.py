@@ -125,3 +125,112 @@ def streaming_ema(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_HH_STATE = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("n_seen", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def streaming_heavy_hitters(
+    df: DataFrame,
+    tokens_col: str,
+    key_cols: Sequence[str] = (),
+    capacity: int = 400,
+) -> DataFrame:
+    """Misra-Gries frequent tokens maintained ACROSS micro-batches —
+    the canonical one-pass streaming frequent-items algorithm as a
+    keyed stateful operator (the streaming twin of the batch two-pass
+    `operators.text.heavy_hitter_tokens`).
+
+    State per key group is O(capacity) counters REGARDLESS of stream
+    length or vocabulary: each batch's tokens fold into the counter
+    set with the classic MG step (increment known, insert while room,
+    else decrement-all). Because MG is a sequential one-pass summary,
+    folding batch k into batch k-1's state is EXACTLY the algorithm
+    over the concatenated stream — micro-batching changes nothing —
+    so after N tokens the counters provably contain every token with
+    true frequency > N/capacity, and each surviving counter value c
+    is a lower bound with true_count - N/capacity <= c <= true_count
+    (the standard MG error bound; pinned by the stream-vs-truth test).
+
+    Emits one snapshot per key per micro-batch: every current
+    candidate token with its counter value, the tokens-seen total, and
+    a per-key batch sequence number (consumers take the max-seq
+    snapshot as "current"). Tokenization happens BEFORE this operator,
+    JVM-side (pass an array<string> column) — the same
+    engine-tokenizer-parity rule as the batch operator.
+
+    At scale: key groups spread over executors exactly like the
+    reorder buffer; a global (unkeyed) summary uses one group — the
+    deliberate serial point — and stays KB-sized in RocksDB. For a
+    global view over high-rate streams, key by a hash-salt and merge
+    the per-salt summaries downstream (MG summaries are mergeable
+    with counter addition + trim, the same recall guarantee at 2x
+    capacity)."""
+    keys = list(key_cols)
+    kdf = df
+    if not keys:
+        kdf = df.withColumn("_g", F.lit(0))
+        keys = ["_g"]
+    out_schema = T.StructType(
+        [f for f in kdf.schema.fields if f.name in keys]
+        + [
+            T.StructField("token", T.StringType()),
+            T.StructField("count_lb", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, counts, n_seen, seq = state.get
+            counters = dict(zip(toks, counts))
+        else:
+            counters, n_seen, seq = {}, 0, 0
+
+        for pdf in pdfs:
+            for arr in pdf[tokens_col]:
+                if arr is None:
+                    continue
+                for tok in arr:
+                    n_seen += 1
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        counters = {
+                            t: c - 1 for t, c in counters.items() if c > 1
+                        }
+        seq += 1
+        state.update(
+            (list(counters.keys()), list(counters.values()), n_seen, seq)
+        )
+        if counters:
+            m = len(counters)
+            yield pd.DataFrame(
+                {
+                    **{k: [key[i]] * m for i, k in enumerate(keys)},
+                    "token": list(counters.keys()),
+                    "count_lb": list(counters.values()),
+                    "n_seen": [n_seen] * m,
+                    "seq": [seq] * m,
+                }
+            )
+
+    return kdf.groupBy(*keys).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=_HH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -10,6 +10,8 @@ check).
 
 from __future__ import annotations
 
+import glob
+
 import pandas as pd
 import pytest
 from pyspark.sql import functions as F
@@ -693,3 +695,65 @@ def test_writer_refuses_foreign_attempt_dirs_as_first_batch(spark, tmp_path):
     assert _writer_view_snapshot(spark, str(solo), 7) is None
     with _pytest.raises(RuntimeError, match="no _LATEST"):
         _writer_view_snapshot(spark, str(solo), 8)
+
+
+def test_streaming_heavy_hitters_mg_guarantee(spark, tmp_path):
+    """Streaming Misra-Gries across micro-batches must honor the MG
+    bound over the WHOLE stream: after N tokens with capacity c, the
+    final snapshot (max seq) contains every token with true count >
+    N/c, every reported count is a lower bound within N/c of truth,
+    and the candidate set never exceeds c — micro-batch folding is
+    exactly the one-pass algorithm over the concatenation."""
+    from collections import Counter
+
+    from kafka_streams_reorder_timestamp_spark.streaming import (
+        streaming_heavy_hitters,
+    )
+
+    rows, truth = [], Counter()
+    for i in range(8000):
+        toks = [f"noise{i}_{j}" for j in range(3)]
+        if i % 10 == 0:
+            toks.append("heavy_alpha")
+        if i % 10 == 7:
+            toks.append("heavy_beta")
+        truth.update(toks)
+        rows.append((i, toks))
+    cap = 50
+    n_total = sum(truth.values())
+    assert truth["heavy_alpha"] > n_total / cap  # genuinely heavy
+
+    src_dir, out_dir, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    # several input files -> several micro-batches (maxFilesPerTrigger=1)
+    df.repartition(4).write.parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    out = streaming_heavy_hitters(stream, "toks", capacity=cap)
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = pd.concat(
+        pd.read_parquet(p) for p in glob.glob(f"{out_dir}/part-*.parquet")
+    )
+    assert got["seq"].max() >= 2, "expected multiple micro-batches"
+    final = got[got["seq"] == got["seq"].max()]
+    assert int(final["n_seen"].iloc[0]) == n_total
+    assert len(final) <= cap
+    cand = dict(zip(final["token"], final["count_lb"]))
+    slack = n_total / cap
+    for heavy in ("heavy_alpha", "heavy_beta"):
+        assert heavy in cand, f"{heavy} missing from final MG snapshot"
+    for tok, c in cand.items():
+        assert c <= truth[tok], (tok, c, truth[tok])
+        assert c >= truth[tok] - slack, (tok, c, truth[tok], slack)
