@@ -763,3 +763,32 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("cluster_id", "vec_a", "vec_b", "cos_sim")
     )
+
+
+@register(
+    "semdedup_clusters",
+    oracle=None,  # centroid-bucketed pairs feed an iterative CC —
+    # driver records rows-only; pytest pins that every planted copy
+    # co-clusters with its source and the source is canonical.
+    doc="SemDeDup end state: duplicate CLUSTERS with a canonical "
+    "survivor per cluster — the actual keep/drop decision a curation "
+    "pipeline applies. semdedup_pairs (centroid-bucketed cosine >= "
+    "0.95, top-2 multi-probe) provides the edge set; connected "
+    "components (min-label + pointer jumping over id-only tables, "
+    "operators/graph.py) closes transitivity; cluster id = min vec_id "
+    "= the kept representative, everything else in the cluster is "
+    "droppable. Mirrors dedup_clusters_lsh exactly, over embeddings "
+    "instead of shingles.",
+)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph import _clusters_from_pairs
+
+    pairs = semdedup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return _clusters_from_pairs(pairs).select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+    )

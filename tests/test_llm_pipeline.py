@@ -475,3 +475,24 @@ def test_semdedup_planted_pairs_recovered(spark, sf_dir):
     assert recall >= 0.95, f"planted-pair recall {recall:.2f} < 0.95"
     assert not (got - planted), f"false positives: {sorted(got - planted)[:5]}"
     assert (pdf.cos_sim >= 0.95).all()
+
+
+def test_semdedup_clusters_canonical_sources(spark, sf_dir):
+    """SemDeDup clusters: every planted copy co-clusters with its
+    source, the source (lowest id) is the canonical survivor, and the
+    copy is marked droppable."""
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    rows = REGISTRY["semdedup_clusters"].builder(spark, sf_dir).collect()
+    by_id = {r.vec_id: r for r in rows}
+    planted = [v for v in by_id if v >= 1_000_000_000]
+    assert len(planted) == 20
+    for pid in planted:
+        src = pid - 1_000_000_000
+        assert src in by_id, f"source {src} missing from clusters"
+        assert by_id[src].cluster_id == by_id[pid].cluster_id
+        assert by_id[src].is_canonical == 1
+        assert by_id[pid].is_canonical == 0
+        assert by_id[pid].cluster_size >= 2
