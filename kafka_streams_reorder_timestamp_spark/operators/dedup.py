@@ -794,3 +794,196 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n") - F.count(F.lit(1))) * 1.0 / F.sum("n"), 6
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup (batch vs corpus — the daily-ingest shape for
+# similarity dedup, completing the exact-fingerprint incremental above)
+
+
+def _incremental_split(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(corpus, batch): docs 0-249 play the already-ingested corpus,
+    docs 250+ the fresh batch, PLUS deterministic planted near-dups —
+    copies of 10 corpus docs with the final 2 whitespace tokens
+    dropped, ids +4*10^9 — so the batch provably contains near-misses
+    of the corpus (exact-fingerprint incremental dedup cannot see
+    them; that is the point of this family)."""
+    tw = tokens(F.col("text"))
+    base = d.select("doc_id", "lang", "source", "text")
+    corpus = base.filter(F.col("doc_id") < 250)
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(4_000_000_000)).alias("doc_id"),
+        "lang",
+        "source",
+        F.array_join(
+            F.slice(tw, 1, F.greatest(F.size(tw) - 2, F.lit(1))), " "
+        ).alias("text"),
+    )
+    batch = base.filter(F.col("doc_id") >= 250).unionByName(planted)
+    return corpus, batch
+
+
+@register(
+    "dedup_incremental_jaccard",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, source, text FROM documents
+      WHERE text IS NOT NULL
+    ), tw AS (
+      SELECT doc_id, lang, source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS w
+      FROM base
+    ), planted AS (
+      SELECT tw.doc_id + 4000000000 AS doc_id, lang, source,
+             array_to_string(
+               list_slice(w, 1, greatest(len(w) - 2, 1)), ' ') AS text
+      FROM tw WHERE doc_id < 10
+    ), batch AS (
+      SELECT doc_id, lang, source, text FROM base WHERE doc_id >= 250
+      UNION ALL SELECT doc_id, lang, source, text FROM planted
+    ), bt AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM batch
+    ), ct AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM base WHERE doc_id < 250
+    )
+    SELECT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+           ROUND(len(list_intersect(b.t, c.t))
+                 / (len(b.t) + len(c.t) - len(list_intersect(b.t, c.t))),
+                 4) AS jaccard
+    FROM bt b JOIN ct c
+      ON b.lang = c.lang AND b.source = c.source
+    WHERE len(list_intersect(b.t, c.t))
+          / (len(b.t) + len(c.t) - len(list_intersect(b.t, c.t))) >= 0.8
+    """,
+    doc="Incremental NEAR-dup, exact twin: every fresh-batch document "
+    "whose unigram-set Jaccard vs some corpus document is >= 0.8 — "
+    "what dedup_incremental_batch's exact fingerprints cannot catch "
+    "(the planted batch rows differ from their corpus sources by two "
+    "dropped tokens, so their md5s differ but J ~ 0.98). Bipartite "
+    "blocked join on (lang, source) with the lossless size band "
+    "evaluated before any array_intersect; the batch side is the "
+    "DAILY slice, so at 100 TB the join's probe side stays small and "
+    "corpus text is scanned once — but within-block work is still "
+    "O(batch_block x corpus_block), which is why the registered scale "
+    "path is dedup_incremental_lsh (banding bounds candidates by "
+    "bucket size). This exact variant is the sf-bounded oracle-checked "
+    "form of the bipartite batch-vs-corpus shape; the LSH path's own "
+    "recall is pinned by pytest against brute-force 3-shingle Jaccard "
+    "ground truth (its actual similarity definition).",
+)
+def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus, batch = _incremental_split(d)
+
+    def uni(df: DataFrame, prefix: str) -> DataFrame:
+        t = F.array_distinct(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
+        )
+        return df.select(
+            F.col("doc_id").alias(f"{prefix}_doc"),
+            F.col("lang").alias(f"{prefix}_lang"),
+            F.col("source").alias(f"{prefix}_source"),
+            t.alias(f"{prefix}_t"),
+            F.size(t).alias(f"{prefix}_sz"),
+        )
+
+    b, c = uni(batch, "batch"), uni(corpus, "corpus")
+    thr = 0.8
+    size_band = (
+        F.col("batch_sz") * F.lit(1.0) >= F.col("corpus_sz") * F.lit(thr)
+    ) & (F.col("corpus_sz") * F.lit(1.0) >= F.col("batch_sz") * F.lit(thr))
+    inter = F.size(F.array_intersect(F.col("batch_t"), F.col("corpus_t")))
+    union = F.col("batch_sz") + F.col("corpus_sz") - inter
+    jac = inter / union
+    return (
+        b.join(
+            c,
+            (F.col("batch_lang") == F.col("corpus_lang"))
+            & (F.col("batch_source") == F.col("corpus_source"))
+            & size_band,
+        )
+        .filter(jac >= thr)
+        .select(
+            "batch_doc", "corpus_doc", F.round(jac, 4).alias("jaccard")
+        )
+    )
+
+
+@register(
+    "dedup_incremental_lsh",
+    oracle=None,  # LSH hash-function-specific — driver records
+    # rows-only; pytest pins recall/precision vs brute-force shingle
+    # Jaccard ground truth (tests/test_llm_pipeline.py).
+    doc="Incremental NEAR-dup at scale: MinHash+LSH banding joins the "
+    "FRESH BATCH's band rows against the CORPUS's band rows — in "
+    "production the corpus side is a stored signature/band table that "
+    "yesterday's run already wrote, so each day signs only the daily "
+    "batch and never rescans corpus text (the near-dup analog of "
+    "dedup_incremental_batch's digest table). Candidates are bounded "
+    "by bucket size at any corpus size; verification re-derives "
+    "shingle sets for candidate docs only and keeps exact 3-shingle "
+    "Jaccard >= 0.7 pairs. Same corpus/batch split + planted "
+    "near-misses as the exact twin (dedup_incremental_jaccard).",
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    num_hashes, bands, shingle_n, thr = 64, 8, 3, 0.7
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus, batch = _incremental_split(d)
+
+    par = d.sparkSession.sparkContext.defaultParallelism
+
+    def banded(df: DataFrame, prefix: str) -> DataFrame:
+        docs = df.select(
+            F.col("doc_id").alias(f"{prefix}_doc"),
+            F.col("text").alias(f"{prefix}_text"),
+        )
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
+        feats = docs.select(
+            f"{prefix}_doc",
+            minhash_features(
+                F.col(f"{prefix}_text"), num_hashes, bands, shingle_n
+            )["buckets"].alias("buckets"),
+        ).filter(F.col("buckets").isNotNull())
+        return feats.select(
+            f"{prefix}_doc",
+            F.posexplode("buckets").alias("band", "bucket"),
+        )
+
+    cand = (
+        banded(batch, "batch")
+        .join(banded(corpus, "corpus"), ["band", "bucket"])
+        .select("batch_doc", "corpus_doc")
+        .dropDuplicates(["batch_doc", "corpus_doc"])
+    )
+    # Verify candidates with the exact shingle-hash Jaccard, deriving
+    # sets for candidate docs only (AQE broadcasts the tiny id lists).
+    b_ids = cand.select(F.col("batch_doc").alias("doc_id")).distinct()
+    c_ids = cand.select(F.col("corpus_doc").alias("doc_id")).distinct()
+    sh_b = (
+        batch.join(b_ids, "doc_id")
+        .select(
+            F.col("doc_id").alias("batch_doc"),
+            shingle_hashes(F.col("text"), shingle_n).alias("sh_b"),
+        )
+    )
+    sh_c = (
+        corpus.join(c_ids, "doc_id")
+        .select(
+            F.col("doc_id").alias("corpus_doc"),
+            shingle_hashes(F.col("text"), shingle_n).alias("sh_c"),
+        )
+    )
+    paired = cand.join(sh_b, "batch_doc").join(sh_c, "corpus_doc")
+    inter = F.size(F.array_intersect(F.col("sh_b"), F.col("sh_c")))
+    union = F.size("sh_b") + F.size("sh_c") - inter
+    jac = inter / union
+    return (
+        paired.filter(jac >= thr)
+        .select("batch_doc", "corpus_doc", F.round(jac, 4).alias("jaccard"))
+    )

@@ -496,3 +496,58 @@ def test_semdedup_clusters_canonical_sources(spark, sf_dir):
         assert by_id[src].is_canonical == 1
         assert by_id[pid].is_canonical == 0
         assert by_id[pid].cluster_size >= 2
+
+
+def test_incremental_lsh_vs_brute_force_shingle_truth(spark, sf_dir):
+    """dedup_incremental_lsh (batch-vs-corpus banding) against
+    brute-force 3-shingle Jaccard ground truth computed in Python over
+    the same split + planting: recall >= 0.95, precision 1.0 (the
+    verify stage is exact), and every planted near-miss is caught."""
+    import re
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        _incremental_split,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus, batch = _incremental_split(d)
+
+    def shingle_sets(rows):
+        out = {}
+        for r in rows:
+            toks = [t for t in re.split(r"\s+", r.text.strip().lower()) if t]
+            if len(toks) >= 3:
+                sh = {
+                    " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+                }
+            else:
+                sh = {" ".join(toks)} if toks else set()
+            out[r.doc_id] = sh
+        return out
+
+    c_sets = shingle_sets(corpus.select("doc_id", "text").collect())
+    b_sets = shingle_sets(batch.select("doc_id", "text").collect())
+    truth = set()
+    for bid, bs in b_sets.items():
+        if not bs:
+            continue
+        for cid, cs in c_sets.items():
+            if not cs:
+                continue
+            inter = len(bs & cs)
+            if inter and inter / (len(bs) + len(cs) - inter) >= 0.7:
+                truth.add((bid, cid))
+    planted_truth = {p for p in truth if p[0] >= 4_000_000_000}
+    assert len(planted_truth) >= 10, "planting failed to create near-misses"
+
+    got = {
+        (r.batch_doc, r.corpus_doc)
+        for r in REGISTRY["dedup_incremental_lsh"].builder(spark, sf_dir).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(truth)} true)"
+    assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
+    assert planted_truth <= got, "a planted near-miss was missed"
