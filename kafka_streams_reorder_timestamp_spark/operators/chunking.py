@@ -155,3 +155,100 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+DCHUNK = 32  # tokens per NON-overlapping chunk for chunk-level dedup
+
+
+@register(
+    "dedup_chunk_level",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), planted AS (
+      SELECT tok.doc_id + 5000000000 AS doc_id,
+             list_concat(
+               list_slice(t, 1, {DCHUNK}),
+               list_transform(range(0, 16),
+                 j -> 'uq' || CAST(tok.doc_id AS VARCHAR) || '_'
+                      || CAST(j AS VARCHAR))) AS t
+      FROM tok WHERE tok.doc_id < 5 AND len(t) >= {DCHUNK}
+    ), all_tok AS (
+      SELECT doc_id, t FROM tok WHERE len(t) > 0
+      UNION ALL SELECT doc_id, t FROM planted
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {DCHUNK})) AS s
+      FROM all_tok
+    ), chunks AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(t, s, least(s + {DCHUNK} - 1, len(t))), ' ')) AS c
+      FROM starts
+    ), marked AS (
+      SELECT doc_id, c, COUNT(*) OVER (PARTITION BY c) AS n
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE n > 1) AS n_dup_chunks
+    FROM marked GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE n > 1) > 0
+    """,
+    doc=f"CHUNK-level dedup signal (the CCNet/RefinedWeb paragraph-"
+    f"granularity pass): split every document into non-overlapping "
+    f"{DCHUNK}-token chunks, fingerprint each, and report per doc how "
+    "many of its chunks occur elsewhere in the corpus — catching "
+    "PARTIAL duplication (a copied paragraph inside an otherwise "
+    "novel document) that whole-document fingerprints cannot see and "
+    "near-dup similarity dilutes away on long documents. Planted "
+    "partial dups (first chunk of docs 0-4 + a unique 16-token tail, "
+    "ids +5e9) prove fractional detection. Shape: narrow chunk "
+    "explode (output-proportional), then ONE shuffle on the chunk "
+    "fingerprint — uniform 128-bit keys, no skew possible — via a "
+    "count window, then a doc-grain partial agg. At 100 TB the "
+    "shuffled rows are (doc_id, 16-byte digest) pairs, never text.",
+)
+def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+    )
+    planted = d.filter(
+        (F.col("doc_id") < 5) & (F.size("t") >= DCHUNK)
+    ).select(
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
+        F.concat(
+            F.slice("t", 1, DCHUNK),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("uq"),
+                    # the ORIGINAL doc id, as in the oracle's planted CTE
+                    (F.col("doc_id")).cast("string"),
+                    F.lit("_"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("t"),
+    )
+    all_tok = d.filter(F.size("t") > 0).unionByName(planted)
+    chunk = F.slice(F.col("t"), F.col("s"), DCHUNK)
+    chunks = all_tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(DCHUNK))).alias("s"),
+        "t",
+    ).select("doc_id", F.md5(F.array_join(chunk, " ")).alias("c"))
+    w = Window.partitionBy("c")
+    marked = chunks.withColumn("n", F.count(F.lit(1)).over(w))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n") > 1).alias("n_dup_chunks"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+    )
