@@ -489,3 +489,65 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_leaked_docs"),
         )
     )
+
+
+@register(
+    "split_by_fingerprint",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 3000000000, lang, n_chars, text FROM documents
+      WHERE text IS NOT NULL AND doc_id < 10
+    ), fp AS (
+      SELECT lang, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM corpus
+    ), assigned AS (
+      SELECT lang, n_chars,
+             CASE WHEN substr(md5(fingerprint), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(fingerprint), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM fp
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="Content-keyed train/val/test assignment — the FIX for the "
+    "leakage split_leakage_audit detects: hashing the exact-dedup "
+    "FINGERPRINT instead of the doc id sends every verbatim copy of a "
+    "text to the SAME split by construction (zero cross-split leaks; "
+    "pinned by test over the same planted-copy corpus where the "
+    "id-keyed split provably leaks). Still a pure narrow map — one "
+    "md5 over the normalized text the dedup pass already computes — "
+    "content-deterministic across engines, runs, and cluster sizes. "
+    "Runs over the same corpus + planted verbatim copies (ids +3e9) "
+    "as the audit so the two queries form a detector/fix pair.",
+)
+def split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "lang", "n_chars", "text")
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(3_000_000_000)).alias("doc_id"),
+        "lang",
+        "n_chars",
+        "text",
+    )
+    corpus = base.unionByName(planted)
+    fingerprint = F.md5(normalize_text(F.col("text")))
+    bucket = F.substring(F.md5(fingerprint), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    return (
+        corpus.select("lang", "n_chars", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

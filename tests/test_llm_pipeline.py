@@ -551,3 +551,41 @@ def test_incremental_lsh_vs_brute_force_shingle_truth(spark, sf_dir):
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(truth)} true)"
     assert got <= truth, f"false positives: {sorted(got - truth)[:5]}"
     assert planted_truth <= got, "a planted near-miss was missed"
+
+
+def test_fingerprint_split_has_zero_leaks(spark, sf_dir):
+    """Detector/fix pair: on the planted-copy corpus the id-keyed
+    split provably leaks (split_leakage_audit returns rows), while the
+    fingerprint-keyed split co-locates every verbatim copy — zero
+    fingerprints span more than one split."""
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import (
+        normalize_text,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    audit = REGISTRY["split_leakage_audit"].builder(spark, sf_dir)
+    assert audit.count() > 0, "id-keyed split should leak on planted corpus"
+
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(3_000_000_000)).alias("doc_id"), "text"
+    )
+    corpus = base.unionByName(planted)
+    fingerprint = F.md5(normalize_text(F.col("text")))
+    bucket = F.substring(F.md5(fingerprint), 1, 2)
+    split = (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+    leaks = (
+        corpus.select(fingerprint.alias("f"), split.alias("s"))
+        .groupBy("f")
+        .agg(F.count_distinct("s").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert leaks == 0
