@@ -1,6 +1,10 @@
 from .reorder import reorder_stream
 from .reorder_tws import reorder_stream_tws, tws_available
-from .stateful import streaming_ema, streaming_heavy_hitters
+from .stateful import (
+    streaming_distinct_hll,
+    streaming_ema,
+    streaming_heavy_hitters,
+)
 from .windows import (
     enrich_with_static,
     interval_join,
@@ -18,6 +22,7 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "stream_dedup",
+    "streaming_distinct_hll",
     "streaming_ema",
     "streaming_heavy_hitters",
     "tumbling_agg",

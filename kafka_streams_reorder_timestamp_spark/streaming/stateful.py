@@ -234,3 +234,122 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HLL_STATE = T.StructType(
+    [
+        T.StructField("registers", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _hll_update(registers: "np.ndarray", values) -> None:
+    """Fold values into a dense HLL register array in place.
+
+    64-bit value hash = first 8 bytes of md5 (engine-portable and
+    stable across runs/processes — Python's built-in hash() is
+    per-process salted and numpy has no stable string hash; a
+    production build would swap in vectorized xxhash64, which changes
+    speed, not semantics)."""
+    import hashlib
+
+    p = int(np.log2(len(registers)))
+    rest_bits = 64 - p
+    for v in values:
+        if v is None:
+            continue
+        h = int.from_bytes(
+            hashlib.md5(str(v).encode()).digest()[:8], "big"
+        )
+        j = h >> rest_bits
+        w = h & ((1 << rest_bits) - 1)
+        # rho = position of the leftmost 1-bit of w within rest_bits
+        rho = rest_bits - w.bit_length() + 1
+        if rho > registers[j]:
+            registers[j] = rho
+
+
+def _hll_estimate(registers: "np.ndarray") -> float:
+    """Classic HyperLogLog estimator with linear-counting small-range
+    correction (Flajolet et al. 2007)."""
+    m = float(len(registers))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.power(2.0, -registers.astype("float64")).sum())
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def streaming_distinct_hll(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    p: int = 12,
+) -> DataFrame:
+    """Per-key approximate COUNT(DISTINCT value) maintained across
+    micro-batches — streaming cardinality with FIXED-SIZE state.
+
+    State per key group is one dense HLL register array of 2^p bytes
+    (p=12 → 4 KB, ~1.6% standard error) no matter how many distinct
+    values or rows the stream carries; exact streaming distinct would
+    need the full value set in state. Register-wise max is the HLL
+    merge, and folding a batch into the registers is exactly the
+    one-pass algorithm over the concatenated stream, so the streamed
+    estimate equals a batch HLL over all data seen (same property as
+    the streaming Misra-Gries above; accuracy pinned vs exact distinct
+    in the stream test). Emits one snapshot row per key per batch:
+    (keys, estimate, n_rows, seq) — consumers take max seq.
+
+    The batch twin is `events_weekly_users_hll` (JVM Datasketches
+    HLL); this operator is the state-store form the 4 KB-per-key
+    mergeable sketch was designed for.
+    """
+    keys = list(key_cols)
+    kdf = df
+    if not keys:
+        kdf = df.withColumn("_g", F.lit(0))
+        keys = ["_g"]
+    m = 1 << p
+    out_schema = T.StructType(
+        [f for f in kdf.schema.fields if f.name in keys]
+        + [
+            T.StructField("approx_distinct", T.DoubleType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            raw, n_rows, seq = state.get
+            registers = np.frombuffer(raw, dtype="uint8").copy()
+        else:
+            registers, n_rows, seq = np.zeros(m, dtype="uint8"), 0, 0
+
+        for pdf in pdfs:
+            vals = pdf[value_col]
+            n_rows += int(vals.notna().sum())
+            _hll_update(registers, vals)
+        seq += 1
+        state.update((bytearray(registers.tobytes()), n_rows, seq))
+        yield pd.DataFrame(
+            {
+                **{k: [key[i]] for i, k in enumerate(keys)},
+                "approx_distinct": [round(_hll_estimate(registers), 2)],
+                "n_rows": [n_rows],
+                "seq": [seq],
+            }
+        )
+
+    return kdf.groupBy(*keys).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=_HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
