@@ -220,20 +220,22 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = d.filter(
         (F.col("doc_id") < 5) & (F.size("t") >= DCHUNK)
     ).select(
-        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
+        # t FIRST: lateral-column-alias resolution is backward-only, so
+        # the transform lambda sees the ORIGINAL doc_id (as in the
+        # oracle's planted CTE), not the +5e9-shifted alias below.
         F.concat(
             F.slice("t", 1, DCHUNK),
             F.transform(
                 F.sequence(F.lit(0), F.lit(15)),
                 lambda j: F.concat(
                     F.lit("uq"),
-                    # the ORIGINAL doc id, as in the oracle's planted CTE
                     (F.col("doc_id")).cast("string"),
                     F.lit("_"),
                     j.cast("string"),
                 ),
             ),
         ).alias("t"),
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
     )
     all_tok = d.filter(F.size("t") > 0).unionByName(planted)
     chunk = F.slice(F.col("t"), F.col("s"), DCHUNK)
@@ -249,6 +251,119 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
             F.count_if(F.col("n") > 1).alias("n_dup_chunks"),
+        )
+        .filter(F.col("n_dup_chunks") > 0)
+    )
+
+
+@register(
+    "dedup_chunk_excise",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), planted AS (
+      SELECT tok.doc_id + 5000000000 AS doc_id,
+             list_concat(
+               list_slice(t, 1, {DCHUNK}),
+               list_transform(range(0, 16),
+                 j -> 'uq' || CAST(tok.doc_id AS VARCHAR) || '_'
+                      || CAST(j AS VARCHAR))) AS t
+      FROM tok WHERE tok.doc_id < 5 AND len(t) >= {DCHUNK}
+    ), all_tok AS (
+      SELECT doc_id, t FROM tok WHERE len(t) > 0
+      UNION ALL SELECT doc_id, t FROM planted
+    ), starts AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1, {DCHUNK})) AS s
+      FROM all_tok
+    ), chunks AS (
+      SELECT doc_id, s,
+             array_to_string(
+               list_slice(t, s, least(s + {DCHUNK} - 1, len(t))), ' ')
+               AS chunk_text
+      FROM starts
+    ), marked AS (
+      SELECT doc_id, s, chunk_text,
+             COUNT(*) OVER (PARTITION BY md5(chunk_text)) AS n
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE n > 1) AS n_dup_chunks,
+           COALESCE(string_agg(chunk_text, ' ' ORDER BY s)
+                      FILTER (WHERE n = 1), '') AS clean_text
+    FROM marked GROUP BY doc_id
+    HAVING COUNT(*) FILTER (WHERE n > 1) > 0
+    """,
+    doc="Chunk-level EXCISION — the transformation dedup_chunk_level's "
+    "signal exists to drive: rebuild each affected document from only "
+    "its non-duplicated chunks (corpus-unique paragraphs), in original "
+    "chunk order, instead of dropping the whole document. Emitted only "
+    "for documents that lost at least one chunk; a fully-duplicated "
+    "document yields an empty clean_text (= drop it). Shape: one "
+    "shuffle on the chunk fingerprint (the count window) and one "
+    "doc-grain rebuild agg; chunk text necessarily rides the shuffle "
+    "once — a rewriting operator's output is corpus-proportional by "
+    "definition, and rows are bounded by the chunk size. The same "
+    "planted partial dups as dedup_chunk_level prove surgical "
+    "excision (planted docs keep their unique tail, lose the copied "
+    "head).",
+)
+def dedup_chunk_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+    )
+    planted = d.filter(
+        (F.col("doc_id") < 5) & (F.size("t") >= DCHUNK)
+    ).select(
+        # t FIRST so the lambda's doc_id is the ORIGINAL id (lateral
+        # alias resolution is backward-only; oracle uses tok.doc_id).
+        F.concat(
+            F.slice("t", 1, DCHUNK),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("uq"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("t"),
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
+    )
+    all_tok = d.filter(F.size("t") > 0).unionByName(planted)
+    chunk = F.slice(F.col("t"), F.col("s"), DCHUNK)
+    chunks = all_tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(DCHUNK))).alias("s"),
+        "t",
+    ).select("doc_id", "s", F.array_join(chunk, " ").alias("chunk_text"))
+    w = Window.partitionBy(F.md5("chunk_text"))
+    marked = chunks.withColumn("n", F.count(F.lit(1)).over(w))
+    kept = F.filter(
+        F.sort_array(
+            F.collect_list(
+                F.when(
+                    F.col("n") == 1,
+                    F.struct(F.col("s"), F.col("chunk_text")),
+                )
+            )
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_if(F.col("n") > 1).alias("n_dup_chunks"),
+            F.array_join(
+                F.transform(kept, lambda x: x["chunk_text"]), " "
+            ).alias("clean_text"),
         )
         .filter(F.col("n_dup_chunks") > 0)
     )

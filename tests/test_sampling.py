@@ -135,6 +135,33 @@ def test_chunking_covers_every_token_with_overlap(spark, sf_dir):
         assert covered == n  # full coverage through the last token
 
 
+def test_chunk_excise_is_surgical(spark, sf_dir):
+    """dedup_chunk_excise removes exactly the corpus-duplicated chunks
+    and keeps the rest in order: each planted doc (copied 32-token head
+    + unique 16-token tail) comes back as ONLY its tail tokens, and
+    every output row's clean token count is bounded by the surviving
+    chunk budget."""
+    from kafka_streams_reorder_timestamp_spark.operators.chunking import (
+        DCHUNK,
+    )
+
+    rows = _run(spark, sf_dir, "dedup_chunk_excise").collect()
+    by_id = {r.doc_id: r for r in rows}
+    planted = {i: by_id[i + 5_000_000_000] for i in range(5)
+               if i + 5_000_000_000 in by_id}
+    assert len(planted) >= 1  # at least one doc 0-4 is >= DCHUNK tokens
+    for orig, r in planted.items():
+        # copied head excised, unique tail kept verbatim and in order
+        assert r.clean_text.split() == [
+            f"uq{orig}_{j}" for j in range(16)
+        ], (orig, r.clean_text)
+        assert r.n_dup_chunks >= 1
+    for r in rows:
+        n_clean = len(r.clean_text.split()) if r.clean_text else 0
+        assert 0 < r.n_dup_chunks <= r.n_chunks
+        assert n_clean <= DCHUNK * (r.n_chunks - r.n_dup_chunks)
+
+
 def test_packing_conserves_tokens_and_orders_bins(spark, sf_dir):
     """Packs partition each language's documents: token mass is
     conserved, pack ids are dense from 0, and doc-id ranges of
