@@ -137,6 +137,27 @@ _HH_STATE = T.StructType(
 )
 
 
+def _mg_fold(
+    counters: dict, n_seen: int, tokens, capacity: int
+) -> tuple[dict, int]:
+    """One Misra-Gries pass of `tokens` into an existing counter set.
+
+    Pure so the property suite can drive it directly: because MG is a
+    sequential one-pass summary, folding a stream in ANY micro-batch
+    split yields byte-identical state to one fold of the
+    concatenation (hypothesis-pinned), which is exactly why the
+    streaming operator inherits the batch error bound."""
+    for tok in tokens:
+        n_seen += 1
+        if tok in counters:
+            counters[tok] += 1
+        elif len(counters) < capacity:
+            counters[tok] = 1
+        else:
+            counters = {t: c - 1 for t, c in counters.items() if c > 1}
+    return counters, n_seen
+
+
 def streaming_heavy_hitters(
     df: DataFrame,
     tokens_col: str,
@@ -201,16 +222,7 @@ def streaming_heavy_hitters(
             for arr in pdf[tokens_col]:
                 if arr is None:
                     continue
-                for tok in arr:
-                    n_seen += 1
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < capacity:
-                        counters[tok] = 1
-                    else:
-                        counters = {
-                            t: c - 1 for t, c in counters.items() if c > 1
-                        }
+                counters, n_seen = _mg_fold(counters, n_seen, arr, capacity)
         seq += 1
         state.update(
             (list(counters.keys()), list(counters.values()), n_seen, seq)

@@ -203,3 +203,60 @@ def test_salted_jaccard_equals_bruteforce_property(spark, corpus, cap):
             if jac >= 0.5:
                 expect[(i, j)] = round(jac, 4)
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# Streaming Misra-Gries fold: for ANY token stream and ANY micro-batch
+# split, folding batches through carried state equals one fold of the
+# concatenation (the exact claim the streaming operator rests on), and
+# the classic MG guarantees hold over the whole stream.
+
+mg_streams = st.lists(
+    st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}"),
+    min_size=0,
+    max_size=400,
+)
+
+
+@given(
+    mg_streams,
+    st.integers(min_value=1, max_value=12),  # capacity
+    st.data(),
+)
+def test_streaming_mg_fold_properties(stream, capacity, data):
+    from collections import Counter
+
+    from kafka_streams_reorder_timestamp_spark.streaming.stateful import (
+        _mg_fold,
+    )
+
+    # one-shot fold over the concatenated stream
+    whole, n_whole = _mg_fold({}, 0, stream, capacity)
+
+    # arbitrary micro-batch split of the same stream
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=len(stream)), max_size=8
+            )
+        )
+    )
+    counters, n_seen = {}, 0
+    for lo, hi in zip([0] + cuts, cuts + [len(stream)]):
+        counters, n_seen = _mg_fold(counters, n_seen, stream[lo:hi], capacity)
+
+    # (a) micro-batching is invisible: identical state either way
+    assert counters == whole and n_seen == n_whole == len(stream)
+
+    # (b) candidate set never exceeds capacity
+    assert len(whole) <= capacity
+
+    truth = Counter(stream)
+    err = len(stream) / (capacity + 1)  # max decrement rounds
+    for tok, cnt in truth.items():
+        c = whole.get(tok, 0)
+        # (c) reported count is a lower bound within N/(cap+1) of truth
+        assert c <= cnt <= c + err
+        # (d) every token with true count > N/(cap+1) survives
+        if cnt > err:
+            assert tok in whole
