@@ -160,6 +160,51 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 DCHUNK = 32  # tokens per NON-overlapping chunk for chunk-level dedup
 
 
+def _chunked_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents PLUS planted partial-duplicate docs, exploded into
+    non-overlapping DCHUNK-token chunks: (doc_id, s, chunk_text).
+
+    Planted docs = the copied DCHUNK-token head of docs 0-4 + a unique
+    16-token tail, ids +5e9 — a document that is PARTIALLY duplicated
+    by construction. Shared by dedup_chunk_level (the signal) and
+    dedup_chunk_excise (the fix) so their planted corpora are
+    identical by construction (the same share-the-split rule as
+    dedup.py's _incremental_split). Downstream projections that only
+    need the chunk fingerprint prune chunk_text before any shuffle."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", _tokens(F.col("text")).alias("t"))
+    )
+    planted = d.filter(
+        (F.col("doc_id") < 5) & (F.size("t") >= DCHUNK)
+    ).select(
+        # t FIRST: lateral-column-alias resolution is backward-only, so
+        # the transform lambda sees the ORIGINAL doc_id (as in the
+        # oracles' planted CTE), not the +5e9-shifted alias below.
+        F.concat(
+            F.slice("t", 1, DCHUNK),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("uq"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    j.cast("string"),
+                ),
+            ),
+        ).alias("t"),
+        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
+    )
+    all_tok = d.filter(F.size("t") > 0).unionByName(planted)
+    chunk = F.slice(F.col("t"), F.col("s"), DCHUNK)
+    return all_tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(DCHUNK))).alias("s"),
+        "t",
+    ).select("doc_id", "s", F.array_join(chunk, " ").alias("chunk_text"))
+
+
 @register(
     "dedup_chunk_level",
     oracle=f"""
@@ -212,38 +257,11 @@ DCHUNK = 32  # tokens per NON-overlapping chunk for chunk-level dedup
     "shuffled rows are (doc_id, 16-byte digest) pairs, never text.",
 )
 def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", _tokens(F.col("text")).alias("t"))
+    # md5 projects away chunk_text map-side: only (doc_id, digest)
+    # rides the count-window shuffle.
+    chunks = _chunked_corpus(spark, sf_dir).select(
+        "doc_id", F.md5("chunk_text").alias("c")
     )
-    planted = d.filter(
-        (F.col("doc_id") < 5) & (F.size("t") >= DCHUNK)
-    ).select(
-        # t FIRST: lateral-column-alias resolution is backward-only, so
-        # the transform lambda sees the ORIGINAL doc_id (as in the
-        # oracle's planted CTE), not the +5e9-shifted alias below.
-        F.concat(
-            F.slice("t", 1, DCHUNK),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda j: F.concat(
-                    F.lit("uq"),
-                    (F.col("doc_id")).cast("string"),
-                    F.lit("_"),
-                    j.cast("string"),
-                ),
-            ),
-        ).alias("t"),
-        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
-    )
-    all_tok = d.filter(F.size("t") > 0).unionByName(planted)
-    chunk = F.slice(F.col("t"), F.col("s"), DCHUNK)
-    chunks = all_tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(DCHUNK))).alias("s"),
-        "t",
-    ).select("doc_id", F.md5(F.array_join(chunk, " ")).alias("c"))
     w = Window.partitionBy("c")
     marked = chunks.withColumn("n", F.count(F.lit(1)).over(w))
     return (
@@ -312,37 +330,7 @@ def dedup_chunk_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     "head).",
 )
 def dedup_chunk_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select("doc_id", _tokens(F.col("text")).alias("t"))
-    )
-    planted = d.filter(
-        (F.col("doc_id") < 5) & (F.size("t") >= DCHUNK)
-    ).select(
-        # t FIRST so the lambda's doc_id is the ORIGINAL id (lateral
-        # alias resolution is backward-only; oracle uses tok.doc_id).
-        F.concat(
-            F.slice("t", 1, DCHUNK),
-            F.transform(
-                F.sequence(F.lit(0), F.lit(15)),
-                lambda j: F.concat(
-                    F.lit("uq"),
-                    F.col("doc_id").cast("string"),
-                    F.lit("_"),
-                    j.cast("string"),
-                ),
-            ),
-        ).alias("t"),
-        (F.col("doc_id") + F.lit(5_000_000_000)).alias("doc_id"),
-    )
-    all_tok = d.filter(F.size("t") > 0).unionByName(planted)
-    chunk = F.slice(F.col("t"), F.col("s"), DCHUNK)
-    chunks = all_tok.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("t"), F.lit(DCHUNK))).alias("s"),
-        "t",
-    ).select("doc_id", "s", F.array_join(chunk, " ").alias("chunk_text"))
+    chunks = _chunked_corpus(spark, sf_dir)
     w = Window.partitionBy(F.md5("chunk_text"))
     marked = chunks.withColumn("n", F.count(F.lit(1)).over(w))
     kept = F.filter(

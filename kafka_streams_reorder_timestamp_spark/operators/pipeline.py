@@ -106,6 +106,19 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_expr(key):
+    """THE train/val/test rule: first md5-hex byte of `key` (0x00-0xcc
+    train ~80%, 0xcd-0xe5 val ~10%, rest test). One definition shared
+    by split_train_val_test (id-keyed), split_leakage_audit (audits
+    the id-keyed rule) and split_by_fingerprint (content-keyed fix) —
+    rebalancing the ratios means editing this expression plus the
+    three oracles' CASE chains, nothing else."""
+    bucket = F.substring(F.md5(key.cast("string")), 1, 2)
+    return (
+        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
+    )
+
+
 @register(
     "split_train_val_test",
     oracle="""
@@ -134,10 +147,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
-    )
+    split = _split_expr(F.col("doc_id"))
     return (
         d.select("lang", split.alias("split"), "n_chars")
         .groupBy("split", "lang")
@@ -467,10 +477,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(3_000_000_000)).alias("doc_id"), "text"
     )
     d = base.unionByName(planted)
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
-    split = (
-        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
-    )
+    split = _split_expr(F.col("doc_id"))
     fp = d.select(
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
         split.alias("split"),
@@ -539,10 +546,7 @@ def split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted)
     fingerprint = F.md5(normalize_text(F.col("text")))
-    bucket = F.substring(F.md5(fingerprint), 1, 2)
-    split = (
-        F.when(bucket < "cd", "train").when(bucket < "e6", "val").otherwise("test")
-    )
+    split = _split_expr(fingerprint)
     return (
         corpus.select("lang", "n_chars", split.alias("split"))
         .groupBy("split", "lang")

@@ -270,7 +270,11 @@ def _hll_update(registers: "np.ndarray", values) -> None:
     p = int(np.log2(len(registers)))
     rest_bits = 64 - p
     for v in values:
-        if v is None:
+        # pd.isna covers None (object dtype) AND NaN/NaT (numeric /
+        # datetime dtypes — pandas surfaces SQL NULL as NaN there);
+        # str(nan) would otherwise register a phantom 'nan' distinct
+        # that n_rows' notna() count excludes.
+        if v is None or pd.isna(v):
             continue
         h = int.from_bytes(
             hashlib.md5(str(v).encode()).digest()[:8], "big"

@@ -803,3 +803,32 @@ def test_streaming_distinct_hll_accuracy(spark, tmp_path):
     assert final.loc["a", "n_rows"] == 2100
     assert abs(final.loc["a", "approx_distinct"] - 700) / 700 < 0.05
     assert abs(final.loc["b", "approx_distinct"] - 90) / 90 < 0.05
+
+
+def test_hll_update_skips_numeric_nulls():
+    """SQL NULL in a numeric value column surfaces as NaN in pandas;
+    the register fold must skip it (str(nan) would register a phantom
+    'nan' distinct that n_rows' notna() count excludes) — an all-null
+    key must estimate 0, and nulls must not shift a mixed column."""
+    import numpy as np
+    import pandas as pd
+
+    from kafka_streams_reorder_timestamp_spark.streaming.stateful import (
+        _hll_estimate,
+        _hll_update,
+    )
+
+    regs = np.zeros(1 << 12, dtype="uint8")
+    _hll_update(regs, pd.Series([np.nan, None, pd.NaT], dtype="object"))
+    assert _hll_estimate(regs) == 0.0
+
+    all_null = pd.Series([np.nan] * 5, dtype="float64")
+    _hll_update(regs, all_null)
+    assert _hll_estimate(regs) == 0.0
+
+    mixed = pd.Series([1.0, np.nan, 2.0, np.nan, 1.0], dtype="float64")
+    _hll_update(regs, mixed)
+    with_nulls = _hll_estimate(regs)
+    clean_regs = np.zeros(1 << 12, dtype="uint8")
+    _hll_update(clean_regs, pd.Series([1.0, 2.0, 1.0], dtype="float64"))
+    assert with_nulls == _hll_estimate(clean_regs)
