@@ -914,6 +914,43 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band, bucket) LSH band rows for `df` — the STORABLE form
+    of the MinHash index. This is the table a production incremental
+    pipeline persists: write the corpus's band rows once (bucketed on
+    (band, bucket) via sources.bucketed.write_bucketed), then each
+    day sign only the fresh batch and join its band rows against the
+    stored table — the corpus text is never rescanned and, with the
+    table bucketed on the join key, the corpus side of the candidate
+    join needs NO exchange (pinned by
+    tests/test_bucketed.py::test_incremental_band_table_join). One
+    Arrow-batched signature pass; the explode emits only
+    (id, band, bucket) — no text or shingles ride the index."""
+    docs = df.select(
+        F.col(id_col).alias("_mb_id"), F.col(text_col).alias("_mb_text")
+    ).filter(F.col("_mb_text").isNotNull())
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    feats = docs.select(
+        "_mb_id",
+        minhash_features(F.col("_mb_text"), num_hashes, bands, shingle_n)[
+            "buckets"
+        ].alias("buckets"),
+    ).filter(F.col("buckets").isNotNull())
+    return feats.select(
+        F.col("_mb_id").alias(id_col),
+        F.posexplode("buckets").alias("band", "bucket"),
+    )
+
+
 @register(
     "dedup_incremental_lsh",
     oracle=None,  # LSH hash-function-specific — driver records
@@ -935,25 +972,10 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     corpus, batch = _incremental_split(d)
 
-    par = d.sparkSession.sparkContext.defaultParallelism
-
     def banded(df: DataFrame, prefix: str) -> DataFrame:
-        docs = df.select(
-            F.col("doc_id").alias(f"{prefix}_doc"),
-            F.col("text").alias(f"{prefix}_text"),
-        )
-        if docs.rdd.getNumPartitions() < par:
-            docs = docs.repartition(par)
-        feats = docs.select(
-            f"{prefix}_doc",
-            minhash_features(
-                F.col(f"{prefix}_text"), num_hashes, bands, shingle_n
-            )["buckets"].alias("buckets"),
-        ).filter(F.col("buckets").isNotNull())
-        return feats.select(
-            f"{prefix}_doc",
-            F.posexplode("buckets").alias("band", "bucket"),
-        )
+        return minhash_band_rows(
+            df, "text", "doc_id", num_hashes, bands, shingle_n
+        ).withColumnRenamed("doc_id", f"{prefix}_doc")
 
     cand = (
         banded(batch, "batch")

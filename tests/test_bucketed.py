@@ -62,3 +62,73 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_facts):
     agg = li.groupBy("o_orderkey").agg(F.sum("l_quantity").alias("q"))
     # group-by on the bucket key: partial agg IS the final agg
     assert plans.shuffle_count(agg) == 0, plans.physical_plan(agg, "simple")
+
+
+def test_incremental_band_table_join(spark, sf_dir):
+    """The production shape dedup_incremental_lsh's docstring claims:
+    persist the corpus's LSH band rows ONCE as a table bucketed on the
+    (band, bucket) join key; each day sign only the fresh batch and
+    join against the stored table. Pins (a) the corpus side of the
+    candidate join has NO exchange (bucketed scan feeds the join
+    directly — at 100 TB the corpus index is the big side and must not
+    re-shuffle per day), and (b) candidate pairs are identical to the
+    from-scratch two-sided computation."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        _incremental_split,
+        minhash_band_rows,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus, batch = _incremental_split(d)
+
+    # "yesterday": sign the corpus once, store bucketed on the join key
+    write_bucketed(
+        minhash_band_rows(corpus, "text", "doc_id").withColumnRenamed(
+            "doc_id", "corpus_doc"
+        ),
+        "corpus_bands_b",
+        ["band", "bucket"],
+        N_BUCKETS,
+    )
+    try:
+        stored = bucketed_table(spark, "corpus_bands_b")
+        batch_bands = minhash_band_rows(batch, "text", "doc_id").withColumnRenamed(
+            "doc_id", "batch_doc"
+        )
+        # force the sort-merge path: at real scale NEITHER side fits a
+        # broadcast, which is exactly when bucketing pays
+        old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            cand = (
+                batch_bands.join(stored, ["band", "bucket"])
+                .select("batch_doc", "corpus_doc")
+                .dropDuplicates(["batch_doc", "corpus_doc"])
+            )
+            plan = plans.physical_plan(cand, "simple")
+            # exchanges: batch side into the join + the dropDuplicates
+            # agg; the STORED side contributes none (bucketed scan)
+            assert plans.shuffle_count(cand) == 2, plan
+            assert "Bucketed: true" in plans.physical_plan(cand), plan
+            got = {(r.batch_doc, r.corpus_doc) for r in cand.collect()}
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+        # from-scratch two-sided computation (what the registered query
+        # builds internally) must produce the same candidate set
+        fresh = {
+            (r.batch_doc, r.corpus_doc)
+            for r in batch_bands.join(
+                minhash_band_rows(corpus, "text", "doc_id").withColumnRenamed(
+                    "doc_id", "corpus_doc"
+                ),
+                ["band", "bucket"],
+            )
+            .select("batch_doc", "corpus_doc")
+            .dropDuplicates()
+            .collect()
+        }
+        assert got == fresh and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS corpus_bands_b")
