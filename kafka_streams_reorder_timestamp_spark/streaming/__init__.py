@@ -4,6 +4,7 @@ from .stateful import (
     streaming_distinct_hll,
     streaming_ema,
     streaming_heavy_hitters,
+    streaming_quantiles_dd,
 )
 from .windows import (
     enrich_with_static,
@@ -25,6 +26,7 @@ __all__ = [
     "streaming_distinct_hll",
     "streaming_ema",
     "streaming_heavy_hitters",
+    "streaming_quantiles_dd",
     "tumbling_agg",
     "tws_available",
 ]

@@ -12,6 +12,7 @@ the cluster; each micro-batch touches only the keys present in it.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator, Sequence
 
 import numpy as np
@@ -366,6 +367,161 @@ def streaming_distinct_hll(
         handle,
         outputStructType=out_schema,
         stateStructType=_HLL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_DD_STATE = T.StructType(
+    [
+        T.StructField("bin_idx", T.ArrayType(T.IntegerType())),
+        T.StructField("bin_cnt", T.ArrayType(T.LongType())),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("n_nonpos", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def _dd_fold(
+    counts: dict, values, gamma: float, max_bins: int = 1024
+) -> tuple[dict, int, int]:
+    """One pass of `values` into a DDSketch-style log-bin counter map
+    (Masson, Rim & Lee, "DDSketch: a fast and fully-mergeable quantile
+    sketch with relative-error guarantees", VLDB 2019 — public
+    algorithm). Positive v lands in bin ceil(log_gamma(v)); bin i
+    covers (gamma^(i-1), gamma^i], so estimating with the bin midpoint
+    2*gamma^i/(gamma+1) keeps relative error <= (gamma-1)/(gamma+1).
+    Returns (counts, n_pos_added, n_nonpos_added).
+
+    Pure and sequential-composable: folding micro-batches through
+    carried counts equals one fold of the concatenation (counts just
+    add — hypothesis-pinned), the same property the MG and HLL state
+    ops rest on. State is bounded by `max_bins`: on overflow the
+    LOWEST bins collapse into the smallest kept bin (the paper's
+    collapsing variant), which degrades only the lowest quantiles —
+    upper-quantile guarantees (the latency-style use case) survive."""
+    log_g = math.log(gamma)
+    n_pos = n_nonpos = 0
+    for v in values:
+        if v is None or pd.isna(v):
+            continue
+        v = float(v)
+        if v <= 0.0:
+            n_nonpos += 1
+            continue
+        i = math.ceil(math.log(v) / log_g)
+        counts[i] = counts.get(i, 0) + 1
+        n_pos += 1
+    if len(counts) > max_bins:
+        idx = sorted(counts)
+        keep_from = idx[len(idx) - max_bins]
+        spill = sum(c for i, c in counts.items() if i < keep_from)
+        counts = {i: c for i, c in counts.items() if i >= keep_from}
+        counts[keep_from] += spill
+    return counts, n_pos, n_nonpos
+
+
+def _dd_quantile(counts: dict, n: int, q: float, gamma: float) -> float:
+    """q-quantile estimate from the bin counters: walk bins in index
+    order to the ceil(q*n)-th positive value, return that bin's
+    midpoint 2*gamma^i/(gamma+1)."""
+    if n <= 0:
+        return float("nan")
+    rank = max(1, int(math.ceil(q * n)))
+    seen = 0
+    for i in sorted(counts):
+        seen += counts[i]
+        if seen >= rank:
+            return 2.0 * (gamma**i) / (gamma + 1.0)
+    return float("nan")
+
+
+def streaming_quantiles_dd(
+    df: DataFrame,
+    value_col: str,
+    key_cols: Sequence[str] = (),
+    alpha: float = 0.05,
+    quantiles: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-key approximate quantiles maintained across micro-batches
+    with a RELATIVE-error guarantee and bounded state — the quantile
+    member of the streaming sketch trio (cardinality =
+    streaming_distinct_hll, frequency = streaming_heavy_hitters).
+
+    State per key is a map of log-scale bin counters (gamma =
+    (1+alpha)/(1-alpha); at alpha=0.05 a value's bin is known to
+    ~10% width) capped at 1024 bins — double-precision positives span
+    at most ~14k bins at this gamma, and the cap collapses the lowest
+    bins first, so p50+ estimates keep the guarantee while a
+    pathological range only coarsens the low tail. Counters ADD, so
+    folding a batch into carried state is exactly the one-pass sketch
+    over the concatenated stream; every emitted estimate is within
+    alpha relative error of the true quantile of ALL values seen
+    (non-positive values are counted separately, not binned — the
+    relative-error contract only exists for v > 0).
+
+    Emits one snapshot per key per batch: (keys, p<q> columns,
+    n_values, n_nonpos, seq); consumers take max seq. The batch twin
+    is `lineitem_quantity_percentiles` (exact percentile_approx);
+    this operator is the state-store form for unbounded streams."""
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    keys = list(key_cols)
+    kdf = df
+    if not keys:
+        kdf = df.withColumn("_g", F.lit(0))
+        keys = ["_g"]
+    qcols = [f"p{str(q).replace('0.', '').ljust(2, '0')}" for q in quantiles]
+    out_schema = T.StructType(
+        [f for f in kdf.schema.fields if f.name in keys]
+        + [T.StructField(c, T.DoubleType()) for c in qcols]
+        + [
+            T.StructField("n_values", T.LongType()),
+            T.StructField("n_nonpos", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bi, bc, n_values, n_nonpos, seq = state.get
+            counts = dict(zip(bi, bc))
+        else:
+            counts, n_values, n_nonpos, seq = {}, 0, 0, 0
+
+        for pdf in pdfs:
+            counts, d_pos, d_np = _dd_fold(counts, pdf[value_col], gamma)
+            n_values += d_pos
+            n_nonpos += d_np
+        seq += 1
+        state.update(
+            (
+                list(counts.keys()),
+                list(counts.values()),
+                n_values,
+                n_nonpos,
+                seq,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                **{k: [key[i]] for i, k in enumerate(keys)},
+                **{
+                    c: [round(_dd_quantile(counts, n_values, q, gamma), 6)]
+                    for c, q in zip(qcols, quantiles)
+                },
+                "n_values": [n_values],
+                "n_nonpos": [n_nonpos],
+                "seq": [seq],
+            }
+        )
+
+    return kdf.groupBy(*keys).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=_DD_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -7,6 +7,8 @@ large examples; the pure-Python codec gets the full default budget.
 
 from __future__ import annotations
 
+import math
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -260,3 +262,77 @@ def test_streaming_mg_fold_properties(stream, capacity, data):
         # (d) every token with true count > N/(cap+1) survives
         if cnt > err:
             assert tok in whole
+
+
+# --------------------------------------------------------------------------
+# DDSketch fold: split-invariance and the relative-error guarantee for
+# ANY positive value stream; non-positives are counted, never binned.
+
+dd_values = st.lists(
+    st.floats(
+        min_value=1e-6,
+        max_value=1e12,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(dd_values, st.sampled_from([0.01, 0.05, 0.1]), st.data())
+def test_dd_fold_properties(vals, alpha, data):
+    from kafka_streams_reorder_timestamp_spark.streaming.stateful import (
+        _dd_fold,
+        _dd_quantile,
+    )
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    whole, n_pos, n_np = _dd_fold({}, vals, gamma)
+    assert n_pos == len(vals) and n_np == 0
+
+    # arbitrary micro-batch split folds to identical counters
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(min_value=0, max_value=len(vals)), max_size=6)
+        )
+    )
+    counts, tot = {}, 0
+    for lo, hi in zip([0] + cuts, cuts + [len(vals)]):
+        counts, dp, _ = _dd_fold(counts, vals[lo:hi], gamma)
+        tot += dp
+    assert counts == whole and tot == n_pos
+
+    # relative-error guarantee at every decile (no collapse here:
+    # bins <= len(vals) <= 300 < 1024)
+    srt = sorted(vals)
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        est = _dd_quantile(whole, n_pos, q, gamma)
+        true = srt[max(0, math.ceil(q * n_pos) - 1)]
+        assert abs(est - true) <= alpha * true + 1e-15, (q, est, true)
+
+
+def test_dd_fold_collapse_preserves_upper_quantiles():
+    """Force the 1024-bin cap: a range spanning more bins than the cap
+    must still estimate upper quantiles within alpha; only the low
+    tail coarsens (and non-positives are tallied separately)."""
+    from kafka_streams_reorder_timestamp_spark.streaming.stateful import (
+        _dd_fold,
+        _dd_quantile,
+    )
+
+    alpha = 0.05
+    gamma = (1 + alpha) / (1 - alpha)
+    # geometric sweep over ~28 decades -> ~6.6k distinct bins
+    vals = [10.0 ** (k / 100.0) for k in range(-1400, 1400)]
+    counts, n_pos, n_np = _dd_fold({}, vals, gamma)
+    assert len(counts) <= 1024
+    assert n_pos == len(vals) and n_np == 0
+    srt = sorted(vals)
+    for q in (0.7, 0.9, 0.99):
+        est = _dd_quantile(counts, n_pos, q, gamma)
+        true = srt[math.ceil(q * n_pos) - 1]
+        assert abs(est - true) <= alpha * true, (q, est, true)
+
+    counts2, n_pos2, n_np2 = _dd_fold(counts, [0.0, -3.5, None], gamma)
+    assert n_pos2 == 0 and n_np2 == 2 and counts2 == counts

@@ -832,3 +832,59 @@ def test_hll_update_skips_numeric_nulls():
     clean_regs = np.zeros(1 << 12, dtype="uint8")
     _hll_update(clean_regs, pd.Series([1.0, 2.0, 1.0], dtype="float64"))
     assert with_nulls == _hll_estimate(clean_regs)
+
+
+def test_streaming_quantiles_dd_accuracy(spark, tmp_path):
+    """Streaming DDSketch quantiles across micro-batches: the final
+    (max-seq) per-key p50/p90/p99 must be within the alpha=0.05
+    relative-error bound of the exact quantiles over ALL values seen,
+    with non-positive values tallied separately, and the per-key
+    counter state staying under the bin cap."""
+    import math as _math
+
+    # key 'a': deterministic long-tailed positives (latency-shaped);
+    # key 'b': small uniform set + some zeros/negatives
+    a_vals = [_math.exp((i % 997) / 150.0) for i in range(6000)]
+    b_vals = [float(1 + (i % 50)) for i in range(400)]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    rows += [("b", 0.0), ("b", -7.5)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    src, out_dir, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    df.repartition(4).write.parquet(str(src))
+
+    from kafka_streams_reorder_timestamp_spark.streaming import (
+        streaming_quantiles_dd,
+    )
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_quantiles_dd(stream, "v", key_cols=["k"], alpha=0.05)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.concat(
+        (pd.read_parquet(p) for p in glob.glob(f"{out_dir}/part-*.parquet")),
+        ignore_index=True,
+    )
+    assert got["seq"].max() >= 2, "expected multiple micro-batches"
+    final = got.loc[got.groupby("k")["seq"].idxmax()].set_index("k")
+
+    assert final.loc["a", "n_values"] == 6000
+    assert final.loc["a", "n_nonpos"] == 0
+    assert final.loc["b", "n_values"] == 400
+    assert final.loc["b", "n_nonpos"] == 2
+
+    for key, vals in (("a", a_vals), ("b", b_vals)):
+        srt = sorted(vals)
+        for col, qq in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            true = srt[_math.ceil(qq * len(srt)) - 1]
+            est = final.loc[key, col]
+            assert abs(est - true) <= 0.05 * true + 1e-9, (key, col, est, true)
