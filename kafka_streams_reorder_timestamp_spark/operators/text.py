@@ -655,3 +655,93 @@ def docs_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("worst_doc_rep_ratio"),
     )
+
+
+UNI_VOCAB_K = 20  # bounded LM vocabulary (corpus has 31 distinct tokens)
+
+
+@register(
+    "docs_unigram_logprob",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 6000000000,
+             array_to_string(list_transform(range(0, 16),
+               j -> 'rare' || CAST(doc_id AS VARCHAR) || '_'
+                    || CAST(j AS VARCHAR)), ' ')
+      FROM documents WHERE text IS NOT NULL AND doc_id < 5
+    ), tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS tok
+      FROM base
+    ), tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {UNI_VOCAB_K}
+    ), scored AS (
+      SELECT t.doc_id,
+             ln(COALESCE(CAST(v.c AS DOUBLE), 0.5)
+                / (SELECT n FROM tot)) AS lp
+      FROM tok t LEFT JOIN vocab v USING (tok)
+    )
+    SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    doc="Unigram language-model quality score (the CCNet/KenLM-style "
+    "perplexity filter, reduced to its scalable unigram core): train "
+    f"token counts on the corpus itself, keep the top-{UNI_VOCAB_K} "
+    "vocabulary (count desc, token asc — deterministic at the cut), "
+    "and score every document by mean ln P(token), out-of-vocabulary "
+    "tokens at an add-half floor 0.5/total. Low scores = rare-token "
+    "soup (boilerplate, encoding noise); planted all-rare docs (ids "
+    "+6e9) pin the OOV path and must land at exactly the floor, below "
+    "every real document (pytest). Shape for 100 TB: the count pass "
+    "is one token-keyed partial-agg shuffle (map-side combine absorbs "
+    "Zipf skew); the vocabulary is top-K BY CONSTRUCTION, so the "
+    "scoring join is a broadcast hash lookup — corpus tokens never "
+    "shuffle on the skewed token key — and the per-doc agg's partial "
+    "rows are ~one per doc per partition because exploded tokens stay "
+    "doc-contiguous. TakeOrderedAndProject computes the top-K without "
+    "a global sort.",
+)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    planted = d.filter(F.col("doc_id") < 5).select(
+        # text FIRST: the transform lambda must see the ORIGINAL
+        # doc_id (lateral-column-alias resolution is backward-only).
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda j: F.concat(
+                    F.lit("rare"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("_"),
+                    j.cast("string"),
+                ),
+            ),
+            " ",
+        ).alias("text"),
+        (F.col("doc_id") + F.lit(6_000_000_000)).alias("doc_id"),
+    )
+    base = d.select("doc_id", "text").unionByName(planted)
+    toks = base.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    vocab = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(UNI_VOCAB_K)
+    total = toks.agg(F.count(F.lit(1)).alias("n"))
+    lp = F.log(
+        F.coalesce(F.col("c").cast("double"), F.lit(0.5)) / F.col("n")
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(lp), 6).alias("avg_logprob"),
+        )
+    )

@@ -599,3 +599,29 @@ def test_fingerprint_split_has_zero_leaks(spark, sf_dir):
         .count()
     )
     assert leaks == 0
+
+
+def test_unigram_logprob_floor_and_ordering(spark, sf_dir):
+    """docs_unigram_logprob: planted all-rare docs (ids +6e9) must
+    score EXACTLY the OOV floor ln(0.5/total) — every one of their
+    tokens is unique, hence out of the top-K vocabulary — and strictly
+    below every real document (real docs draw from the 31-token
+    corpus vocabulary, most mass inside the top-K)."""
+    import math
+
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    pdf = REGISTRY["docs_unigram_logprob"].builder(spark, sf_dir).toPandas()
+    planted = pdf[pdf.doc_id >= 6_000_000_000]
+    normal = pdf[pdf.doc_id < 6_000_000_000]
+    assert len(planted) == 5 and len(normal) > 0
+    total = int(pdf.n_tokens.sum())
+    floor = round(math.log(0.5 / total), 6)
+    assert (planted.avg_logprob == floor).all(), (
+        planted.avg_logprob.tolist(),
+        floor,
+    )
+    assert (planted.n_tokens == 16).all()
+    assert planted.avg_logprob.max() < normal.avg_logprob.min()
