@@ -936,9 +936,13 @@ def minhash_band_rows(
     docs = df.select(
         F.col(id_col).alias("_mb_id"), F.col(text_col).alias("_mb_text")
     ).filter(F.col("_mb_text").isNotNull())
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    # Widen narrow batch inputs so the signature UDF parallelizes; a
+    # streaming relation has no static partitioning to probe (.rdd is
+    # illegal there) and its parallelism is the source's.
+    if not docs.isStreaming:
+        par = docs.sparkSession.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            docs = docs.repartition(par)
     feats = docs.select(
         "_mb_id",
         minhash_features(F.col("_mb_text"), num_hashes, bands, shingle_n)[

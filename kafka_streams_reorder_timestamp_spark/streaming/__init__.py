@@ -4,6 +4,7 @@ from .stateful import (
     streaming_distinct_hll,
     streaming_ema,
     streaming_heavy_hitters,
+    streaming_near_dup_candidates,
     streaming_quantiles_dd,
 )
 from .windows import (
@@ -26,6 +27,7 @@ __all__ = [
     "streaming_distinct_hll",
     "streaming_ema",
     "streaming_heavy_hitters",
+    "streaming_near_dup_candidates",
     "streaming_quantiles_dd",
     "tumbling_agg",
     "tws_available",

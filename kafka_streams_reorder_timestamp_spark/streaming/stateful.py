@@ -525,3 +525,92 @@ def streaming_quantiles_dd(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_NDC_STATE = T.StructType(
+    [T.StructField("ids", T.ArrayType(T.LongType()))]
+)
+
+
+def streaming_near_dup_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Streaming MinHash+LSH near-duplicate CANDIDATES — the in-stream
+    form of the stored-band-table incremental dedup
+    (`operators.dedup.minhash_band_rows` + bucketed join is the batch
+    shape; here the inverted index lives in the state store instead).
+
+    Each arriving document is signed once (the same Arrow-batched
+    minhash_features pass as the batch path — pandas UDFs run
+    unchanged on streaming DataFrames), exploded to (band, bucket)
+    rows, and grouped BY BUCKET into `applyInPandasWithState`: the
+    per-key state is simply the list of doc ids previously seen in
+    that bucket, and every new arrival emits one candidate row per
+    stored id (plus id-ordered pairs among same-batch arrivals). A
+    pair agreeing on several bands is emitted once per agreeing band —
+    downstream dedups with `dropDuplicates` and verifies candidates
+    with exact shingle Jaccard where the text lives (the same
+    candidate-only verify as the batch path); LSH guarantees recall,
+    the verify step restores precision.
+
+    State honesty at scale: the state IS the dedup index, so total
+    state grows linearly with the corpus — exactly like the stored
+    band table it replaces (RocksDB-backed, keyed by (band, bucket),
+    uniform 32-bit bucket keys, each key's list bounded by bucket
+    size). An index over history is the irreducible cost of
+    dedup-against-history; what stays bounded is per-KEY state and
+    per-batch work (candidates are generated only for buckets touched
+    by the batch)."""
+    from ..operators.dedup import minhash_band_rows
+
+    band_rows = minhash_band_rows(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    ).withColumnRenamed(id_col, "_doc")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("band", T.IntegerType()),
+            T.StructField("bucket", T.LongType()),
+            T.StructField("first_doc", T.LongType()),
+            T.StructField("new_doc", T.LongType()),
+        ]
+    )
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = list(state.get[0]) if state.exists else []
+        known = set(seen)
+        firsts, news = [], []
+        for pdf in pdfs:
+            for doc in sorted(int(x) for x in pdf["_doc"]):
+                if doc in known:
+                    continue
+                for old in seen:
+                    firsts.append(old)
+                    news.append(doc)
+                seen.append(doc)
+                known.add(doc)
+        state.update((seen,))
+        if news:
+            yield pd.DataFrame(
+                {
+                    "band": [key[0]] * len(news),
+                    "bucket": [key[1]] * len(news),
+                    "first_doc": firsts,
+                    "new_doc": news,
+                }
+            )
+
+    return band_rows.groupBy("band", "bucket").applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=_NDC_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

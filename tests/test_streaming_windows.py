@@ -888,3 +888,56 @@ def test_streaming_quantiles_dd_accuracy(spark, tmp_path):
             true = srt[_math.ceil(qq * len(srt)) - 1]
             est = final.loc[key, col]
             assert abs(est - true) <= 0.05 * true + 1e-9, (key, col, est, true)
+
+
+def test_streaming_near_dup_candidates(spark, tmp_path):
+    """Streaming LSH candidates with the inverted index in the state
+    store: batch 2's near-duplicates of batch-1 docs (drop last 2 of
+    30 tokens) must each surface as a candidate pair against the
+    STORED ids (cross-batch state carry), disjoint docs must never
+    pair, and the old document must be the pair's first_doc."""
+    base = [
+        (i, " ".join(f"tok{i}_{j}" for j in range(30))) for i in range(10)
+    ]
+    near = [
+        (100 + i, " ".join(f"tok{i}_{j}" for j in range(28)))
+        for i in range(10)
+    ]
+    src, out_dir, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    df1 = spark.createDataFrame(base, ["doc_id", "text"])
+    df2 = spark.createDataFrame(near, ["doc_id", "text"])
+    df1.coalesce(1).write.parquet(str(src))
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtime so file order == batch order
+    df2.coalesce(1).write.mode("append").parquet(str(src))
+
+    from kafka_streams_reorder_timestamp_spark.streaming import (
+        streaming_near_dup_candidates,
+    )
+
+    stream = (
+        spark.readStream.schema(df1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_near_dup_candidates(stream, "text", "doc_id")
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.concat(
+        (pd.read_parquet(p) for p in glob.glob(f"{out_dir}/part-*.parquet")),
+        ignore_index=True,
+    )
+    pairs = {
+        (int(r.first_doc), int(r.new_doc)) for _, r in got.iterrows()
+    }
+    # every planted near-dup pairs with its stored source, old id first
+    assert {(i, 100 + i) for i in range(10)} <= pairs, sorted(pairs)
+    # and nothing else pairs (disjoint token universes per i)
+    assert pairs == {(i, 100 + i) for i in range(10)}, sorted(pairs)
