@@ -1013,3 +1013,118 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         paired.filter(jac >= thr)
         .select("batch_doc", "corpus_doc", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_ngram_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), spans AS (
+      SELECT doc_id, i - 1 AS off,
+             array_to_string(list_slice(t, i, i + 7), ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 6)) AS i) g
+      WHERE len(t) >= 8
+    ), dup_grams AS (
+      SELECT gram FROM spans
+      GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+    ), dup_spans AS (
+      SELECT s.doc_id, s.off FROM spans s JOIN dup_grams USING (gram)
+    ), runs AS (
+      SELECT doc_id,
+             off - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY off)
+               AS grp,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_dup_windows
+      FROM dup_spans
+    ), per_run AS (
+      SELECT doc_id, grp, MAX(n_dup_windows) AS n_dup_windows,
+             COUNT(*) + 7 AS run_tokens
+      FROM runs GROUP BY doc_id, grp
+    ), per_doc AS (
+      SELECT doc_id, MAX(n_dup_windows) AS n_dup_windows,
+             COUNT(*) AS n_dup_runs, MAX(run_tokens) AS max_run_tokens
+      FROM per_run GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(tk.t) - 7 AS BIGINT) AS n_windows,
+           CAST(p.n_dup_windows AS BIGINT) AS n_dup_windows,
+           CAST(p.n_dup_runs AS BIGINT) AS n_dup_runs,
+           CAST(p.max_run_tokens AS BIGINT) AS max_run_tokens
+    FROM per_doc p JOIN toks tk USING (doc_id)
+    """,
+    doc="CROSS-document duplicate n-gram spans — the excisable-span "
+    "form of exact substring dedup (Lee et al. 2021 'Deduplicating "
+    "Training Data Makes Language Models Better' builds suffix arrays; "
+    "at 8-token window granularity the same duplicated passages are "
+    "found with two shuffles and no suffix structure). For each doc: "
+    "how many of its 8-token windows also occur verbatim in ANOTHER "
+    "doc, merged into maximal consecutive runs (gaps-and-islands) so "
+    "the pipeline can excise the repeated passage rather than drop "
+    "the doc — complements decontaminate_spans (probe-set spans) and "
+    "dedup_chunk_level (paragraph granularity). Shape for 100 TB: "
+    "windows are built IN-ROW (transform over sequence, no self-join) "
+    "and immediately reduced to (doc_id, off, xxhash64(gram)) so the "
+    "only shuffles carry 8-byte gram hashes — group on gh with the "
+    "min!=max trick (cheaper than COUNT(DISTINCT doc)) to find grams "
+    "seen in >=2 docs, semi-join spans back on gh (co-partitioned, "
+    "AQE-coalesced), then per-doc window+agg over the tiny surviving "
+    "span set. Total-token explode is unavoidable for exact spans but "
+    "it is map-local; the oracle joins on gram STRINGS (collision-"
+    "free), pinning that the 64-bit hash introduced no false merges.",
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return duplicate_ngram_spans(d, n=8)
+
+
+def duplicate_ngram_spans(d: DataFrame, n: int = 8) -> DataFrame:
+    """Per-doc stats of n-token windows duplicated across documents,
+    merged into maximal consecutive runs. See dedup_ngram_spans."""
+    from pyspark.sql import Window
+
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - n),
+        lambda i: F.struct(
+            i.cast("long").alias("off"),
+            F.xxhash64(F.array_join(F.slice(F.col("t"), i + 1, n), " "))
+            .alias("gh"),
+        ),
+    )
+    spans = (
+        toks.filter(F.size("t") >= n)
+        .select("doc_id", F.explode(grams).alias("s"))
+        .select("doc_id", F.col("s.off").alias("off"), F.col("s.gh").alias("gh"))
+    )
+    dup_ghs = (
+        spans.groupBy("gh")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .filter(F.col("mn") != F.col("mx"))
+        .select("gh")
+    )
+    dup_spans = spans.join(dup_ghs, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("off")
+    runs = dup_spans.withColumn(
+        "grp", F.col("off") - F.row_number().over(w)
+    )
+    per_run = runs.groupBy("doc_id", "grp").agg(
+        (F.count("*") + F.lit(n - 1)).alias("run_tokens")
+    )
+    per_doc = per_run.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_runs"),
+        F.max("run_tokens").alias("max_run_tokens"),
+        (F.sum("run_tokens") - (n - 1) * F.count("*")).alias("n_dup_windows"),
+    )
+    n_win = toks.filter(F.size("t") >= n).select(
+        "doc_id", (F.size("t") - (n - 1)).cast("long").alias("n_windows")
+    )
+    return per_doc.join(n_win, "doc_id").select(
+        "doc_id",
+        "n_windows",
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.col("n_dup_runs").cast("long").alias("n_dup_runs"),
+        F.col("max_run_tokens").cast("long").alias("max_run_tokens"),
+    )

@@ -625,3 +625,36 @@ def test_unigram_logprob_floor_and_ordering(spark, sf_dir):
     )
     assert (planted.n_tokens == 16).all()
     assert planted.avg_logprob.max() < normal.avg_logprob.min()
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram spans
+
+
+def test_duplicate_ngram_spans_planted_passage(spark):
+    """Two docs sharing a 12-token passage mid-document must each report
+    one duplicated run of 12-8+1=5 windows covering 12 tokens; a doc
+    with no shared 8-gram must not appear."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    shared = " ".join(f"shared{i}" for i in range(12))
+    docs = [
+        (1, "alpha beta gamma " + shared + " delta epsilon zeta"),
+        (2, "one two three four five " + shared + " six seven"),
+        (3, " ".join(f"unique{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in duplicate_ngram_spans(df, n=8).collect()
+    }
+    assert set(out) == {1, 2}
+    for doc_id in (1, 2):
+        r = out[doc_id]
+        assert r["n_dup_runs"] == 1
+        assert r["n_dup_windows"] == 5  # 12-token run -> 5 8-gram windows
+        assert r["max_run_tokens"] == 12
+    # n_windows = len(tokens) - 7
+    assert out[1]["n_windows"] == len(docs[0][1].split()) - 7
