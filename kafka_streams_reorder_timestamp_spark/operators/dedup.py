@@ -1128,3 +1128,137 @@ def duplicate_ngram_spans(d: DataFrame, n: int = 8) -> DataFrame:
         F.col("n_dup_runs").cast("long").alias("n_dup_runs"),
         F.col("max_run_tokens").cast("long").alias("max_run_tokens"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 3000000000, list_slice(t, 1, 24)
+      FROM base WHERE doc_id >= 20 AND doc_id < 30 AND len(t) >= 48
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END AS s
+      FROM corpus
+    )
+    SELECT a.doc_id AS doc_contained, b.doc_id AS doc_container,
+           ROUND(len(list_intersect(a.s, b.s)) / len(a.s), 4) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.s, b.s)) / len(a.s) >= 0.9
+    """,
+    doc="ASYMMETRIC containment dedup — doc-in-doc duplication the "
+    "Jaccard family cannot see: C(A->B) = |Sa n Sb| / |Sa| >= 0.9 over "
+    "3-token shingle sets flags quotes, mirrored excerpts, and "
+    "boilerplate-wrapped copies where the container is much larger "
+    "than the contained doc (Jaccard ~ |A|/|B| -> 0 there). Planted "
+    "probes: the first 24 tokens of hosts 20-29 (ids +3e9) are "
+    "contained with C=1.0 at any host length, which no symmetric "
+    "threshold would catch. Shape for 100 TB: probe side indexes only "
+    "its lossless containment prefix (|S| - ceil(t|S|) + 1 smallest "
+    "hashes — if all common shingles sat outside it the overlap would "
+    "be < ceil(t|Sa|)); the CONTAINER side cannot be prefixed (any "
+    "superset qualifies) so the index join's fan-out is bounded by "
+    "per-shingle document frequency times the ~(1-t) probe prefix — "
+    "the standard containment-join cost — and a positional upper "
+    "bound (1 + min(remaining_a, remaining_b) >= ceil(t|Sa|), "
+    "lossless at each pair's first shared shingle) prunes "
+    "common-trigram collisions before pair-distinct. Verification "
+    "re-derives hash sets for candidate docs only; the oracle "
+    "brute-forces string shingles, pinning the 64-bit hash universe.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = tokens(F.col("text"))
+    planted = (
+        d.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 30))
+        .filter(F.size(tok) >= 48)
+        .select(
+            (F.col("doc_id") + F.lit(3_000_000_000)).alias("doc_id"),
+            F.array_join(F.slice(tok, 1, 24), " ").alias("text"),
+        )
+    )
+    corpus = d.select("doc_id", "text").unionByName(planted)
+    return shingle_containment_pairs(corpus, "text", "doc_id", threshold=0.9)
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """EXACT containment pairs: C(A->B) = |Sa n Sb| / |Sa| >= threshold
+    over sorted distinct shingle-hash sets. See dedup_containment."""
+    from pyspark import StorageLevel
+
+    docs = df.select(
+        F.col(id_col).alias("_id"), F.col(text_col).alias("_text")
+    ).filter(F.col("_text").isNotNull())
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+    shingled = (
+        docs.select(
+            "_id", shingle_hashes64(F.col("_text"), shingle_n).alias("sh")
+        )
+        .filter(F.col("sh").isNotNull() & (F.size("sh") > 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Probe (contained-candidate) side: lossless containment prefix.
+    plen = (
+        F.size("sh") - F.ceil(F.size("sh") * F.lit(threshold)) + 1
+    ).cast("int")
+    probe = shingled.select(
+        F.col("_id").alias("a"),
+        F.size("sh").alias("sa"),
+        F.posexplode(F.slice(F.col("sh"), F.lit(1), plen)).alias(
+            "pa", "shingle"
+        ),
+    )
+    # Index (container) side: FULL shingle set — containment admits any
+    # superset, so no prefix is sound here.
+    index = shingled.select(
+        F.col("_id").alias("b"),
+        F.size("sh").alias("sb"),
+        F.posexplode("sh").alias("pb", "shingle"),
+    )
+    alpha = F.ceil(F.col("sa") * F.lit(threshold))
+    ubound = 1 + F.least(
+        F.col("sa") - F.col("pa") - 1, F.col("sb") - F.col("pb") - 1
+    )
+    cand = (
+        probe.join(index, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .filter(ubound >= alpha)
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])
+    )
+    cand_ids = (
+        cand.select(F.explode(F.array("a", "b")).alias("_id")).distinct()
+    )
+    verif = (
+        docs.join(cand_ids, "_id")
+        .select("_id", shingle_hashes64(F.col("_text"), shingle_n).alias("_sh"))
+        .repartition("_id")
+    )
+    sh_a = verif.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
+    sh_b = verif.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
+    paired = cand.join(sh_a, "a").join(sh_b, "b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    cont = inter / F.size("sh_a")
+    return paired.filter(cont >= threshold).select(
+        F.col("a").alias("doc_contained"),
+        F.col("b").alias("doc_container"),
+        F.round(cont, 4).alias("containment"),
+    )

@@ -658,3 +658,31 @@ def test_duplicate_ngram_spans_planted_passage(spark):
         assert r["max_run_tokens"] == 12
     # n_windows = len(tokens) - 7
     assert out[1]["n_windows"] == len(docs[0][1].split()) - 7
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment
+
+
+def test_shingle_containment_asymmetric(spark):
+    """A doc fully embedded in a 3x larger host must be flagged as
+    contained (C=1.0) in that direction ONLY — the case symmetric
+    Jaccard at the same threshold cannot see (J ~ 1/3 here)."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    small = " ".join(f"core{i}" for i in range(30))
+    host = small + " " + " ".join(f"extra{i}" for i in range(60))
+    other = " ".join(f"noise{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, small), (2, host), (3, other)], ["doc_id", "text"]
+    )
+    rows = {
+        (r["doc_contained"], r["doc_container"]): r["containment"]
+        for r in shingle_containment_pairs(
+            df, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)] == 1.0
