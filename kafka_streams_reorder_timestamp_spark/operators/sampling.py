@@ -381,3 +381,94 @@ def customer_orders_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFram
         F.min("n").alias("min_orders"),
         F.max("n").alias("max_orders"),
     )
+
+
+@register(
+    "sample_perplexity_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\\s+'),
+               t -> t <> '')) AS tok
+      FROM documents WHERE text IS NOT NULL
+    ), tot AS (SELECT COUNT(*) AS n FROM tok),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    vocab AS (
+      SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20
+    ), scored AS (
+      SELECT t.doc_id,
+             ln(COALESCE(CAST(v.c AS DOUBLE), 0.5)
+                / (SELECT n FROM tot)) AS lp
+      FROM tok t LEFT JOIN vocab v USING (tok)
+    ), perdoc AS (
+      SELECT doc_id, ROUND(AVG(lp), 6) AS avg_logprob
+      FROM scored GROUP BY doc_id
+    ), ranked AS (
+      SELECT d.lang, p.doc_id, p.avg_logprob,
+             NTILE(3) OVER (
+               PARTITION BY d.lang
+               ORDER BY p.avg_logprob DESC, p.doc_id) AS b
+      FROM perdoc p JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE b = 1
+             OR (b = 2 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                           < '8000')
+             OR (b = 3 AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+                           < '1999')) AS n_kept,
+           MIN(avg_logprob) AS min_lp,
+           MAX(avg_logprob) AS max_lp
+    FROM ranked GROUP BY lang, b
+    """,
+    doc="CCNet-style perplexity-bucketed sampling: score every doc "
+    "with the corpus-trained unigram LM (unigram_doc_scores — the "
+    "scalable stand-in for KenLM perplexity), rank WITHIN language, "
+    "ntile(3) into head/middle/tail, then keep head entirely, middle "
+    "at ~50%, tail at ~10% via the repo's deterministic md5(doc_id) "
+    "draw — the curation move that biases a corpus toward fluent text "
+    "without hard-dropping the tail. Per-doc scores are rounded to "
+    "6 dp BEFORE the ntile ordering so bucket boundaries are "
+    "engine-stable (ulp-level sum-order drift cannot flip a rank); "
+    "bucket floors/ceilings are reported as MIN/MAX (order statistics, "
+    "exactly comparable) rather than another float mean. Shape for "
+    "100 TB: scoring is the docs_unigram_logprob pipeline (broadcast "
+    "vocab, one token shuffle); ranking is one shuffle on lang with "
+    "per-group work linear in stratum size; the keep decision is a "
+    "pure per-row hash predicate — no rand(), no resort, "
+    "reproducible byte-for-byte.",
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from .text import unigram_doc_scores
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scores = unigram_doc_scores(d.select("doc_id", "text"))
+    ranked = scores.join(d.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_logprob"), F.asc("doc_id")
+    )
+    b = F.ntile(3).over(w)
+    bucketed = ranked.withColumn("b", b)
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), F.col("b")
+    )
+    keep = (
+        (F.col("b") == 1)
+        | ((F.col("b") == 2) & (_doc_hash() < "8000"))
+        | ((F.col("b") == 3) & (_doc_hash() < "1999"))
+    )
+    return (
+        bucketed.withColumn("bucket", bucket)
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.min("avg_logprob").alias("min_lp"),
+            F.max("avg_logprob").alias("max_lp"),
+        )
+    )

@@ -729,6 +729,16 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(6_000_000_000)).alias("doc_id"),
     )
     base = d.select("doc_id", "text").unionByName(planted)
+    return unigram_doc_scores(base)
+
+
+def unigram_doc_scores(base: DataFrame) -> DataFrame:
+    """Per-doc (doc_id, n_tokens, avg_logprob) under the corpus-trained
+    top-K unigram LM with add-half OOV floor. See docs_unigram_logprob
+    for the shape rationale; avg_logprob is rounded to 6 dp so the
+    value (and any ordering derived from it) is engine-stable."""
+    from ..functions.texthash import tokens
+
     toks = base.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     vocab = cnt.orderBy(F.desc("c"), F.asc("tok")).limit(UNI_VOCAB_K)
