@@ -792,3 +792,109 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         "is_canonical",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA projection (distributed moment aggregation, driver-side eigh)
+
+
+def pca_fit(
+    df: DataFrame, vec_col: str = "emb", k: int = 4, dim: int = DIM
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit a k-component PCA over a vector column.
+
+    Returns (components [k, dim], mean [dim], explained_variance [k]).
+
+    Distributed shape: ONE Arrow pass emits per-batch moment partials
+    (count, sum vector, flattened Gram matrix X^T X — dim*(dim+1) + 1
+    doubles per partition, ~33 KB at dim=64), ONE tiny element-indexed
+    shuffle sums them, and the dim x dim eigendecomposition runs on the
+    driver — the only part that is O(dim^3), independent of row count.
+    This is the classic scalable PCA: no row ever leaves its partition,
+    no iteration, numerically the covariance form (fine for feature
+    scales like embeddings; a 100 TB run pays one scan).
+
+    Eigenvector signs are canonicalized (largest-|entry| positive) so
+    projections are deterministic across LAPACK builds.
+    """
+
+    def _moments(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "m": [
+                        np.concatenate([X.sum(axis=0), (X.T @ X).ravel()])
+                        .tolist()
+                    ],
+                }
+            )
+
+    parts = df.select(vec_col).mapInPandas(
+        _moments, schema="n double, m array<double>"
+    )
+    flat = (
+        parts.select(
+            F.posexplode(
+                F.concat(F.array(F.col("n")), F.col("m"))
+            ).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .toPandas()
+        .sort_values("i")["v"]
+        .to_numpy()
+    )
+    n = flat[0]
+    mean = flat[1 : 1 + dim] / n
+    gram = flat[1 + dim :].reshape(dim, dim) / n
+    cov = gram - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # [k, dim]
+    for r in range(k):
+        j = int(np.argmax(np.abs(comps[r])))
+        if comps[r, j] < 0:
+            comps[r] = -comps[r]
+    return comps, mean, evals[order]
+
+
+@register(
+    "embedding_pca_project",
+    oracle=None,  # eigendecomposition is not SQL-expressible; driver
+    # records rows-only. pytest pins the projection against numpy's
+    # full PCA on the same data (values, variance order,
+    # orthogonality) at tests/test_llm_pipeline.py.
+    doc="PCA projection of the embeddings table onto its top-4 "
+    "principal components — the dimensionality-reduction front end "
+    "for visualization, whitening, or cheap pre-ANN pruning. Fit: "
+    "one Arrow moment pass + one ~4k-row shuffle + an O(dim^3) "
+    "driver eigh (pca_fit — model fitting is the documented "
+    "build-time action, like the CC iteration in graph.py). "
+    "Projection: the k=4 component vectors become literal arrays and "
+    "each coordinate is an UNROLLED codegen'd dot product minus a "
+    "precomputed center offset — the scoring scan is pure JVM, no "
+    "Python in the per-row path, broadcast-free (literals travel in "
+    "the plan).",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import vector_lit
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("emb")
+    )
+    comps, mean, _ = pca_fit(e, "emb", k=4, dim=DIM)
+    proj_cols = []
+    for r in range(comps.shape[0]):
+        offset = float(np.dot(comps[r], mean))
+        proj_cols.append(
+            F.round(
+                dot("emb", vector_lit(comps[r]), dim=DIM) - F.lit(offset), 4
+            ).alias(f"pc{r + 1}")
+        )
+    return e.select("vec_id", "label", *proj_cols)

@@ -686,3 +686,52 @@ def test_shingle_containment_asymmetric(spark):
     }
     assert set(rows) == {(1, 2)}
     assert rows[(1, 2)] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# PCA projection
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """The distributed moment-pass PCA must match numpy's full PCA on
+    the same data: identical projections (up to output rounding),
+    descending explained variance, orthonormal components."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        DIM,
+        embedding_pca_project,
+        pca_fit,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    X = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in e.collect()]
+    )
+    comps, mean, ev = pca_fit(
+        e.select("vec_id", e["embedding"].cast("array<double>").alias("emb")),
+        "emb",
+        k=4,
+        dim=DIM,
+    )
+    # components: orthonormal, variance descending
+    assert np.allclose(comps @ comps.T, np.eye(4), atol=1e-8)
+    assert ev[0] >= ev[1] >= ev[2] >= ev[3] > 0
+    # numpy ground truth (same sign canonicalization)
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(np.cov(Xc.T, bias=True))
+    order = np.argsort(evals)[::-1][:4]
+    ref = evecs[:, order].T
+    for r in range(4):
+        j = int(np.argmax(np.abs(ref[r])))
+        if ref[r, j] < 0:
+            ref[r] = -ref[r]
+    assert np.allclose(np.abs(comps), np.abs(ref), atol=1e-6)
+    assert np.allclose(ev[:4], evals[order], rtol=1e-8)
+    # registered projection equals numpy projection (rounded to 4 dp)
+    out = (
+        embedding_pca_project(spark, str(sf_dir))
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    want = (X - X.mean(axis=0)) @ ref.T
+    got = out[["pc1", "pc2", "pc3", "pc4"]].to_numpy()
+    assert np.allclose(got, want, atol=2e-4)
