@@ -472,3 +472,114 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("avg_logprob").alias("max_lp"),
         )
     )
+
+
+@register(
+    "training_order_index",
+    oracle="""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        ::UBIGINT,
+                      doc_id) - 1 AS BIGINT) AS position
+    FROM documents
+    """,
+    doc="Deterministic global training order: every doc gets a dense "
+    "0-based position in md5(doc_id) order — the reproducible 'corpus "
+    "shuffle' a trainer consumes, identical across runs, engines, and "
+    "cluster layouts (rand() or zipWithIndex would be neither). Shape "
+    "for 100 TB: the naive ROW_NUMBER() OVER (ORDER BY hash) funnels "
+    "the corpus through ONE task; this routes through "
+    "functions/rank.py's distributed rank — value-range bucketing on "
+    "the numeric hash prefix (uniform by construction, so the buckets "
+    "are balanced), per-bucket local row_number, tiny per-bucket "
+    "count prefix-sum broadcast back. The 32-bit hash prefix is the "
+    "bucket/sort key; doc_id breaks the ~n^2/2^33 collisions, so the "
+    "order is total and engine-portable (conv(hex) on the Spark side, "
+    "'0x'::UBIGINT on the oracle side).",
+)
+def training_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    ranked = global_row_number(
+        d.withColumn("_h", h), "_h", ["_h", "doc_id"], out_col="_rn"
+    )
+    return ranked.select(
+        "doc_id", (F.col("_rn") - 1).cast("long").alias("position")
+    )
+
+
+@register(
+    "shard_training_corpus",
+    oracle="""
+    WITH sharded AS (
+      SELECT doc_id, lang, n_chars,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+               AS h
+      FROM documents
+    ), ordered AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY shard_id ORDER BY h, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY shard_id) AS n
+      FROM sharded
+    )
+    SELECT shard_id,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+             AS first_doc,
+           CAST(MAX(CASE WHEN rn = n THEN doc_id END) AS BIGINT)
+             AS last_doc
+    FROM ordered GROUP BY shard_id
+    """,
+    doc="Content-addressed shard manifest: 16 shards keyed by the "
+    "first md5(doc_id) hex digit, each reporting doc count, byte "
+    "mass, language spread, and its first/last doc in within-shard "
+    "hash order — the manifest a sharded-writer job emits next to "
+    "the data so a trainer can plan epochs without listing files. "
+    "Hash sharding is the balance guarantee: shard sizes concentrate "
+    "around n/16 regardless of how the corpus is laid out on disk "
+    "(doc_id ranges, crawl order, source skew). One shuffle on the "
+    "shard key; first/last come from the same per-shard window pass, "
+    "no extra joins. In production this SELECT's input is "
+    "partitionBy('shard_id') at write time (sources/io.py's "
+    "partitioned-write path) — the manifest and the layout share the "
+    "one hash definition.",
+)
+def shard_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    md5 = F.md5(F.col("doc_id").cast("string"))
+    sharded = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.substring(md5, 1, 1).alias("shard_id"),
+        F.conv(F.substring(md5, 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    wn = Window.partitionBy("shard_id")
+    ordered = sharded.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ordered.groupBy("shard_id").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("doc_id")))
+        .cast("long")
+        .alias("last_doc"),
+    )
