@@ -1169,7 +1169,7 @@ def duplicate_ngram_spans(d: DataFrame, n: int = 8) -> DataFrame:
     "be < ceil(t|Sa|)); the CONTAINER side cannot be prefixed (any "
     "superset qualifies) so the index join's fan-out is bounded by "
     "per-shingle document frequency times the ~(1-t) probe prefix — "
-    "the standard containment-join cost — and a positional upper "
+    "the standard containment-join cost (a rarest-first df-ordered prefix would shrink it further but its extra explode+regroup shuffles cost more than they save below ~10k docs; measured) — and a positional upper "
     "bound (1 + min(remaining_a, remaining_b) >= ceil(t|Sa|), "
     "lossless at each pair's first shared shingle) prunes "
     "common-trigram collisions before pair-distinct. Verification "
@@ -1244,16 +1244,12 @@ def shingle_containment_pairs(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    cand_ids = (
-        cand.select(F.explode(F.array("a", "b")).alias("_id")).distinct()
-    )
-    verif = (
-        docs.join(cand_ids, "_id")
-        .select("_id", shingle_hashes64(F.col("_text"), shingle_n).alias("_sh"))
-        .repartition("_id")
-    )
-    sh_a = verif.select(F.col("_id").alias("a"), F.col("_sh").alias("sh_a"))
-    sh_b = verif.select(F.col("_id").alias("b"), F.col("_sh").alias("sh_b"))
+    # Verification reads the PERSISTED shingle table directly — unlike
+    # the Jaccard twin (whose UDF subtree is not cached at this point),
+    # `shingled` is already materialized, so re-deriving hash sets for
+    # candidates would pay a second full Arrow pass for nothing.
+    sh_a = shingled.select(F.col("_id").alias("a"), F.col("sh").alias("sh_a"))
+    sh_b = shingled.select(F.col("_id").alias("b"), F.col("sh").alias("sh_b"))
     paired = cand.join(sh_a, "a").join(sh_b, "b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     cont = inter / F.size("sh_a")
