@@ -885,33 +885,49 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Market-basket analysis: brand pairs co-purchased in the same "
     "order, with confidence(A->B) = P(B in order | A in order) — the "
-    "association-rule primitive. The pair join runs on the DISTINCT "
-    "(order, brand) table keyed by order (fan-out bounded by "
-    "|brands-in-order|^2, ~25 brands total), support >= 10 prunes "
-    "the tail; counts exact, one rounded division. Two shuffles + a "
-    "broadcast of the 25-row brand totals.",
+    "association-rule primitive. Shape: ONE shuffle of (order, brand) "
+    "builds per-order sorted brand baskets (collect_set dedups "
+    "in-agg, basket width bounded by TPC-H's <= 7 lines/order at any "
+    "SF); unordered pairs explode IN-ROW from each basket (never an "
+    "orderkey self-join, which would re-shuffle the table and "
+    "recompute the join subtree for the totals branch); the pair agg "
+    "and the 25-row brand totals are tiny aggs over the one persisted "
+    "basket table. Support >= 10 prunes the tail; counts exact, one "
+    "rounded division.",
 )
 def brand_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
-        l.join(p, l["l_partkey"] == p["p_partkey"])
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    baskets = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = ob.select("l_orderkey", F.col("p_brand").alias("brand_a"))
-    b = ob.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("brands"),
+            lambda x, i: F.transform(
+                F.slice(F.col("brands"), i + 2, F.size(F.col("brands"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
-        .groupBy("brand_a", "brand_b")
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(
+            F.col("pr.brand_a").alias("brand_a"),
+            F.col("pr.brand_b").alias("brand_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 10)
     )
     totals = F.broadcast(
-        ob.groupBy(F.col("p_brand").alias("brand_a")).agg(
-            F.count(F.lit(1)).alias("n_a")
-        )
+        baskets.select(F.explode("brands").alias("brand_a"))
+        .groupBy("brand_a")
+        .agg(F.count(F.lit(1)).alias("n_a"))
     )
     return pairs.join(totals, "brand_a").select(
         "brand_a",
