@@ -12,6 +12,8 @@ hard-coded hint).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kafka_streams_reorder_timestamp_spark import plans
 from kafka_streams_reorder_timestamp_spark.operators.relational import (
     q1_pricing_summary,
@@ -209,3 +211,51 @@ def test_curation_pipeline_two_shuffles(spark, sf_dir):
     assert plans.read_schema_columns(df) == {
         "doc_id", "text", "lang", "source", "n_chars",
     }
+
+
+def test_runtime_bloom_filter_injection_available(spark, sf_dir):
+    """The engine's session must support Spark's runtime bloom-filter
+    semi-join reduction: with a selective build side, the optimizer
+    injects bloom_filter_agg/might_contain onto the probe scan. At
+    bench SF the probe side is under the (deliberately untouched)
+    10 GB application-side threshold so the filter never fires in
+    production plans here — this pins that at 100 TB scan sizes the
+    big-side reduction IS available, not silently disabled."""
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled")
+        == "true"
+    )
+    old_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = load_table(spark, str(sf_dir), "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        o = (
+            load_table(spark, str(sf_dir), "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey")
+        )
+        plan = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan, plan
+        assert "might_contain" in plan, plan
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_thr,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
