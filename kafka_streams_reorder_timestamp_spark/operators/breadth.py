@@ -1065,3 +1065,74 @@ def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.unpivot(
         [], ["l_quantity", "l_extendedprice", "l_discount"], "measure", "total"
     ).select("measure", F.col("total").cast("double").alias("total"))
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey AS k, COUNT(*) AS c FROM lineitem GROUP BY 1
+    ), ev AS (
+      SELECT user_id AS k, COUNT(*) AS c FROM events
+      WHERE user_id IS NOT NULL GROUP BY 1
+    ), stats AS (
+      SELECT 'lineitem.l_orderkey' AS join_key,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(c) AS BIGINT) AS n_rows,
+             CAST(MAX(c) AS BIGINT) AS max_rows,
+             ROUND(MEDIAN(c), 1) AS median_rows
+      FROM li
+      UNION ALL
+      SELECT 'events.user_id', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(c) AS BIGINT), CAST(MAX(c) AS BIGINT),
+             ROUND(MEDIAN(c), 1)
+      FROM ev
+    )
+    SELECT join_key, n_keys, n_rows, max_rows, median_rows,
+           ROUND(max_rows * 1.0 / median_rows, 2) AS skew_factor
+    FROM stats
+    """,
+    doc="Join-key skew diagnostic — the report an operator reads "
+    "BEFORE choosing a salting/AQE strategy for a 100 TB join: per "
+    "candidate key, the cardinality, total rows, hottest-key row "
+    "count, median-key row count, and their ratio (skew_factor; ~1 = "
+    "uniform, >>1 = a straggler task in any hash-partitioned join on "
+    "that key). Shape: one partial-agg shuffle per key column (counts "
+    "combine map-side), then a handful of per-key-table rows reduce "
+    "to one stats row each — MEDIAN over key counts is per-group "
+    "bounded, never over raw rows (reported interpolated, rounded "
+    "to 1 dp — a CAST would round half-values engine-differently). "
+    "The blocked-Jaccard salt "
+    "(dedup.py) and AQE skew-join this report motivates are both "
+    "already in the engine; this closes the observe->decide loop.",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def stats(df: DataFrame, key: str, label: str) -> DataFrame:
+        counts = (
+            df.filter(F.col(key).isNotNull())
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        return counts.agg(
+            F.lit(label).alias("join_key"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.max("c").alias("max_rows"),
+            F.round(F.expr("median(c)"), 1).alias("median_rows"),
+        )
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    e = load_table(spark, sf_dir, "events").select("user_id")
+    out = stats(l, "l_orderkey", "lineitem.l_orderkey").unionByName(
+        stats(e, "user_id", "events.user_id")
+    )
+    return out.select(
+        "join_key",
+        "n_keys",
+        "n_rows",
+        "max_rows",
+        "median_rows",
+        F.round(F.col("max_rows") * 1.0 / F.col("median_rows"), 2).alias(
+            "skew_factor"
+        ),
+    )
