@@ -17,8 +17,10 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..sources.catalog import load_table
 from .registry import register
@@ -755,3 +757,151 @@ def unigram_doc_scores(base: DataFrame) -> DataFrame:
             F.round(F.avg(lp), 6).alias("avg_logprob"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (iterative merge learning)
+
+
+def bpe_learn_merges(
+    words: "DataFrame", n_merges: int = 8
+) -> list[tuple[int, str, str, int]]:
+    """Learn `n_merges` BPE merges from a (word, wcount) vocabulary
+    table — the Sennrich et al. 2016 algorithm, distributed.
+
+    Each round: adjacent symbol pairs explode IN-ROW weighted by word
+    count (never a self-join), one partial-agg shuffle sums pair
+    counts, the argmax pair (count desc, then lexicographic — total
+    order, engine-stable) is a 1-row collect, and an Arrow pass
+    rewrites symbol arrays by merging that pair left-to-right
+    non-overlapping. The vocabulary table is orders of magnitude
+    smaller than the corpus (distinct words), so at 100 TB the corpus
+    is touched ONCE (word counting); every merge round runs on the
+    vocab table alone — which is why tokenizer training is cheap even
+    when the corpus is not. No end-of-word marker (documented
+    divergence from the paper's '</w>'; the merge dynamics are
+    identical within words).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql.functions import pandas_udf
+
+    cur = words.select(
+        "word", "wcount", F.split(F.col("word"), "").alias("syms")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pairs = F.transform(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            lambda x, i: F.struct(
+                x.alias("a"),
+                F.element_at(F.col("syms"), i + 2).alias("b"),
+            ),
+        )
+        best = (
+            cur.filter(F.size("syms") >= 2)
+            .select("wcount", F.explode(pairs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("wcount").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((rank, a, b, c))
+
+        def _merge_factory(a: str, b: str):
+            @pandas_udf(T.ArrayType(T.StringType()))
+            def _merge(col: pd.Series) -> pd.Series:
+                out = []
+                for syms in col:
+                    s, i, n = [], 0, len(syms)
+                    while i < n:
+                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                            s.append(a + b)
+                            i += 2
+                        else:
+                            s.append(syms[i])
+                            i += 1
+                    out.append(s)
+                return pd.Series(out)
+
+            return _merge
+
+        nxt = cur.select(
+            "word", "wcount", _merge_factory(a, b)(F.col("syms")).alias("syms")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        nxt.count()  # materialize before dropping the parent cache
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+@register(
+    "bpe_train_merges",
+    oracle=None,  # iterative argmax + sequential left-to-right merge
+    # rewriting is not SQL-expressible; pytest pins the full merge
+    # sequence against a pure-Python reference BPE on the same
+    # vocabulary (tests/test_llm_pipeline.py).
+    doc="BPE tokenizer training: the first 8 merges learned from the "
+    "corpus word-frequency table (Sennrich et al. 2016), with "
+    "deterministic argmax tie-breaking (count desc, pair asc). The "
+    "corpus is scanned ONCE (distributed word counting — the only "
+    "part proportional to corpus size); the merge loop then runs on "
+    "the AGGREGATED vocabulary, which Heaps' law bounds far below "
+    "corpus size, collected to the driver (the tokenizers-library "
+    "shape). bpe_learn_merges is the fully-distributed loop for a "
+    "vocabulary too large to collect — per round: in-row pair "
+    "explode, one pair-count shuffle, 1-row argmax collect, Arrow "
+    "rewrite; pytest pins both paths merge-for-merge equal. "
+    "Complements text_bpe_token_counts (which APPLIES a fixed regex "
+    "segmentation; this LEARNS the merge table).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = {
+        r["word"]: r["wcount"]
+        for r in d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .collect()
+    }
+    merges = bpe_merges_local(wc, n_merges=8)
+    return d.sparkSession.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_merges_local(
+    word_counts: dict[str, int], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side BPE merge learning over an aggregated vocabulary —
+    identical semantics to bpe_learn_merges (argmax by count desc then
+    pair asc; left-to-right non-overlapping rewrite)."""
+    vocab = {w: list(w) for w in word_counts}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, int(c)))
+        for w, syms in vocab.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    s.append(a + b)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            vocab[w] = s
+    return merges

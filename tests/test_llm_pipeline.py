@@ -735,3 +735,76 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     want = (X - X.mean(axis=0)) @ ref.T
     got = out[["pc1", "pc2", "pc3", "pc4"]].to_numpy()
     assert np.allclose(got, want, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+
+
+def _reference_bpe(word_counts, n_merges):
+    """Pure-Python Sennrich BPE: argmax pair by (count desc, pair asc),
+    merge left-to-right non-overlapping."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, syms in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + word_counts[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, a, b, c))
+        for w, syms in vocab.items():
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    s.append(a + b)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            vocab[w] = s
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """The distributed 8-merge sequence must equal the pure-Python
+    reference run on the identical word-frequency vocabulary."""
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import tokens
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    wc = {
+        r["word"]: r["c"]
+        for r in d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    want = _reference_bpe(wc, 8)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_train_merges(spark, str(sf_dir))
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+    assert len(got) == 8
+    # the fully-distributed loop must agree merge-for-merge (run at a
+    # shorter horizon: it pays several Spark jobs per round)
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        bpe_learn_merges,
+    )
+
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    assert bpe_learn_merges(words, n_merges=3) == want[:3]
