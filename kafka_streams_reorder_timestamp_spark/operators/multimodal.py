@@ -264,3 +264,105 @@ def media_frame_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_frames"),
         F.sum(F.length("frame")).alias("frame_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (dHash over pooled byte grids + Hamming LSH)
+
+
+def phash64(payload_col: str = "payload"):
+    """64-bit dHash-style perceptual hash of a binary payload.
+
+    The byte stream is average-pooled into an 8x9 grid (72 cells —
+    the decode-free stand-in for 'resize image to 9x8 grayscale');
+    each bit compares horizontally adjacent cells (cell > right
+    neighbor). Pooling makes the signature robust to small local
+    edits — the property that lets Hamming distance find re-encoded
+    or lightly-edited copies where exact byte hashing cannot. One
+    Arrow pass, numpy-vectorized per batch; short payloads right-pad
+    with zeros so the grid is always full.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.LongType())
+    def _phash(payloads: pd.Series) -> pd.Series:
+        out = []
+        for payload in payloads:
+            if payload is None or len(payload) == 0:
+                out.append(None)
+                continue
+            buf = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            if len(buf) < 72:
+                buf = np.pad(buf, (0, 72 - len(buf)))
+            n = len(buf)
+            # pooling boundaries (i*n)//72: one reduceat, no per-cell
+            # Python — the row cost is a handful of numpy calls.
+            idx = (np.arange(72) * n) // 72
+            cells = np.add.reduceat(buf, idx) / np.diff(np.append(idx, n))
+            grid = cells.reshape(8, 9)
+            bits = (grid[:, :-1] > grid[:, 1:]).ravel()  # 8x8 = 64 bits
+            v = int.from_bytes(np.packbits(bits).tobytes(), "big")
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out, dtype="object")
+
+    return _phash(F.col(payload_col))
+
+
+@register(
+    "media_phash_neardup",
+    oracle=None,  # signature family is implementation-specific (same
+    # contract as dedup_simhash); pytest pins planted perturbed copies
+    # pairing with their source within the Hamming budget and
+    # unrelated media staying apart.
+    doc="Perceptual-hash near-dup over the media corpus plus "
+    "deterministic perturbed copies (payloads of media 0-14 with "
+    "every byte shifted +1 — the uniform 'brightness change' that "
+    "breaks exact hashing completely, ids +5e9): 64-bit pooled-grid "
+    "dHash "
+    "(phash64), then the SAME pigeonhole Hamming banding as "
+    "dedup_simhash (hamming_band_pairs, max distance 3 -> 4 16-bit "
+    "bands; text-derived grids are correlated, so wider budgets fatten "
+    "band buckets quadratically for little recall — measured) — "
+    "multimodal dedup without decoding, sharing one verified LSH "
+    "code path across text and media. Shape for 100 TB: signatures "
+    "reduce each blob to 8 bytes BEFORE any shuffle (blobs never "
+    "cross an exchange); banding bounds candidate fan-out by bucket "
+    "size; verification is bit_count(xor), JVM-side.",
+)
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .simhash import hamming_band_pairs
+
+    from pyspark.sql.functions import pandas_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(docs)
+
+    @pandas_udf(T.BinaryType())
+    def _bump(payloads: pd.Series) -> pd.Series:
+        # uniform +1 byte shift — the 'brightness change' that breaks
+        # every exact hash but leaves relative cell order (and so the
+        # dHash) untouched
+        return payloads.map(
+            lambda b: None
+            if b is None
+            else ((np.frombuffer(b, dtype=np.uint8) + 1) % 256)
+            .astype(np.uint8)
+            .tobytes()
+        )
+
+    perturbed = media.filter(F.col("media_id") < 15).select(
+        (F.col("media_id") + F.lit(5_000_000_000)).alias("media_id"),
+        _bump(F.col("payload")).alias("payload"),
+    )
+    corpus = media.select("media_id", "payload").unionByName(perturbed)
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    sigs = corpus.select(
+        F.col("media_id").alias("_id"), phash64().alias("_sig")
+    ).filter(F.col("_sig").isNotNull())
+    return hamming_band_pairs(sigs, max_hamming=3).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

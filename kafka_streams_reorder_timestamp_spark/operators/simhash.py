@@ -105,10 +105,6 @@ def simhash_near_dups(
     least one full band, so same-band-value buckets generate all true
     candidates. Verification: bit_count(xor) — JVM built-in.
     """
-    bands = max_hamming + 1
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-
     # Widen narrow inputs so the signature UDF runs at full parallelism
     # (no-op on real inputs with >= cores partitions).
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -117,6 +113,19 @@ def simhash_near_dups(
     sigs = df.select(
         F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
     ).filter(F.col("_sig").isNotNull())
+    return hamming_band_pairs(sigs, max_hamming)
+
+
+def hamming_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """All pairs with Hamming(sig_a, sig_b) <= max_hamming over a
+    (_id, _sig int64) table — the signature-agnostic half of the
+    SimHash operator (also drives perceptual-hash media dedup):
+    pigeonhole banding into max_hamming + 1 bands guarantees every
+    qualifying pair shares a full band; in-bucket pairs generate
+    in-row; bit_count(xor) verifies JVM-side."""
+    bands = max_hamming + 1
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
 
     band_vals = F.array(
         *[

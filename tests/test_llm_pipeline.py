@@ -808,3 +808,35 @@ def test_bpe_train_matches_reference(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("wcount"))
     )
     assert bpe_learn_merges(words, n_merges=3) == want[:3]
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media near-dup
+
+
+def test_media_phash_finds_brightness_shifted_copies(spark, sf_dir):
+    """Every +1-byte-shifted planted copy must pair with its source at
+    Hamming 0 (dHash is invariant to uniform shifts) even though the
+    payloads differ in EVERY byte — the case exact hashing can never
+    catch."""
+    from kafka_streams_reorder_timestamp_spark.operators.multimodal import (
+        media_phash_neardup,
+    )
+
+    out = media_phash_neardup(spark, str(sf_dir)).toPandas()
+    planted = out[
+        (out.media_b >= 5_000_000_000)
+        & (out.media_a == out.media_b - 5_000_000_000)
+    ]
+    assert len(planted) == 15
+    assert (planted.hamming == 0).all()
+    # the perturbation really does change the bytes: no planted pair
+    # would survive an exact fingerprint comparison
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("doc_id") < 15
+    )
+    texts = {r["doc_id"]: r["text"] for r in d.collect()}
+    for doc_id, text in texts.items():
+        orig = text.encode()
+        bumped = bytes((b + 1) % 256 for b in orig)
+        assert orig != bumped
