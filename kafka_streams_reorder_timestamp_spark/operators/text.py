@@ -905,3 +905,76 @@ def bpe_merges_local(
                     i += 1
             vocab[w] = s
     return merges
+
+
+@register(
+    "docs_gopher_rules",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(text, '{WORD}')) AS n_words,
+             length(regexp_replace(text, '{NON_ALNUM}', '', 'g'))
+               AS n_alnum,
+             len(regexp_extract_all(text, '{PUNCT}')) AS n_symbols,
+             n_chars,
+             len(regexp_extract_all(lower(text),
+                 '\\b(the|a|of|and|in|to|is)\\b')) AS n_stop
+      FROM documents WHERE text IS NOT NULL
+    ), rules AS (
+      SELECT doc_id, lang, n_words,
+             (n_words >= 5 AND n_words <= 100000) AS ok_word_count,
+             (n_words > 0 AND
+              n_alnum * 1.0 / n_words >= 3 AND
+              n_alnum * 1.0 / n_words <= 12) AS ok_mean_word_len,
+             (n_symbols * 1.0 / GREATEST(n_chars, 1) <= 0.1)
+               AS ok_symbol_ratio,
+             (n_alnum * 1.0 / GREATEST(n_chars, 1) >= 0.6)
+               AS ok_alpha_ratio,
+             (n_stop >= 2) AS ok_stopwords
+      FROM scored
+    )
+    SELECT doc_id, lang, CAST(n_words AS BIGINT) AS n_words,
+           ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+           ok_alpha_ratio, ok_stopwords,
+           (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+            AND ok_alpha_ratio AND ok_stopwords) AS keep
+    FROM rules
+    """,
+    doc="Gopher-style quality rule panel (Rae et al. 2021, Table A1, "
+    "adapted to this corpus's scale): per document, the five classic "
+    "gates — word count in range, mean word length in range, symbol-"
+    "to-char ratio, alphanumeric-char ratio, minimum stopword "
+    "evidence — each reported SEPARATELY plus the conjunctive keep "
+    "flag, because a curation pipeline tunes rules by watching "
+    "per-rule kill rates, not just the final verdict "
+    "(dedup_rate_by_source is the same idea for dedup). All regex + "
+    "integer arithmetic inside whole-stage codegen; a pure scan with "
+    "no shuffle at any corpus size. Extends text_quality_flags "
+    "(which keeps the compact 3-gate form for the pipeline "
+    "composition).",
+)
+def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_words = _count_matches(F.col("text"), WORD)
+    n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
+    n_symbols = _count_matches(F.col("text"), PUNCT)
+    n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
+    mean_wl = n_alnum * F.lit(1.0) / n_words
+    ok_wc = (n_words >= 5) & (n_words <= 100_000)
+    ok_mwl = (n_words > 0) & (mean_wl >= 3) & (mean_wl <= 12)
+    ok_sym = n_symbols * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)) <= 0.1
+    ok_alpha = (
+        n_alnum * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)) >= 0.6
+    )
+    ok_stop = n_stop >= 2
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.cast("long").alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
