@@ -955,3 +955,114 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("funnel_depth"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: point-frequency estimation (completes the sketch
+# family: HLL = cardinality, DDSketch/KLL = quantiles, Misra-Gries =
+# heavy hitters, Theta = set algebra, CMS = arbitrary-key frequency)
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+# splitmix64-derived odd multipliers, one per CMS row (fixed seeds so
+# the sketch is deterministic across runs/engines)
+CMS_SEEDS = (0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+             0xD6E8FEB86659FD93)
+
+
+def _cms_cols(keys: "np.ndarray") -> "np.ndarray":
+    """[depth, n] column indices for int64 keys — vectorized
+    multiply-shift hashing, identical wherever numpy runs."""
+    import numpy as np
+
+    k = keys.astype(np.uint64)
+    out = np.empty((CMS_DEPTH, len(k)), dtype=np.int64)
+    for i, seed in enumerate(CMS_SEEDS):
+        h = k * np.uint64(seed)
+        h ^= h >> np.uint64(33)
+        out[i] = (h % np.uint64(CMS_WIDTH)).astype(np.int64)
+    return out
+
+
+def cms_aggregate(df: DataFrame, key_col: str) -> "np.ndarray":
+    """Merged [CMS_DEPTH, CMS_WIDTH] Count-Min matrix over a key
+    column. One Arrow pass emits a 4 KB partial per batch (counters,
+    not keys — the whole point: state is O(d*w) however many distinct
+    keys or rows exist); a ~4k-row element shuffle sums partials; the
+    driver folds the single merged row. Same model-fit contract as
+    pca_fit (bounded build-time action)."""
+    import numpy as np
+    import pandas as pd
+
+    def _partial(it):
+        for pdf in it:
+            keys = pdf[key_col].dropna().to_numpy(dtype=np.int64)
+            if len(keys) == 0:
+                continue
+            m = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+            cols = _cms_cols(keys)
+            for i in range(CMS_DEPTH):
+                np.add.at(m[i], cols[i], 1)
+            yield pd.DataFrame({"m": [m.ravel().tolist()]})
+
+    parts = df.select(key_col).mapInPandas(_partial, schema="m array<long>")
+    flat = (
+        parts.select(F.posexplode("m").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("v"))
+        .toPandas()
+        .sort_values("i")["v"]
+        .to_numpy()
+    )
+    return flat.reshape(CMS_DEPTH, CMS_WIDTH)
+
+
+def cms_estimate(matrix: "np.ndarray", keys: "np.ndarray") -> "np.ndarray":
+    """Point estimates: min over depths of the hashed counters —
+    never an underestimate; overshoot <= e/WIDTH * N w.h.p."""
+    import numpy as np
+
+    cols = _cms_cols(np.asarray(keys, dtype=np.int64))
+    ests = np.stack(
+        [matrix[i, cols[i]] for i in range(CMS_DEPTH)], axis=0
+    )
+    return ests.min(axis=0)
+
+
+@register(
+    "events_cms_user_counts",
+    oracle=None,  # the estimate is hash-function-specific; pytest pins
+    # the CMS guarantee (est >= exact, est - exact <= eps*N) against
+    # exact per-user counts (tests/test_llm_pipeline.py).
+    doc="Count-Min point-frequency estimates for the 20 lowest "
+    "user_ids over the events stream — the sketch that answers 'how "
+    "often did key X occur' for ANY key with O(d*w) memory (4x1024 "
+    "counters = 32 KB here) when exact per-key counting would need "
+    "state proportional to the key space. Counters are mergeable by "
+    "addition, so the partial-per-Arrow-batch + element-sum shuffle "
+    "IS the one-pass sketch of the whole table, and the identical "
+    "fold works as streaming state (the MG/HLL/DDSketch pattern in "
+    "streaming/stateful.py). Estimates never undercount; overshoot "
+    "is bounded by e/width * N per row w.h.p. — both pinned in "
+    "pytest vs exact counts.",
+)
+def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    probes = [
+        r["user_id"]
+        for r in ev.select("user_id")
+        .distinct()
+        .orderBy("user_id")
+        .limit(20)
+        .collect()
+    ]
+    matrix = cms_aggregate(ev, "user_id")
+    ests = cms_estimate(matrix, np.asarray(probes))
+    return spark.createDataFrame(
+        [(int(u), int(e)) for u, e in zip(probes, ests)],
+        "user_id long, est_count long",
+    )

@@ -840,3 +840,35 @@ def test_media_phash_finds_brightness_shifted_copies(spark, sf_dir):
         orig = text.encode()
         bumped = bytes((b + 1) % 256 for b in orig)
         assert orig != bumped
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cms_bounds_vs_exact_counts(spark, sf_dir):
+    """CMS estimates must never undercount and must overshoot by at
+    most e/width * N (the standard guarantee; deterministic here given
+    fixed seeds) for every probe key."""
+    import math
+
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        CMS_WIDTH,
+        events_cms_user_counts,
+    )
+
+    ev = load_table(spark, str(sf_dir), "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    exact = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    n_total = sum(exact.values())
+    eps = math.e / CMS_WIDTH
+    out = events_cms_user_counts(spark, str(sf_dir)).collect()
+    assert len(out) == min(20, len(exact))
+    for r in out:
+        true = exact[r["user_id"]]
+        assert r["est_count"] >= true
+        assert r["est_count"] - true <= eps * n_total
