@@ -334,3 +334,116 @@ def pagerank_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges2.unpersist()
     nodes.unpersist()
     return out
+
+
+@register(
+    "transition_graph_triangles",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), und AS (
+      SELECT DISTINCT LEAST(prev_type, event_type) AS u,
+             GREATEST(prev_type, event_type) AS v
+      FROM seq
+      WHERE prev_type IS NOT NULL AND prev_type <> event_type
+    ), deg AS (
+      SELECT n, COUNT(*) AS d FROM (
+        SELECT u AS n FROM und UNION ALL SELECT v FROM und
+      ) GROUP BY n
+    ), oriented AS (
+      SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END
+               AS lo,
+             CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END
+               AS hi
+      FROM und e
+      JOIN deg da ON da.n = e.u
+      JOIN deg db ON db.n = e.v
+    ), wedges AS (
+      SELECT a.lo AS x, a.hi AS y, b.hi AS z
+      FROM oriented a JOIN oriented b
+        ON a.lo = b.lo AND a.hi < b.hi
+    )
+    SELECT w.x AS node_a, w.y AS node_b, w.z AS node_c
+    FROM wedges w
+    WHERE EXISTS (
+      SELECT 1 FROM und e2
+      WHERE e2.u = LEAST(w.y, w.z) AND e2.v = GREATEST(w.y, w.z)
+    )
+    """,
+    doc="Triangle enumeration on the undirected event-transition "
+    "graph — the degree-ordered orientation algorithm that makes "
+    "triangle counting tractable at scale: orient every edge from "
+    "its lower-(degree, id) endpoint to the higher one, build wedges "
+    "only at each edge's LOW end (every node's oriented out-degree "
+    "is O(sqrt(|E|)) on any graph — the classic arboricity bound, so "
+    "the wedge join never explodes on a high-degree hub the way a "
+    "naive open-wedge join does), then one semi-join against the "
+    "edge set closes each wedge. Two joins + one semi-join over "
+    "id-only edge rows; the transition edge list itself is one "
+    "window pass + distinct. Triangle = a set of three event types "
+    "that pairwise follow each other in some session — the "
+    "navigational-loop signal. Output is each triangle once "
+    "(lexicographic orientation tie-break keeps it deterministic).",
+)
+def transition_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(win).alias("prev_type")
+    )
+    und = (
+        seq.filter(
+            F.col("prev_type").isNotNull()
+            & (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            F.least("prev_type", "event_type").alias("u"),
+            F.greatest("prev_type", "event_type").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("n"))
+        .unionAll(und.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("n").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+    a = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    b = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = a.join(b, "x").filter(F.col("y") < F.col("z"))
+    closing = und.select(
+        F.col("u").alias("cu"), F.col("v").alias("cv")
+    )
+    return (
+        wedges.join(
+            closing,
+            (F.col("cu") == F.least("y", "z"))
+            & (F.col("cv") == F.greatest("y", "z")),
+            "left_semi",
+        )
+        .select(
+            F.col("x").alias("node_a"),
+            F.col("y").alias("node_b"),
+            F.col("z").alias("node_c"),
+        )
+    )
