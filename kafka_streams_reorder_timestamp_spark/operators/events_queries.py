@@ -1066,3 +1066,71 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(u), int(e)) for u, e in zip(probes, ests)],
         "user_id long, est_count long",
     )
+
+
+@register(
+    "purchase_attribution_last_touch",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS last_touch
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT COALESCE(last_touch, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE
+             AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Last-touch purchase attribution: every purchase credits the "
+    "most recent PRIOR non-purchase event of the same user (IGNORE "
+    "NULLS last_value over an unbounded-preceding frame — the window "
+    "idiom that carries the latest qualifying row forward without a "
+    "self-join); purchases with no prior touch credit 'direct'. "
+    "Value sums run in DECIMAL and round once, so the engines agree "
+    "bit-for-bit despite float addition being order-sensitive. One "
+    "shuffle on user_id for the window, then a tiny channel agg — "
+    "the marketing-funnel complement to events_funnel_conversion "
+    "(which measures ordered step completion, not credit).",
+)
+def purchase_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type") != "purchase", F.col("event_type")
+    )
+    seq = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.coalesce(F.col("last_touch"), F.lit("direct")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")), 2
+            )
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
