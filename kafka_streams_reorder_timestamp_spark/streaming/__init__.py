@@ -3,6 +3,7 @@ from .reorder_tws import reorder_stream_tws, tws_available
 from .stateful import (
     streaming_distinct_hll,
     streaming_ema,
+    streaming_freq_cms,
     streaming_heavy_hitters,
     streaming_near_dup_candidates,
     streaming_quantiles_dd,
@@ -26,6 +27,7 @@ __all__ = [
     "stream_dedup",
     "streaming_distinct_hll",
     "streaming_ema",
+    "streaming_freq_cms",
     "streaming_heavy_hitters",
     "streaming_near_dup_candidates",
     "streaming_quantiles_dd",

@@ -614,3 +614,102 @@ def streaming_near_dup_candidates(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CMS_STATE = T.StructType(
+    [
+        T.StructField("matrix", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("seq", T.LongType()),
+    ]
+)
+
+
+def streaming_freq_cms(
+    df: DataFrame,
+    value_col: str,
+    probes: Sequence[int],
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-key Count-Min frequency estimates for a fixed probe set,
+    maintained across micro-batches — streaming point-frequency with
+    FIXED-SIZE state, completing the streaming sketch family
+    (Misra-Gries = top-k, HLL = cardinality, DDSketch = quantiles,
+    this = arbitrary-key frequency).
+
+    State per key group is one CMS_DEPTH x CMS_WIDTH int64 counter
+    matrix (32 KB) regardless of how many distinct values the stream
+    carries. Counters add, so folding each micro-batch into the
+    matrix IS the one-pass sketch over the concatenated stream: the
+    streamed estimate equals a batch CMS over all data seen, and the
+    standard guarantee (never undercounts; overshoot <= e/width * N
+    w.h.p.) holds end-to-end — pinned against exact counts in the
+    stream test. Emits one snapshot row per (key, probe) per batch;
+    consumers take max seq. Batch twin: events_cms_user_counts.
+    """
+    from ..operators.events_queries import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_cols,
+        cms_estimate,
+    )
+
+    keys = list(key_cols)
+    kdf = df
+    if not keys:
+        kdf = df.withColumn("_g", F.lit(0))
+        keys = ["_g"]
+    probe_arr = np.asarray(list(probes), dtype=np.int64)
+    out_schema = T.StructType(
+        [f for f in kdf.schema.fields if f.name in keys]
+        + [
+            T.StructField("probe", T.LongType()),
+            T.StructField("est_count", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+
+    def handle(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            raw, n_rows, seq = state.get
+            matrix = (
+                np.frombuffer(raw, dtype=np.int64)
+                .reshape(CMS_DEPTH, CMS_WIDTH)
+                .copy()
+            )
+        else:
+            matrix = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+            n_rows, seq = 0, 0
+
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(dtype=np.int64)
+            if len(vals) == 0:
+                continue
+            n_rows += len(vals)
+            cols = _cms_cols(vals)
+            for i in range(CMS_DEPTH):
+                np.add.at(matrix[i], cols[i], 1)
+        seq += 1
+        state.update((bytearray(matrix.tobytes()), n_rows, seq))
+        ests = cms_estimate(matrix, probe_arr)
+        k = len(probe_arr)
+        yield pd.DataFrame(
+            {
+                **{c: [key[i]] * k for i, c in enumerate(keys)},
+                "probe": probe_arr,
+                "est_count": ests.astype("int64"),
+                "n_rows": [n_rows] * k,
+                "seq": [seq] * k,
+            }
+        )
+
+    return kdf.groupBy(*keys).applyInPandasWithState(
+        handle,
+        outputStructType=out_schema,
+        stateStructType=_CMS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -941,3 +941,59 @@ def test_streaming_near_dup_candidates(spark, tmp_path):
     assert {(i, 100 + i) for i in range(10)} <= pairs, sorted(pairs)
     # and nothing else pairs (disjoint token universes per i)
     assert pairs == {(i, 100 + i) for i in range(10)}, sorted(pairs)
+
+
+def test_streaming_freq_cms_bounds(spark, tmp_path):
+    """Streaming CMS across micro-batches: final (max-seq) estimates
+    must satisfy the CMS guarantee vs exact per-value counts — never
+    undercount, overshoot <= e/width * N — and the counter fold must
+    accumulate across batches (n_rows = total stream rows)."""
+    import glob as _glob
+    import math
+
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        CMS_WIDTH,
+    )
+    from kafka_streams_reorder_timestamp_spark.streaming import (
+        streaming_freq_cms,
+    )
+
+    rows = []
+    truth = {}
+    # value v repeated v+1 times, spread across files/batches
+    for v in range(50):
+        rows += [("a", v)] * (v + 1)
+        truth[v] = v + 1
+    df = spark.createDataFrame(rows, ["k", "val"])
+    src, out_dir, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    df.repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    probes = list(range(0, 50, 5))
+    q = (
+        streaming_freq_cms(stream, "val", probes, key_cols=["k"])
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.concat(
+        (pd.read_parquet(p) for p in _glob.glob(f"{out_dir}/part-*.parquet")),
+        ignore_index=True,
+    )
+    assert got["seq"].max() >= 2, "expected multiple micro-batches"
+    final = got[got["seq"] == got["seq"].max()]
+    n_total = sum(truth.values())
+    assert int(final["n_rows"].iloc[0]) == n_total
+    eps = math.e / CMS_WIDTH
+    assert len(final) == len(probes)
+    for _, r in final.iterrows():
+        true = truth[r["probe"]]
+        assert r["est_count"] >= true
+        assert r["est_count"] - true <= eps * n_total
