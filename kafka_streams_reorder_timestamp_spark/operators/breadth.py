@@ -1211,3 +1211,74 @@ def lineitem_zorder_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("l_suppkey").cast("long").alias("max_suppkey"),
         )
     )
+
+
+@register(
+    "source_drift_psi",
+    oracle="""
+    WITH binned AS (
+      SELECT source,
+             LEAST(CAST(n_chars // 200 AS BIGINT), 9) AS bin
+      FROM documents WHERE n_chars IS NOT NULL
+    ), per_source AS (
+      SELECT source, bin, COUNT(*) AS c FROM binned GROUP BY 1, 2
+    ), totals AS (
+      SELECT source, SUM(c) AS n FROM per_source GROUP BY 1
+    ), global_bins AS (
+      SELECT bin, SUM(c) AS gc FROM per_source GROUP BY 1
+    ), gtotal AS (
+      SELECT SUM(gc) AS gn FROM global_bins
+    ), terms AS (
+      SELECT p.source,
+             ((p.c + 0.5) / (t.n + 5.0)
+              - (g.gc + 0.5) / (gt.gn + 5.0))
+             * ln(((p.c + 0.5) / (t.n + 5.0))
+                  / ((g.gc + 0.5) / (gt.gn + 5.0))) AS term
+      FROM per_source p
+      JOIN totals t USING (source)
+      JOIN global_bins g USING (bin)
+      CROSS JOIN gtotal gt
+    )
+    SELECT source, ROUND(SUM(term), 6) AS psi
+    FROM terms GROUP BY source
+    """,
+    doc="Population Stability Index of the document-length "
+    "distribution per source vs the whole corpus — the standard "
+    "ingestion drift monitor (PSI < 0.1 stable, > 0.25 shifted): a "
+    "new crawl whose length profile diverges from the corpus shows "
+    "up as a high-PSI source before any model ever trains on it. "
+    "Ten fixed 200-char bins capped at 2000 (deterministic, no "
+    "data-dependent quantiles), add-half smoothing on BOTH sides so "
+    "empty bins contribute finite terms identically in each engine. "
+    "Shape: one partial-agg shuffle to (source, bin) counts "
+    "(bounded: sources x 10 rows), then all joins run on that tiny "
+    "table — the corpus is scanned once, and at 100 TB the drift "
+    "report costs one aggregation regardless of corpus size.",
+)
+def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    binned = d.select(
+        "source",
+        F.least(F.floor(F.col("n_chars") / 200), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+    )
+    per_source = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = per_source.groupBy("source").agg(F.sum("c").alias("n"))
+    global_bins = per_source.groupBy("bin").agg(F.sum("c").alias("gc"))
+    gtotal = global_bins.agg(F.sum("gc").alias("gn"))
+    p_frac = (F.col("c") + 0.5) / (F.col("n") + 5.0)
+    g_frac = (F.col("gc") + 0.5) / (F.col("gn") + 5.0)
+    term = (p_frac - g_frac) * F.log(p_frac / g_frac)
+    return (
+        per_source.join(F.broadcast(totals), "source")
+        .join(F.broadcast(global_bins), "bin")
+        .crossJoin(F.broadcast(gtotal))
+        .select("source", term.alias("term"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
