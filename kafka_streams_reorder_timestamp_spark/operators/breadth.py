@@ -1282,3 +1282,39 @@ def source_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.round(F.sum("term"), 6).alias("psi"))
     )
+
+
+@register(
+    "docs_k_anonymity_audit",
+    oracle="""
+    WITH quasi AS (
+      SELECT lang, source,
+             CAST(n_chars // 100 AS BIGINT) AS size_bucket,
+             COUNT(*) AS group_n
+      FROM documents
+      GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, size_bucket, CAST(group_n AS BIGINT) AS group_n
+    FROM quasi WHERE group_n < 5
+    """,
+    doc="k-anonymity audit over the quasi-identifier tuple (lang, "
+    "source, 100-char size bucket): every combination matched by "
+    "FEWER than k=5 documents is a re-identification risk — metadata "
+    "alone pins those docs down, the check privacy review runs "
+    "before releasing corpus metadata alongside redacted text "
+    "(docs_pii_redaction handles the text side; this handles the "
+    "metadata side). One partial-agg shuffle over the quasi key; "
+    "output is only the violating groups, so result size is the risk "
+    "surface, not the corpus.",
+)
+def docs_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("size_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_n"))
+        .filter(F.col("group_n") < 5)
+    )
