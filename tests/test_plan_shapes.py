@@ -259,3 +259,52 @@ def test_runtime_bloom_filter_injection_available(spark, sf_dir):
             old_thr,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+
+
+def test_gopher_rules_pure_scan(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        docs_gopher_rules,
+    )
+
+    df = docs_gopher_rules(spark, sf_dir)
+    # five quality gates in one codegen'd scan: no shuffle, only the
+    # referenced columns read
+    assert plans.shuffle_count(df) == 0
+    assert plans.read_schema_columns(df) == {
+        "doc_id", "lang", "text", "n_chars",
+    }
+
+
+def test_zorder_zonemap_single_agg_shuffle(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.breadth import (
+        lineitem_zorder_zonemap,
+    )
+
+    df = lineitem_zorder_zonemap(spark, sf_dir)
+    # max-agg broadcast back + one partial-agg shuffle of 32 zone
+    # groups; the scan reads exactly the two interleaved keys
+    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df, "simple")
+    assert plans.read_schema_columns(df) == {"l_partkey", "l_suppkey"}
+
+
+def test_skew_report_partial_agg_only(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.breadth import (
+        join_key_skew_report,
+    )
+
+    df = join_key_skew_report(spark, sf_dir)
+    # per key column: count shuffle + 1-row stats agg; the union adds
+    # no extra exchange over the raw tables
+    assert plans.read_schema_columns(df) <= {"l_orderkey", "user_id"}
+    assert plans.shuffle_count(df) <= 4, plans.physical_plan(df, "simple")
+
+
+def test_attribution_single_window_shuffle(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        purchase_attribution_last_touch,
+    )
+
+    df = purchase_attribution_last_touch(spark, sf_dir)
+    # one hash-partition shuffle on user_id for the window, one tiny
+    # channel agg
+    assert plans.shuffle_count(df) <= 2, plans.physical_plan(df, "simple")
