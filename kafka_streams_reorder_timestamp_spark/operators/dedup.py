@@ -1258,3 +1258,90 @@ def shingle_containment_pairs(
         F.col("b").alias("doc_container"),
         F.round(cont, 4).alias("containment"),
     )
+
+
+@register(
+    "dedup_survivorship_quality",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text, n_chars FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 7000000000, text || '  ', n_chars + 2
+      FROM documents WHERE text IS NOT NULL AND doc_id < 10
+    ), scored AS (
+      SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+               AS n_alnum,
+             n_chars
+      FROM base
+    ), ranked AS (
+      SELECT doc_id, fingerprint, n_words,
+             COUNT(*) OVER (PARTITION BY fingerprint) AS group_size,
+             ROW_NUMBER() OVER (
+               PARTITION BY fingerprint
+               ORDER BY n_alnum * 1.0 / GREATEST(n_chars, 1) DESC,
+                        n_words DESC, doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, fingerprint, CAST(group_size AS BIGINT) AS group_size,
+           CAST(n_words AS BIGINT) AS n_words
+    FROM ranked WHERE rn = 1 AND group_size > 1
+    """,
+    doc="Survivorship POLICY on duplicate groups: instead of "
+    "dedup_exact_docs' min-doc_id survivor, keep the HIGHEST-QUALITY "
+    "member of each exact-duplicate group (alpha ratio desc, then "
+    "word count desc, doc_id as the deterministic tie-break) — the "
+    "curation decision real pipelines make, since crawl copies "
+    "differ in boilerplate wrapping even when the normalized text "
+    "matches. One fingerprint-keyed window over quality features "
+    "computed in the same scan; emits only multi-member groups so "
+    "output is the contested set, not the corpus. Composes the "
+    "dedup fingerprint with docs_gopher_rules-style scoring in one "
+    "plan — no intermediate materialization. Planted whitespace-"
+    "variant copies (ids +7e9) guarantee contested groups at every "
+    "SF; the cleaner original must win each one.",
+)
+def dedup_survivorship_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # Planted whitespace-variant copies of docs 0-9 (ids +7e9): same
+    # normalized fingerprint, two extra chars of padding — a duplicate
+    # group whose members genuinely differ in the quality features, so
+    # the policy is exercised at every SF (the sf0.01 corpus has no
+    # natural byte-exact duplicates).
+    planted = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + F.lit(7_000_000_000)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit("  ")).alias("text"),
+        (F.col("n_chars") + F.lit(2)).alias("n_chars"),
+    )
+    d = d.select("doc_id", "text", "n_chars").unionByName(planted)
+    n_words = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z0-9]+"), 0)
+    )
+    n_alnum = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", ""))
+    scored = d.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        n_words.alias("n_words"),
+        (n_alnum * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)))
+        .alias("alpha_ratio"),
+    )
+    wp = Window.partitionBy("fingerprint")
+    wo = wp.orderBy(
+        F.desc("alpha_ratio"), F.desc("n_words"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("group_size", F.count(F.lit(1)).over(wp))
+        .withColumn("rn", F.row_number().over(wo))
+        .filter((F.col("rn") == 1) & (F.col("group_size") > 1))
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.col("group_size").cast("long").alias("group_size"),
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+    )
