@@ -349,3 +349,66 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("win_day").alias("day_us"), "active_users_7d"
         )
     )
+
+
+@register(
+    "orders_backlog_monthly",
+    oracle="""
+    WITH spans AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate) AS open_m,
+             date_trunc('month', MAX(l.l_shipdate)) AS close_m
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), deltas AS (
+      SELECT open_m AS m, 1 AS d FROM spans
+      UNION ALL
+      SELECT close_m, -1 FROM spans
+    ), monthly AS (
+      SELECT m, SUM(d) AS delta FROM deltas GROUP BY 1
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           CAST(SUM(delta) AS BIGINT) AS net_change,
+           CAST(SUM(SUM(delta)) OVER (ORDER BY m) AS BIGINT) AS backlog
+    FROM monthly GROUP BY m
+    """,
+    doc="Open-order backlog over time by DIFFERENCE ARRAY — the "
+    "interval-stabbing shape that scales: each order contributes "
+    "exactly two delta rows (+1 at its open month, -1 at the month "
+    "its last lineitem is received) instead of one row per month it "
+    "spans, so the expansion is O(orders), never O(orders x "
+    "lifetime). An order counts in [open month, close month); the "
+    "running sum over the ~84-month delta table turns deltas into "
+    "levels. Shape: one join+agg shuffle to per-order spans (the "
+    "only corpus-sized work), a tiny month-keyed agg, and the "
+    "cumulative window runs over the bounded month axis — the "
+    "classic reduce-THEN-window pattern that keeps the global "
+    "ordered window off raw data at any SF.",
+)
+def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.first(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "open_m"
+            ),
+            F.date_trunc("month", F.max("l_shipdate")).alias("close_m"),
+        )
+    )
+    deltas = spans.select(
+        F.col("open_m").alias("m"), F.lit(1).alias("d")
+    ).unionAll(spans.select(F.col("close_m").alias("m"), F.lit(-1).alias("d")))
+    monthly = deltas.groupBy("m").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        F.col("delta").cast("long").alias("net_change"),
+        F.sum("delta").over(w).cast("long").alias("backlog"),
+    )
