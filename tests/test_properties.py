@@ -336,3 +336,81 @@ def test_dd_fold_collapse_preserves_upper_quantiles():
 
     counts2, n_pos2, n_np2 = _dd_fold(counts, [0.0, -3.5, None], gamma)
     assert n_pos2 == 0 and n_np2 == 2 and counts2 == counts
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate n-gram spans vs brute force
+
+
+def _brute_ngram_spans(docs: dict[int, str], n: int):
+    """Pure-Python reference for duplicate_ngram_spans: per doc, dup
+    windows merged into runs, same semantics as the operator/oracle."""
+    toks = {i: [t for t in txt.strip().lower().split() if t] for i, txt in docs.items()}
+    grams = {
+        i: [" ".join(t[j : j + n]) for j in range(len(t) - n + 1)]
+        for i, t in toks.items()
+        if len(t) >= n
+    }
+    owners: dict[str, set[int]] = {}
+    for i, gs in grams.items():
+        for g in gs:
+            owners.setdefault(g, set()).add(i)
+    out = {}
+    for i, gs in grams.items():
+        offs = [j for j, g in enumerate(gs) if len(owners[g]) > 1]
+        if not offs:
+            continue
+        runs, start = [], offs[0]
+        for prev, cur in zip(offs, offs[1:]):
+            if cur != prev + 1:
+                runs.append((start, prev))
+                start = cur
+        runs.append((start, offs[-1]))
+        out[i] = {
+            "n_windows": len(gs),
+            "n_dup_windows": len(offs),
+            "n_dup_runs": len(runs),
+            "max_run_tokens": max(b - a + 1 for a, b in runs) + n - 1,
+        }
+    return out
+
+
+doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0,
+        max_size=14,
+    ).map(" ".join),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(doc_texts)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_duplicate_ngram_spans_matches_brute_force(spark, texts):
+    """Random tiny-vocabulary corpora (dense accidental overlaps, runs,
+    within-doc repeats) must agree with the pure-Python reference on
+    every per-doc statistic."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        duplicate_ngram_spans,
+    )
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: {
+            "n_windows": r["n_windows"],
+            "n_dup_windows": r["n_dup_windows"],
+            "n_dup_runs": r["n_dup_runs"],
+            "max_run_tokens": r["max_run_tokens"],
+        }
+        for r in duplicate_ngram_spans(df, n=3).collect()
+    }
+    assert got == _brute_ngram_spans(docs, 3)
