@@ -46,7 +46,7 @@ MIN_ALNUM_PCT4 = 5000  # alnum/chars ratio >= 0.5, in 1e-4 units
       WHERE text IS NOT NULL
     ), scored AS (
       SELECT doc_id, lang, source, n_chars,
-             len(regexp_extract_all(text, '{WORD}')) AS n_tokens,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
              length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
                AS n_alnum
       FROM deduped WHERE rn = 1
@@ -554,4 +554,119 @@ def split_by_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
         )
+    )
+
+
+@register(
+    "incremental_curation_pipeline",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, text, n_chars,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT DISTINCT fingerprint FROM fp WHERE doc_id < 250
+    ), batch AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM fp WHERE doc_id >= 250
+      ) WHERE rn = 1
+    ), fresh AS (
+      SELECT b.* FROM batch b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM corpus c WHERE c.fingerprint = b.fingerprint
+      )
+    ), scored AS (
+      SELECT lang, source, n_chars,
+             len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+               AS n_alnum,
+             CASE WHEN contains(
+               regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+               (SELECT array_to_string(list_slice(list_filter(
+                  regexp_split_to_array(trim(lower(p.text)), '\\s+'),
+                  t -> t <> ''), 1, 8), ' ')
+                FROM documents p WHERE p.doc_id = 0)
+             ) THEN 1 ELSE 0 END AS contaminated
+      FROM fresh
+    ), kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens >= 10
+        AND (2 * 10000 * n_alnum + n_chars) // (2 * n_chars) >= 5000
+        AND contaminated = 0
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM kept GROUP BY lang, source
+    """,
+    doc="The DAILY-INGEST counterpart of corpus_curation_pipeline, "
+    "fused into one Catalyst plan: the fresh batch (docs 250+, the "
+    "same corpus/batch split as dedup_incremental_batch) dedups "
+    "WITHIN itself (fingerprint window), anti-joins the existing "
+    "corpus's digest set (16 bytes/doc — yesterday's text is never "
+    "rescanned), passes the length/alnum quality gates, drops docs "
+    "containing the doc-0 probe 8-gram (decontaminate_docs' rule), "
+    "and lands as per-(lang, source) accounting. Cost is "
+    "proportional to the DAILY batch at any corpus size: one "
+    "fingerprint window shuffle + one uniform digest anti-join + a "
+    "broadcast 1-row probe + one partial-agg shuffle. This is the "
+    "pipeline a user actually schedules; each stage's standalone "
+    "twin is separately oracle-checked, and the fused plan is too.",
+)
+def incremental_curation_pipeline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    fp = d.withColumn("fingerprint", F.md5(normalize_text(F.col("text"))))
+    corpus = (
+        fp.filter(F.col("doc_id") < 250).select("fingerprint").distinct()
+    )
+    win = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fp.filter(F.col("doc_id") >= 250)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    fresh = batch.join(corpus, "fingerprint", "left_anti")
+    probe = (
+        d.filter(F.col("doc_id") == 0)
+        .select(
+            F.array_join(F.slice(tokens(F.col("text")), 1, 8), " ").alias(
+                "probe"
+            )
+        )
+    )
+    scored = fresh.crossJoin(F.broadcast(probe)).select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD), 0)).alias(
+            "n_tokens"
+        ),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")).alias(
+            "n_alnum"
+        ),
+        F.expr("contains(regexp_replace(lower(trim(text)), '\\\\s+', ' '), probe)")
+        .cast("int")
+        .alias("contaminated"),
+    )
+    kept = scored.filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (
+            F.expr("(2 * 10000 * n_alnum + n_chars) div (2 * n_chars)")
+            >= MIN_ALNUM_PCT4
+        )
+        & (F.col("contaminated") == 0)
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
     )
