@@ -1014,6 +1014,8 @@ def cms_aggregate(df: DataFrame, key_col: str) -> "np.ndarray":
         .sort_values("i")["v"]
         .to_numpy()
     )
+    if flat.size == 0:  # no non-null keys anywhere -> empty sketch
+        return np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
     return flat.reshape(CMS_DEPTH, CMS_WIDTH)
 
 
