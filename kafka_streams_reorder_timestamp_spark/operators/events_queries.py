@@ -1136,3 +1136,75 @@ def purchase_attribution_last_touch(
             .alias("attributed_value"),
         )
     )
+
+
+@register(
+    "experiment_assignment_lift",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)),
+                              1, 4) < '8000'
+                  THEN 'control' ELSE 'treatment' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events
+            WHERE user_id IS NOT NULL)
+    ), metrics AS (
+      SELECT a.arm, e.user_id,
+             COUNT(*) FILTER (WHERE e.event_type = 'purchase')
+               AS purchases,
+             SUM(CAST(e.value AS DECIMAL(18,4)))
+               FILTER (WHERE e.event_type = 'purchase') AS spend
+      FROM events e JOIN assigned a USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(*) FILTER (WHERE purchases > 0) AS BIGINT)
+             AS n_converted,
+           CAST(SUM(purchases) AS BIGINT) AS total_purchases,
+           ROUND(COALESCE(SUM(spend), 0), 2)::DOUBLE AS total_spend
+    FROM metrics GROUP BY arm
+    """,
+    doc="Deterministic A/B experiment readout: users hash into "
+    "control/treatment by md5 over a SALTED key ('exp1:' || user_id "
+    "— the experiment-id salt is what makes assignments independent "
+    "ACROSS experiments; unsalted hashing reuses the same split "
+    "every time), then per-arm conversion and spend aggregate from "
+    "the events stream. Decimal spend keeps engines bit-identical. "
+    "Shape: distinct-user pass + one user-keyed join/agg + a 2-row "
+    "arm rollup; assignment is a pure hash predicate evaluable at "
+    "the scan, never a stored mapping table — the property that "
+    "lets a 100 TB backfill recompute arms byte-identically.",
+)
+def experiment_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))),
+            1,
+            4,
+        )
+        < "8000",
+        "control",
+    ).otherwise("treatment")
+    is_purchase = F.col("event_type") == "purchase"
+    metrics = (
+        ev.withColumn("arm", arm)
+        .groupBy("arm", "user_id")
+        .agg(
+            F.count(F.when(is_purchase, 1)).alias("purchases"),
+            F.sum(
+                F.when(is_purchase, F.col("value").cast("decimal(18,4)"))
+            ).alias("spend"),
+        )
+    )
+    return metrics.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("purchases") > 0, 1)).alias("n_converted"),
+        F.sum("purchases").cast("long").alias("total_purchases"),
+        F.round(F.coalesce(F.sum("spend"), F.lit(0)), 2)
+        .cast("double")
+        .alias("total_spend"),
+    )
