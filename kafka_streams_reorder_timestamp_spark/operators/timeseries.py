@@ -412,3 +412,101 @@ def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("delta").cast("long").alias("net_change"),
         F.sum("delta").over(w).cast("long").alias("backlog"),
     )
+
+
+# z-normalized spike template for events_pattern_similarity: a flat
+# baseline with a 3-hour burst. Normalized in Python once so both
+# engines compare against identical literals.
+_PATTERN_RAW = [0.0, 0.0, 1.0, 3.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def _znorm(xs: list[float]) -> list[float]:
+    m = sum(xs) / len(xs)
+    var = sum((x - m) ** 2 for x in xs) / len(xs)
+    s = var ** 0.5
+    return [(x - m) / s for x in xs]
+
+
+_PATTERN_Z = _znorm(_PATTERN_RAW)
+
+
+@register(
+    "events_pattern_similarity",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ), windows AS (
+      SELECT h,
+             list(CAST(cnt AS DOUBLE)) OVER (
+               ORDER BY h ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING
+             ) AS w
+      FROM hourly
+    ), sized AS (
+      SELECT h, w,
+             list_sum(w) / 8 AS m,
+             list_sum(list_transform(w, x -> x * x)) / 8 AS m2
+      FROM windows WHERE len(w) = 8
+    ), scored AS (
+      SELECT h,
+             ROUND(sqrt(list_sum(list_transform(
+               list_zip(w, {list(_PATTERN_Z)}),
+               p -> ((p[1] - m) / sqrt(m2 - m * m) - p[2])
+                    * ((p[1] - m) / sqrt(m2 - m * m) - p[2])
+             ))), 4) AS dist
+      FROM sized WHERE m2 - m * m > 0
+    )
+    SELECT strftime(h, '%Y-%m-%d %H') AS window_start, dist
+    FROM scored ORDER BY dist, h LIMIT 10
+    """,
+    doc="Time-series subsequence similarity search (the UCR/Matrix-"
+    "Profile z-normalized Euclidean primitive, EDBT'19 streaming-"
+    "similarity family): every 8-hour sliding window of the hourly "
+    "event-count series scores against a fixed spike template — both "
+    "z-normalized, so the match is SHAPE, invariant to level and "
+    "amplitude — and the 10 best windows return. The template is "
+    "normalized ONCE in Python and embedded as literals, so both "
+    "engines fold identical 8-element sums left-to-right (bit-stable "
+    "rounding at 4 dp). Shape: the raw table reduces to hourly "
+    "counts first (one partial-agg shuffle); windows build over the "
+    "REDUCED series via a frame collect, flat windows (zero "
+    "variance) drop before the sqrt, TakeOrderedAndProject picks the "
+    "top 10. At 100 TB the series length is hours-not-rows — the "
+    "window pass is bounded however big events gets; per-key "
+    "(user/type) variants just add the key to both groupings.",
+)
+def events_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    win = Window.orderBy("h").rowsBetween(0, 7)
+    windows = hourly.select(
+        "h", F.collect_list("cnt").over(win).alias("w")
+    ).filter(F.size("w") == 8)
+    pat = F.array(*[F.lit(p) for p in _PATTERN_Z])
+    m = F.expr("aggregate(w, 0D, (a, x) -> a + x)") / 8
+    m2 = F.expr("aggregate(w, 0D, (a, x) -> a + x * x)") / 8
+    sized = windows.select("h", "w", m.alias("m"), m2.alias("m2")).filter(
+        F.col("m2") - F.col("m") * F.col("m") > 0
+    )
+    s = F.sqrt(F.col("m2") - F.col("m") * F.col("m"))
+    diff = F.zip_with(
+        F.col("w"), pat, lambda x, p: ((x - F.col("m")) / s - p) ** 2
+    )
+    dist = F.round(
+        F.sqrt(F.expr("aggregate(_diff, 0D, (a, x) -> a + x)")), 4
+    )
+    return (
+        sized.withColumn("_diff", diff)
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH").alias("window_start"),
+            dist.alias("dist"),
+            F.col("h"),
+        )
+        .orderBy("dist", "h")
+        .limit(10)
+        .drop("h")
+    )
