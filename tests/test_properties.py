@@ -414,3 +414,68 @@ def test_duplicate_ngram_spans_matches_brute_force(spark, texts):
         for r in duplicate_ngram_spans(df, n=3).collect()
     }
     assert got == _brute_ngram_spans(docs, 3)
+
+
+# ---------------------------------------------------------------------------
+# Containment prefix-filter losslessness vs brute force
+
+
+def _brute_containment(docs: dict[int, str], threshold: float, n: int = 3):
+    """All ordered pairs (a, b), a != b, with |Sa n Sb| / |Sa| >=
+    threshold over n-token string shingle sets (docs shorter than n
+    tokens use their full token string as one shingle, matching
+    word_shingles)."""
+    sh = {}
+    for i, txt in docs.items():
+        t = [x for x in txt.strip().lower().split() if x]
+        if not t:
+            continue
+        if len(t) >= n:
+            sh[i] = {" ".join(t[j : j + n]) for j in range(len(t) - n + 1)}
+        else:
+            sh[i] = {" ".join(t)}
+    out = set()
+    for a, sa in sh.items():
+        for b, sb in sh.items():
+            if a != b and len(sa & sb) / len(sa) >= threshold:
+                out.add((a, b))
+    return out
+
+
+containment_corpus = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=5,
+)
+
+
+@given(containment_corpus)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_containment_prefix_filter_lossless(spark, texts):
+    """The probe-side containment prefix + positional bound must be
+    LOSSLESS: on adversarial tiny-vocabulary corpora (dense shingle
+    overlaps, subset relations both directions), the pair set must
+    equal brute force exactly — no pair pruned, none invented."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        shingle_containment_pairs,
+    )
+
+    docs = {i: t for i, t in enumerate(texts)}
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_contained"], r["doc_container"])
+        for r in shingle_containment_pairs(
+            df, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert got == _brute_containment(docs, 0.9)
