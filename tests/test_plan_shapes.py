@@ -308,3 +308,43 @@ def test_attribution_single_window_shuffle(spark, sf_dir):
     # one hash-partition shuffle on user_id for the window, one tiny
     # channel agg
     assert plans.shuffle_count(df) <= 2, plans.physical_plan(df, "simple")
+
+
+def test_sql_surface_matches_dataframe_builders(spark, sf_dir):
+    """The engine's SQL surface: users can register the catalog views
+    and run plain SQL; results must match the DataFrame builders
+    row-for-row (q6 scalar, q1 grouped)."""
+    from kafka_streams_reorder_timestamp_spark.operators.relational import (
+        q1_pricing_summary,
+        q6_forecast_revenue,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import (
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    sql_q6 = spark.sql("""
+        SELECT ROUND(SUM(CAST(l_extendedprice * l_discount
+                              AS DECIMAL(25,6))), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """).collect()
+    df_q6 = q6_forecast_revenue(spark, sf_dir).collect()
+    assert float(sql_q6[0]["revenue"]) == float(df_q6[0]["revenue"])
+
+    sql_q1 = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in spark.sql("""
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """).collect()
+    }
+    df_q1 = {
+        (r["l_returnflag"], r["l_linestatus"]): r["count_order"]
+        for r in q1_pricing_summary(spark, sf_dir).collect()
+    }
+    assert sql_q1 == df_q1
