@@ -978,3 +978,99 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_stop).alias("keep"),
     )
+
+
+# BM25 parameters + a fixed 3-term query (terms exist in the corpus
+# vocabulary; scoring is deterministic given the corpus).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "shuffle", "join")
+
+
+@register(
+    "docs_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS f
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      WHERE tok IN ('spark', 'shuffle', 'join')
+      GROUP BY 1, 2
+    ), df AS (
+      SELECT tok, COUNT(*) AS d FROM tf GROUP BY 1
+    ), dl AS (
+      SELECT doc_id, len(t) AS dl FROM toks
+    ), scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (s.n_docs - df.d + 0.5) / (df.d + 0.5))
+               * (tf.f * ({BM25_K1} + 1))
+               / (tf.f + {BM25_K1} * (1 - {BM25_B}
+                  + {BM25_B} * dl.dl / s.avgdl))
+             ) AS score
+      FROM tf
+      JOIN df USING (tok)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 full-text ranking (Robertson/Sparck-Jones Okapi "
+    "weighting, k1=1.2 b=0.75) of all documents against a fixed "
+    "3-term query — the sparse-retrieval half of a RAG stack, "
+    "complementing the dense side (knn_topk_cosine/ANN family). "
+    "Shape for 100 TB: term frequencies explode ONLY the query "
+    "terms (the IN filter runs before the grouping, so the shuffle "
+    "carries |query| x matching docs, not the corpus token stream); "
+    "document frequencies and corpus stats are 1-row/3-row "
+    "broadcasts; TakeOrderedAndProject picks the top 20 on the "
+    "ROUNDED score (6 dp) with doc_id tie-break so selection is "
+    "engine-stable. In production the tf table is the posting list "
+    "a search index materializes — this query IS the scorer that "
+    "runs over it.",
+)
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("t")).alias("avgdl"),
+    )
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("tok"))
+        .filter(F.col("tok").isin(*BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("d"))
+    idf = F.log(
+        1
+        + (F.col("n_docs") - F.col("d") + 0.5) / (F.col("d") + 0.5)
+    )
+    denom = F.col("f") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("f") * (BM25_K1 + 1)) / denom
+    scored = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
