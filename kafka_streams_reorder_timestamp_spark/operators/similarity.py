@@ -904,3 +904,112 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         *[p[i].alias(f"pc{i + 1}") for i in range(comps.shape[0])],
     )
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle="""
+    WITH sparse_all AS (
+      WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           t -> t <> '') AS t
+        FROM documents WHERE text IS NOT NULL
+      ), stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(len(t)) AS avgdl FROM toks
+      ), tf AS (
+        SELECT doc_id, tok, COUNT(*) AS f
+        FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+        WHERE tok IN ('spark', 'shuffle', 'join')
+        GROUP BY 1, 2
+      ), df AS (SELECT tok, COUNT(*) AS d FROM tf GROUP BY 1),
+      dl AS (SELECT doc_id, len(t) AS dl FROM toks)
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - df.d + 0.5) / (df.d + 0.5))
+               * (tf.f * 2.2)
+               / (tf.f + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id)
+      CROSS JOIN stats s GROUP BY tf.doc_id
+    ), sparse AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM sparse_all QUALIFY r <= 50
+    ), dense AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY c DESC, vec_id) AS r
+      FROM (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                 (SELECT embedding::DOUBLE[] FROM embeddings
+                  WHERE vec_id = 0)), 6) AS c
+        FROM embeddings e WHERE e.vec_id <> 0
+      ) QUALIFY r <= 50
+    ), fused AS (
+      SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + s.r), 0)
+                   + COALESCE(1.0 / (60 + d.r), 0), 6) AS rrf
+      FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval: Reciprocal Rank Fusion (Cormack et al. "
+    "2009, k=60) of the sparse leg (BM25 over the fixed query, "
+    "text.bm25_scores) and the dense leg (exact cosine to the vec-0 "
+    "embedding; vec_id aligns 1:1 with doc_id in the test corpus) — "
+    "the standard RAG-stack fusion that needs no score calibration "
+    "because it combines RANKS, not scores. Both legs rank on "
+    "ROUNDED scores with id tie-breaks, so the rank lists — and "
+    "therefore the fusion — are engine-stable. Shape: each leg is "
+    "its own bounded top-50 (TakeOrderedAndProject); the fusion "
+    "full-outer-joins two 50-row tables — at any corpus size the "
+    "fusion cost is the CUT DEPTH, not the corpus. Dense leg "
+    "degrades gracefully where embeddings lag the doc corpus "
+    "(sf0.01: 500 vecs vs 500 docs).",
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import bm25_scores
+
+    sparse = (
+        bm25_scores(spark, sf_dir)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("rs"))
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("probe_emb")
+    )
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine("emb", "probe_emb", dim=DIM), 6).alias("c"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("r") <= 50)
+        .select("doc_id", F.col("r").alias("rd"))
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("rs")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("rd")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)

@@ -1038,6 +1038,17 @@ BM25_QUERY = ("spark", "shuffle", "join")
     "runs over it.",
 )
 def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25 rounded 6dp) for every doc matching BM25_QUERY —
+    the scorer behind docs_bm25_search and the sparse leg of
+    hybrid_rrf_search."""
     from ..functions.texthash import tokens
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1069,8 +1080,4 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(term_score).alias("score"))
     )
-    return (
-        scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(20)
-    )
+    return scored.select("doc_id", F.round("score", 6).alias("bm25"))
