@@ -971,16 +971,22 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import bm25_scores
 
+    # Cut FIRST (TakeOrderedAndProject, per-partition top-k merge),
+    # THEN rank the 50 survivors — a bare global row_number over the
+    # full scored table would funnel every term-matching doc through
+    # one task; ranks of the top-50 under a total order are identical
+    # either way.
     sparse = (
         bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(50)
         .withColumn(
-            "r",
+            "rs",
             F.row_number().over(
                 Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("r") <= 50)
-        .select("doc_id", F.col("r").alias("rs"))
+        .select("doc_id", "rs")
     )
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double("embedding").alias("emb")
@@ -995,14 +1001,15 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("doc_id"),
             F.round(cosine("emb", "probe_emb", dim=DIM), 6).alias("c"),
         )
+        .orderBy(F.desc("c"), F.asc("doc_id"))
+        .limit(50)
         .withColumn(
-            "r",
+            "rd",
             F.row_number().over(
                 Window.orderBy(F.desc("c"), F.asc("doc_id"))
             ),
         )
-        .filter(F.col("r") <= 50)
-        .select("doc_id", F.col("r").alias("rd"))
+        .select("doc_id", "rd")
     )
     fused = sparse.join(dense, "doc_id", "full_outer").select(
         "doc_id",
