@@ -348,3 +348,30 @@ def test_sql_surface_matches_dataframe_builders(spark, sf_dir):
         for r in q1_pricing_summary(spark, sf_dir).collect()
     }
     assert sql_q1 == df_q1
+
+
+def test_bm25_topk_and_bounded_explode(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        docs_bm25_search,
+    )
+
+    df = docs_bm25_search(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # top-20 must be TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan, plan
+    # the token explode feeds the query-term filter before any
+    # exchange: no corpus-token shuffle survives in the plan
+    assert plans.read_schema_columns(df) == {"doc_id", "text"}
+
+
+def test_hybrid_rrf_ranks_after_cut(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        hybrid_rrf_search,
+    )
+
+    df = hybrid_rrf_search(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # both legs cut with TakeOrderedAndProject before their 50-row
+    # rank windows; no raw-scan single-partition funnel anywhere
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert plans.single_partition_scan_funnels(df) == []
