@@ -1318,3 +1318,81 @@ def docs_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("group_n"))
         .filter(F.col("group_n") < 5)
     )
+
+
+@register(
+    "brand_discount_elasticity",
+    oracle="""
+    WITH sums AS (
+      SELECT p.p_brand,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               AS sx,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sy,
+             CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))
+                      * CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxx,
+             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))
+                      * CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS syy,
+             CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))
+                      * CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               AS sxy
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope,
+           ROUND((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS pearson_r
+    FROM sums
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="In-engine OLS: per-brand regression of quantity on discount "
+    "(slope + Pearson r) computed from the five SUFFICIENT STATISTICS "
+    "(n, Sx, Sy, Sxx, Syy, Sxy) — the closed form that makes linear "
+    "regression a ONE-PASS partial aggregation at any scale, no "
+    "iterative solver, no second pass for means. The sums accumulate "
+    "in DECIMAL (exact, order-independent) and only the final "
+    "slope/r arithmetic runs in doubles over those exact sums, so "
+    "both engines agree bit-for-bit despite float addition being "
+    "non-associative — the same discipline as the engine's revenue "
+    "aggregates. Built-ins like corr()/regr_slope() exist in both "
+    "engines but accumulate in floats with engine-specific order; "
+    "this formulation is the portable exact one.",
+)
+def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_discount", "l_quantity"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    x = F.col("l_discount").cast("decimal(18,6)")
+    y = F.col("l_quantity").cast("decimal(18,6)")
+    sums = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).cast("double").alias("sx"),
+            F.sum(y).cast("double").alias("sy"),
+            F.sum(x * x).cast("double").alias("sxx"),
+            F.sum(y * y).cast("double").alias("syy"),
+            F.sum(x * y).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.filter((varx > 0) & (vary > 0))
+        .select(
+            "p_brand",
+            n.cast("long").alias("n_lines"),
+            F.round(cov / varx, 6).alias("slope"),
+            F.round(cov / F.sqrt(varx * vary), 6).alias("pearson_r"),
+        )
+    )
