@@ -1396,3 +1396,76 @@ def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cov / F.sqrt(varx * vary), 6).alias("pearson_r"),
         )
     )
+
+
+@register(
+    "customer_decile_transitions",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS custkey,
+             CASE WHEN o_orderdate < DATE '1997-01-01' THEN 'p1'
+                  ELSE 'p2' END AS period,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+      FROM orders
+      WHERE o_orderdate >= DATE '1996-01-01'
+        AND o_orderdate < DATE '1998-01-01'
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT custkey, period,
+             ROW_NUMBER() OVER (
+               PARTITION BY period ORDER BY s, custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY period) AS n
+      FROM spend
+    ), bucketed AS (
+      SELECT custkey, period,
+             CAST((10 * (rn - 1)) // n + 1 AS INT) AS decile
+      FROM ranked
+    )
+    SELECT a.decile AS decile_p1, b.decile AS decile_p2,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM bucketed a JOIN bucketed b
+      ON a.custkey = b.custkey AND a.period = 'p1' AND b.period = 'p2'
+    GROUP BY 1, 2
+    """,
+    doc="Customer spend-decile TRANSITION MATRIX between 1996 and "
+    "1997: where did each decile's customers migrate — the retention/"
+    "value-migration readout every CRM runs. Deciles use the "
+    "arithmetic equal-count rule ((10*(rn-1)) div n + 1, "
+    "functions/rank.py's formula) rather than ntile(), because the "
+    "arithmetic form is reproducible in any ANSI engine from (rn, n) "
+    "alone; ranks order by (spend, custkey) — DECIMAL spend, total "
+    "order, engine-stable. Shape: one orders scan reduces to "
+    "(customer, period) spend; per-period ranking routes through the "
+    "distributed value-bucket rank in the Spark plan (the oracle's "
+    "bare window is sf-bounded); the self-join on custkey matches "
+    "two ~customer-count tables; output is the 10x10 matrix.",
+)
+def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_rank_buckets
+
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    spend = (
+        o.withColumn(
+            "period",
+            F.when(F.col("o_orderdate") < "1997-01-01", "p1").otherwise("p2"),
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"), "period")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .withColumn("sd", F.col("s").cast("double"))
+    )
+    def deciles(period: str):
+        part = spend.filter(F.col("period") == period)
+        return global_rank_buckets(
+            part, "sd", [F.col("sd"), F.col("custkey")], n_groups=10,
+            out_col="decile",
+        ).select("custkey", F.col("decile").alias(f"decile_{period}"))
+
+    return (
+        deciles("p1")
+        .join(deciles("p2"), "custkey")
+        .groupBy("decile_p1", "decile_p2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
