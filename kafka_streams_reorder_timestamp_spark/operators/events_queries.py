@@ -1208,3 +1208,50 @@ def experiment_assignment_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_spend"),
     )
+
+
+@register(
+    "events_weekday_seasonality",
+    oracle="""
+    WITH counts AS (
+      SELECT dayofweek(ts) + 1 AS dow, COUNT(*) AS c
+      FROM events GROUP BY 1
+    ), tot AS (SELECT SUM(c) AS n, COUNT(*) AS k FROM counts)
+    SELECT CAST(counts.dow AS INT) AS dow,
+           CAST(c AS BIGINT) AS n_events,
+           ROUND(c * 7.0 / t.n, 6) AS rate_vs_uniform,
+           ROUND((c - t.n / 7.0) * (c - t.n / 7.0) / (t.n / 7.0), 4)
+             AS chi2_term
+    FROM counts CROSS JOIN tot t
+    """,
+    doc="Day-of-week seasonality profile with per-day chi-square "
+    "terms against the uniform baseline — the quick test for whether "
+    "an event stream has weekly structure (sum the chi2_term column "
+    "against the chi-square(6) critical value). Counts are exact "
+    "integers; the only floats are final per-row ratios over the "
+    "1-row total, so both engines agree bit-for-bit. One partial-agg "
+    "shuffle of 7 groups. Convention pinned explicitly: Spark's "
+    "dayofweek is 1=Sunday while DuckDB's is 0=Sunday, so the oracle "
+    "adds 1 — the kind of off-by-one a dual-engine hash check exists "
+    "to catch.",
+)
+def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.dayofweek("ts").alias("dow")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = counts.agg(F.sum("c").alias("n"))
+    exp = F.col("n") / 7.0
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("dow").cast("int").alias("dow"),
+            F.col("c").cast("long").alias("n_events"),
+            F.round(F.col("c") * 7.0 / F.col("n"), 6).alias(
+                "rate_vs_uniform"
+            ),
+            F.round((F.col("c") - exp) * (F.col("c") - exp) / exp, 4).alias(
+                "chi2_term"
+            ),
+        )
+    )
