@@ -1081,3 +1081,89 @@ def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(term_score).alias("score"))
     )
     return scored.select("doc_id", F.round("score", 6).alias("bm25"))
+
+
+@register(
+    "docs_zipf_fit",
+    oracle="""
+    WITH cnt AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (
+        SELECT unnest(list_filter(
+          regexp_split_to_array(trim(lower(text)), '\\s+'),
+          t -> t <> '')) AS tok
+        FROM documents WHERE text IS NOT NULL
+      ) GROUP BY tok
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM cnt
+    ), logs AS (
+      SELECT CAST(ROUND(ln(r), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(ln(c), 6) AS DECIMAL(18,6)) AS y
+      FROM ranked
+    ), sums AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM logs
+    )
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope
+    FROM sums
+    """,
+    doc="Zipf-law fit of the corpus token distribution: OLS slope of "
+    "ln(frequency) on ln(rank) — natural language sits near -1, and "
+    "a corpus that drifts far from it (template spam, encoding "
+    "noise, synthetic filler) flags itself in one number. Engine-"
+    "stable float discipline, twice: each ln() rounds to 6 dp "
+    "per-row BEFORE summation (libm implementations may differ in "
+    "the last ulp between the JVM and DuckDB) and the rounded terms "
+    "sum in exact DECIMAL, so only the final slope arithmetic runs "
+    "in doubles over identical sums. Shape: one token-count shuffle "
+    "(map-side combine absorbs Zipf skew — the thing being "
+    "measured), frequency ranking over the VOCABULARY (Heaps-"
+    "bounded, not the token stream), and the regression collapses "
+    "to one sufficient-statistics row (brand_discount_elasticity's "
+    "pattern).",
+)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rank import global_row_number
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cnt = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Vocabulary is Heaps-bounded but still ~1e8 rows on a web-scale
+    # corpus — rank through the distributed value-bucket machinery,
+    # never a bare global window.
+    ranked = global_row_number(
+        cnt.withColumn("cd", F.col("c").cast("double")),
+        "cd",
+        [F.desc("cd"), F.asc("tok")],
+        out_col="r",
+        descending=True,
+    )
+    logs = ranked.select(
+        F.round(F.log("r"), 6).cast("decimal(18,6)").alias("x"),
+        F.round(F.log("c"), 6).cast("decimal(18,6)").alias("y"),
+    )
+    sums = logs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    return sums.select(
+        n.cast("long").alias("vocab_size"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("zipf_slope"),
+    )
