@@ -1255,3 +1255,55 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_value_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS d
+      FROM events WHERE value IS NOT NULL AND value * 100 >= 1
+    ), counts AS (
+      SELECT d, COUNT(*) AS c FROM digits GROUP BY d
+    ), tot AS (SELECT SUM(c) AS n FROM counts)
+    SELECT CAST(d AS INT) AS leading_digit,
+           CAST(c AS BIGINT) AS n_values,
+           ROUND(c * 1.0 / t.n, 6) AS observed_freq,
+           ROUND(log10(1 + 1.0 / d), 6) AS benford_freq
+    FROM counts CROSS JOIN tot t
+    """,
+    doc="Benford's-law audit of the events value column: leading-"
+    "digit frequencies of the integer cent amounts vs the log10(1 + "
+    "1/d) expectation — the classic forensic DQ check for fabricated "
+    "or truncated numeric columns (natural multi-scale amounts "
+    "follow Benford; uniform synthetic generators do not, and THIS "
+    "corpus's flat profile is exactly what the check should report "
+    "for it). Digits extract via floor(value*100) then integer/string "
+    "ops — floor() is explicit because bare double->BIGINT casts "
+    "TRUNCATE in Spark but ROUND in DuckDB; "
+    "only the final per-row ratios are floats. One 9-group "
+    "partial-agg shuffle.",
+)
+def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & (F.col("value") * 100 >= 1)
+    )
+    digits = ev.select(
+        F.substring(
+            F.floor(F.col("value") * 100).cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(F.sum("c").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("int").alias("leading_digit"),
+            F.col("c").cast("long").alias("n_values"),
+            F.round(F.col("c") * 1.0 / F.col("n"), 6).alias("observed_freq"),
+            F.round(F.log10(1 + 1.0 / F.col("d")), 6).alias("benford_freq"),
+        )
+    )
