@@ -510,3 +510,55 @@ def events_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .drop("h")
     )
+
+
+@register(
+    "orders_rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS d, COUNT(*) AS c
+      FROM orders GROUP BY 1
+    ), framed AS (
+      SELECT d, c,
+             list(c) OVER (
+               ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+             ) AS w
+      FROM daily
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(c AS BIGINT) AS n_orders,
+           CAST(list_sort(w)[(len(w) + 1) // 2] AS BIGINT)
+             AS rolling_median7
+    FROM framed WHERE len(w) = 7
+    """,
+    doc="Exact rolling 7-day MEDIAN of daily order counts — the "
+    "robust-baseline smoother (median ignores single-day spikes that "
+    "drag a rolling mean; the pair of this query and "
+    "orders_trailing_90d_spend covers both frame families). No "
+    "native windowed-median exists in either engine, so the frame "
+    "collects its 7 values and takes the lower middle of the sorted "
+    "array in-row — integer counts, zero float drift. Shape: the "
+    "orders table reduces to ~2400 daily rows FIRST; the ordered "
+    "frame walks that bounded axis (reduce-then-window, like "
+    "orders_backlog_monthly), each row carrying a constant 7-element "
+    "array — never a per-row sort of raw data.",
+)
+def orders_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    framed = daily.select(
+        "d", "c", F.collect_list("c").over(w).alias("w")
+    ).filter(F.size("w") == 7)
+    med = F.element_at(
+        F.sort_array("w"), ((F.size("w") + 1) / 2).cast("int")
+    )
+    return framed.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("c").cast("long").alias("n_orders"),
+        med.cast("long").alias("rolling_median7"),
+    )
