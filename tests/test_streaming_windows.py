@@ -997,3 +997,55 @@ def test_streaming_freq_cms_bounds(spark, tmp_path):
         true = truth[r["probe"]]
         assert r["est_count"] >= true
         assert r["est_count"] - true <= eps * n_total
+
+
+def test_streaming_cms_equals_batch_sketch(spark, tmp_path):
+    """The micro-batch fold must produce EXACTLY the batch sketch over
+    the concatenated stream: final streamed estimates == estimates
+    from cms_aggregate over the same rows in one pass (counters add,
+    so this is an equality, not a bound)."""
+    import glob as _glob
+
+    import numpy as np
+
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        cms_aggregate,
+        cms_estimate,
+    )
+    from kafka_streams_reorder_timestamp_spark.streaming import (
+        streaming_freq_cms,
+    )
+
+    rows = [("a", v % 17) for v in range(400)]
+    df = spark.createDataFrame(rows, ["k", "val"])
+    src, out_dir, ck = tmp_path / "in", tmp_path / "out", tmp_path / "ck"
+    df.repartition(3).write.parquet(str(src))
+
+    probes = list(range(17))
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_freq_cms(stream, "val", probes, key_cols=["k"])
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = pd.concat(
+        (pd.read_parquet(p) for p in _glob.glob(f"{out_dir}/part-*.parquet")),
+        ignore_index=True,
+    )
+    final = (
+        got[got["seq"] == got["seq"].max()]
+        .set_index("probe")["est_count"]
+        .to_dict()
+    )
+    batch = cms_estimate(
+        cms_aggregate(df.select("val"), "val"), np.asarray(probes)
+    )
+    assert final == {p: int(e) for p, e in zip(probes, batch)}
