@@ -872,3 +872,55 @@ def test_cms_bounds_vs_exact_counts(spark, sf_dir):
         true = exact[r["user_id"]]
         assert r["est_count"] >= true
         assert r["est_count"] - true <= eps * n_total
+
+
+def test_pca_fit_degenerate_constant_vectors(spark):
+    """All-identical embeddings: zero covariance must not crash the
+    fit; components stay orthonormal and variances are ~0."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        pca_fit,
+    )
+
+    vec = [1.0] * 8
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(10)], "vec_id long, emb array<double>"
+    )
+    comps, mean, ev = pca_fit(df, "emb", k=2, dim=8)
+    assert np.allclose(mean, vec)
+    assert np.allclose(comps @ comps.T, np.eye(2), atol=1e-8)
+    assert np.allclose(ev, 0, atol=1e-12)
+
+
+def test_bpe_argmax_tie_breaks_lexicographically(spark):
+    """Two pairs with identical counts: the lexicographically smaller
+    (left, right) pair must win — the documented deterministic
+    tie-break."""
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        bpe_merges_local,
+    )
+
+    # 'zx' and 'ab' each appear 3 times; (a, b) < (z, x)
+    merges = bpe_merges_local({"zx": 3, "ab": 3}, n_merges=1)
+    assert merges == [(1, "a", "b", 3)]
+
+
+def test_hamming_band_pairs_boundary(spark):
+    """Pairs at exactly max_hamming are included; one bit beyond is
+    excluded."""
+    from kafka_streams_reorder_timestamp_spark.operators.simhash import (
+        hamming_band_pairs,
+    )
+
+    base = 0
+    at_budget = (1 << 2) | (1 << 20) | (1 << 40)  # hamming 3
+    beyond = at_budget | (1 << 60)  # hamming 4
+    sigs = spark.createDataFrame(
+        [(1, base), (2, at_budget), (3, beyond)], "_id long, _sig long"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in hamming_band_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 3
+    assert (1, 3) not in pairs  # hamming 4 > budget
+    assert pairs[(2, 3)] == 1
