@@ -375,3 +375,25 @@ def test_hybrid_rrf_ranks_after_cut(spark, sf_dir):
     # rank windows; no raw-scan single-partition funnel anywhere
     assert plan.count("TakeOrderedAndProject") >= 2, plan
     assert plans.single_partition_scan_funnels(df) == []
+
+
+def test_zorder_zones_bound_both_dimensions(spark, sf_dir):
+    """The point of the Morton layout: EVERY zone's min/max span must
+    be a strict fraction of the global range on BOTH keys (a 1-D sort
+    bounds one and leaves the other unbounded) — the property that
+    makes 2-column data skipping work."""
+    from kafka_streams_reorder_timestamp_spark.operators.breadth import (
+        lineitem_zorder_zonemap,
+    )
+
+    rows = lineitem_zorder_zonemap(spark, sf_dir).collect()
+    assert len(rows) == 32
+    gp = max(r["max_partkey"] for r in rows) - min(
+        r["min_partkey"] for r in rows
+    )
+    gs = max(r["max_suppkey"] for r in rows) - min(
+        r["min_suppkey"] for r in rows
+    )
+    for r in rows:
+        assert (r["max_partkey"] - r["min_partkey"]) <= gp / 2
+        assert (r["max_suppkey"] - r["min_suppkey"]) <= gs / 2
