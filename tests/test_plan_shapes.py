@@ -397,3 +397,23 @@ def test_zorder_zones_bound_both_dimensions(spark, sf_dir):
     for r in rows:
         assert (r["max_partkey"] - r["min_partkey"]) <= gp / 2
         assert (r["max_suppkey"] - r["min_suppkey"]) <= gs / 2
+
+
+def test_registry_column_names_are_clean(spark, sf_dir):
+    """Every registered query's output columns must be explicit
+    aliases — no generated names like 'sum(x)', 'count(1)', or
+    'CAST(...)' — because the driver's oracle comparator matches
+    columns BY NAME and a generated name can never match the SQL
+    alias. Schema-only check: builds every plan, executes none."""
+    import re
+
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+
+    bad = {}
+    pat = re.compile(r"[()\s,]")
+    for name, spec in registry.REGISTRY.items():
+        cols = spec.builder(spark, sf_dir).columns
+        ugly = [c for c in cols if pat.search(c)]
+        if ugly or not cols:
+            bad[name] = ugly or "EMPTY"
+    assert not bad, f"unaliased/generated output columns: {bad}"
