@@ -341,7 +341,11 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _bump(payloads: pd.Series) -> pd.Series:
         # uniform +1 byte shift — the 'brightness change' that breaks
         # every exact hash but leaves relative cell order (and so the
-        # dHash) untouched
+        # dHash) untouched PROVIDED no byte wraps at 0xFF: a payload
+        # containing 255-bytes would wrap to 0 and could reorder pooled
+        # cell averages. The synthetic payloads here are ASCII text
+        # (all bytes < 0x80), so the invariance holds for this corpus;
+        # a real image perturbation would clamp, not mod-256.
         return payloads.map(
             lambda b: None
             if b is None

@@ -635,6 +635,10 @@ def incremental_curation_pipeline(
         .drop("rn")
     )
     fresh = batch.join(corpus, "fingerprint", "left_anti")
+    # Aggregate to exactly ONE row (NULL probe when doc 0 is absent or has
+    # NULL text) so the crossJoin can never collapse the batch to zero rows;
+    # the NULL-safe contains below then degrades to contaminated=0, matching
+    # the oracle's scalar subquery + CASE ... ELSE 0 semantics.
     probe = (
         d.filter(F.col("doc_id") == 0)
         .select(
@@ -642,6 +646,7 @@ def incremental_curation_pipeline(
                 "probe"
             )
         )
+        .agg(F.max("probe").alias("probe"))
     )
     scored = fresh.crossJoin(F.broadcast(probe)).select(
         "lang",
@@ -653,9 +658,13 @@ def incremental_curation_pipeline(
         F.length(F.regexp_replace(F.col("text"), "[^A-Za-z0-9]", "")).alias(
             "n_alnum"
         ),
-        F.expr("contains(regexp_replace(lower(trim(text)), '\\\\s+', ' '), probe)")
-        .cast("int")
-        .alias("contaminated"),
+        F.coalesce(
+            F.expr(
+                "contains(regexp_replace(lower(trim(text)), '\\\\s+', ' '),"
+                " probe)"
+            ).cast("int"),
+            F.lit(0),
+        ).alias("contaminated"),
     )
     kept = scored.filter(
         (F.col("n_tokens") >= MIN_TOKENS)

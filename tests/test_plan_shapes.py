@@ -404,7 +404,10 @@ def test_registry_column_names_are_clean(spark, sf_dir):
     aliases — no generated names like 'sum(x)', 'count(1)', or
     'CAST(...)' — because the driver's oracle comparator matches
     columns BY NAME and a generated name can never match the SQL
-    alias. Schema-only check: builds every plan, executes none."""
+    alias. Mostly schema-only: building a plan does not execute it,
+    except for the few builders that run a driver-side fit/collect at
+    build time (pca_fit moment pass, bpe_train_merges, CMS aggregate),
+    which makes this test slower than a pure-schema walk."""
     import re
 
     from kafka_streams_reorder_timestamp_spark.operators import registry
