@@ -46,6 +46,17 @@ def connected_components(
     convergence is detected with a distributed changed-row probe. The
     pointer jump keeps rounds logarithmic in the longest path, so a
     50-round cap covers any graph smaller than 2^50 nodes.
+
+    Round-fusion note (measured, round 7): fusing k>1 neighbor-min
+    steps per materialized round cuts the round count on
+    higher-diameter graphs (exact-Jaccard edges at sf0.1: 4 rounds ->
+    2 at k=3) but total edge-join work grows to ~diameter+k, which
+    REGRESSES the low-diameter graphs that dominate real dedup
+    workloads (LSH / SemDeDup components are near-cliques; their
+    confirm round pays k edge joins instead of 1). k=1 won or tied on
+    total wall time across all three registered CC queries, so it
+    stays; the first-run codegen cost of the round plan is paid once
+    per session and is warmed by bench.py's warm-up CC instead.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
