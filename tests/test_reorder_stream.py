@@ -489,19 +489,17 @@ def test_reorder_stream_volume_100k(spark, tmp_path, volume_sf_dir):
         assert dt < 60, f"100k-row reorder took {dt:.1f}s"
 
 
-@pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_PERF_ASSERT") != "1",
-    reason="perf floor gated behind SPARK_GRAFT_PERF_ASSERT=1 (loaded-host noise)",
-)
 def test_reorder_keyed_throughput_floor_1m(spark, tmp_path, volume_sf_dir):
-    """Streaming-throughput regression gate: the keyed re-sequencer
-    must sustain >= 20k rows/s over 1M rows (round-5 measurement:
-    ~113k rows/s keyed on local[32] — the floor leaves ~5x headroom,
-    so only a genuine state-codec or per-batch regression trips it,
-    not machine variance). Input = sf0.1 events replicated 10x with
-    disjoint event_ids and second-shifted timestamps (no dedup
-    collapse), deterministically shuffled. Run per round with
-    SPARK_GRAFT_PERF_ASSERT=1; the result is recorded in SCALE.md."""
+    """Streaming-throughput regression gate, ON BY DEFAULT since round
+    7: the keyed re-sequencer must sustain >= 10k rows/s over 1M rows
+    (measured ~40-113k rows/s keyed on local[32] across rounds 5-6,
+    including loaded-host runs — the 10k default floor leaves ~4-10x
+    headroom, so only a genuine state-codec or per-batch regression
+    trips it, not machine variance). The strict 20k floor from round 5
+    still applies when SPARK_GRAFT_PERF_ASSERT=1. Input = sf0.1 events
+    replicated 10x with disjoint event_ids and second-shifted
+    timestamps (no dedup collapse), deterministically shuffled. The
+    result is recorded in SCALE.md."""
     import time
 
     from kafka_streams_reorder_timestamp_spark.sources import load_table
@@ -541,4 +539,7 @@ def test_reorder_keyed_throughput_floor_1m(spark, tmp_path, volume_sf_dir):
     # completeness sanity so a fast-but-wrong run can't pass
     got = read_output(out_dir)
     assert len(got) >= n_in * 0.9
-    assert rate >= 20_000, f"keyed reorder {rate:,.0f} rows/s < 20k floor ({dt:.1f}s)"
+    floor = 20_000 if os.environ.get("SPARK_GRAFT_PERF_ASSERT") == "1" else 10_000
+    assert rate >= floor, (
+        f"keyed reorder {rate:,.0f} rows/s < {floor // 1000}k floor ({dt:.1f}s)"
+    )
