@@ -876,6 +876,89 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_apply_merges_local(
+    word: str, merges: list[tuple[int, str, str, int]]
+) -> list[str]:
+    """Tokenize one word with a learned merge table: apply each merge
+    in rank order, left-to-right non-overlapping — the standard BPE
+    application rule, matching the training rewrite exactly."""
+    syms = list(word)
+    for _rank, a, b, _c in merges:
+        s, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                s.append(a + b)
+                i += 2
+            else:
+                s.append(syms[i])
+                i += 1
+        syms = s
+    return syms
+
+
+@register(
+    "bpe_tokenize_corpus",
+    oracle=None,  # the merge table comes from an iterative argmax loop
+    # (not SQL-expressible); pytest pins per-source token totals equal
+    # to a direct pure-Python per-document tokenizer on the same merges
+    # (tests/test_llm_pipeline.py).
+    doc="The PRODUCTION step bpe_train_merges feeds: tokenize the "
+    "whole corpus with the LEARNED merge table and account BPE "
+    "tokens per source — the number a training-budget planner "
+    "actually consumes (tokens per shard/source, compression vs raw "
+    "words). Shape: the corpus is scanned once into (source, word) "
+    "counts (one partial-agg shuffle); the merge table is learned "
+    "from the Heaps-bounded vocabulary on the driver "
+    "(bpe_train_merges' path) and each DISTINCT word is tokenized "
+    "exactly once there, yielding a (word -> token_count) table that "
+    "BROADCASTS into the per-source aggregation. This beats an "
+    "Arrow-batched per-document merge loop at any corpus size: a "
+    "per-doc loop re-applies every merge to every occurrence of "
+    "'the', while the vocab join pays each distinct word once — "
+    "the same Heaps' bound that makes training cheap makes "
+    "application cheap. Out-of-vocabulary words (possible when the "
+    "merge table is trained elsewhere) degrade to character count "
+    "via the left-join coalesce, never to dropped rows.",
+)
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    exploded = d.select(
+        "source", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    # One shuffle: (source, word) counts. The global vocabulary for
+    # training folds out of the same aggregate, so the corpus text is
+    # scanned exactly once.
+    src_wc = exploded.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("wcount")
+    )
+    wc: dict[str, int] = {}
+    for r in src_wc.select("word", "wcount").collect():
+        wc[r["word"]] = wc.get(r["word"], 0) + int(r["wcount"])
+    merges = bpe_merges_local(wc, n_merges=8)
+    vocab = spark.createDataFrame(
+        [(w, len(bpe_apply_merges_local(w, merges))) for w in sorted(wc)],
+        "word string, n_bpe int",
+    )
+    per_doc = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        src_wc.join(F.broadcast(vocab), "word", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("wcount").alias("total_words"),
+            F.sum(
+                F.col("wcount")
+                * F.coalesce(F.col("n_bpe"), F.length("word"))
+            ).alias("total_bpe_tokens"),
+        )
+        .join(per_doc, "source")
+        .select(
+            "source", "n_docs", "total_words", "total_bpe_tokens"
+        )
+    )
+
+
 def bpe_merges_local(
     word_counts: dict[str, int], n_merges: int
 ) -> list[tuple[int, str, str, int]]:

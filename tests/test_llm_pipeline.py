@@ -891,6 +891,60 @@ def test_pca_fit_degenerate_constant_vectors(spark):
     assert np.allclose(ev, 0, atol=1e-12)
 
 
+def test_bpe_tokenize_corpus_matches_direct_tokenizer(spark, sf_dir):
+    """Per-source BPE token totals from the vocab-join query must equal
+    a DIRECT pure-Python per-document tokenization: learn merges with
+    the reference BPE on the same vocabulary, tokenize every document
+    word-by-word (no distinct-word shortcut), and compare totals —
+    token-for-token, so the broadcast-join application shape is pinned
+    against the naive definition."""
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import tokens
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        bpe_tokenize_corpus,
+    )
+
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    docs = d.select("source", tokens(F.col("text")).alias("toks")).collect()
+    wc: dict[str, int] = {}
+    for r in docs:
+        for w in r["toks"]:
+            wc[w] = wc.get(w, 0) + 1
+    merges = _reference_bpe(wc, 8)
+
+    def tokenize(word: str) -> list[str]:
+        syms = list(word)
+        for _rank, a, b, _c in merges:
+            s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    s.append(a + b)
+                    i += 2
+                else:
+                    s.append(syms[i])
+                    i += 1
+            syms = s
+        return syms
+
+    want: dict[str, list[int]] = {}  # source -> [n_docs, words, bpe]
+    for r in docs:
+        acc = want.setdefault(r["source"], [0, 0, 0])
+        acc[0] += 1
+        acc[1] += len(r["toks"])
+        acc[2] += sum(len(tokenize(w)) for w in r["toks"])
+
+    got = {
+        r["source"]: [r["n_docs"], r["total_words"], r["total_bpe_tokens"]]
+        for r in bpe_tokenize_corpus(spark, str(sf_dir)).collect()
+    }
+    assert got == want
+    # BPE must actually compress: fewer tokens than characters, more
+    # than words (8 merges cannot reach one-token-per-word)
+    for src, (_n, words, bpe) in got.items():
+        assert bpe > words, src
+
+
 def test_bpe_argmax_tie_breaks_lexicographically(spark):
     """Two pairs with identical counts: the lexicographically smaller
     (left, right) pair must win — the documented deterministic
