@@ -1,0 +1,332 @@
+"""Model-based quality scoring: a hashed-n-gram linear classifier
+trained AND applied inside one Catalyst plan.
+
+The fineweb-edu / fastText curation shape: an expensive quality signal
+(there an LLM grader; here the Gopher rule panel from
+``docs_gopher_rules``) is distilled into a cheap linear model over
+hashed bag-of-n-gram features, and the cheap model is what scores the
+corpus at scan speed. This module implements the distillation with a
+Bernoulli-Naive-Bayes log-odds model — closed-form, one aggregation
+pass, no iterative optimizer — so the whole train-plus-score pipeline
+is expressible in portable relational algebra and carries a full
+DuckDB oracle (most "ML in the warehouse" designs give that up).
+
+Design for 100 TB:
+  - features are distinct hashed unigram+bigram buckets computed
+    IN-ROW (array ops inside codegen, no UDF anywhere); the explode
+    ships only (doc_id, int bucket) pairs;
+  - training is ONE partial-agg shuffle of those pairs into a
+    2048-row (bucket, class-count) table — mergeable counts, so the
+    same fold works on any partitioning;
+  - the weight table broadcasts (2048 rows regardless of corpus
+    size) and scoring is a broadcast join + per-doc partial agg:
+    cost is linear in corpus tokens with no wide shuffle;
+  - cross-engine determinism: buckets come from md5 (identical hex in
+    Spark and DuckDB, unlike xxhash64), each log-odds weight is
+    rounded to 6 dp per-row, and per-doc sums run in DECIMAL(18,6) —
+    exact and order-independent — so the final logits hash-match the
+    oracle bit-for-bit.
+
+Reference tie-in: the reference has no classifier surface (SURVEY
+§2.2 extension; LLM-pipeline mandate). Label panel follows Rae et al.
+2021 (Gopher, Table A1); the distillation framing follows Penedo et
+al. 2024 (FineWeb-Edu) and Joulin et al. 2017 (fastText).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+from .text import NON_ALNUM, PUNCT, WORD, _count_matches, _stop_pat
+
+N_BUCKETS = 2048
+ALPHA = 1  # Laplace smoothing pseudo-count
+
+
+def _gopher_keep(d: DataFrame) -> Column:
+    """The conjunctive Gopher keep flag — EXACTLY docs_gopher_rules'
+    rule panel, reused as the weak training label."""
+    n_words = _count_matches(F.col("text"), WORD)
+    n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
+    n_symbols = _count_matches(F.col("text"), PUNCT)
+    n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
+    mean_wl = n_alnum * F.lit(1.0) / n_words
+    return (
+        (n_words >= 5)
+        & (n_words <= 100_000)
+        & (n_words > 0)
+        & (mean_wl >= 3)
+        & (mean_wl <= 12)
+        & (n_symbols * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)) <= 0.1)
+        & (n_alnum * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)) >= 0.6)
+        & (n_stop >= 2)
+    )
+
+
+def _bucket(gram: Column) -> Column:
+    """Engine-portable feature hash: first 60 bits of md5, mod 2048.
+    md5 (not xxhash64) so DuckDB computes the identical bucket."""
+    return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % N_BUCKETS
+
+
+def _labeled_toks(d: DataFrame) -> DataFrame:
+    """(doc_id, t, y): token arrays + weak label, LAZILY persisted —
+    the regex label panel and tokenization are the expensive per-doc
+    work, and features, class totals, and the final per-doc frame all
+    derive from this one table, so without the cache boundary Catalyst
+    re-runs the regex scan once per consumer (measured ~2x wall on the
+    scores query at sf0.1)."""
+    from pyspark import StorageLevel
+
+    from ..functions.texthash import tokens
+
+    return d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("t"),
+        _gopher_keep(d).cast("int").alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _doc_features(lab: DataFrame) -> DataFrame:
+    """(doc_id, y, bucket): distinct hashed unigram+bigram buckets per
+    document, with the weak label. All in-row until the explode."""
+    bigrams = F.transform(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("t"), i + 2)),
+    )
+    buckets = F.array_distinct(
+        F.transform(F.concat(F.col("t"), bigrams), _bucket)
+    )
+    return lab.select("doc_id", "y", F.explode(buckets).alias("bucket"))
+
+
+def _weights(feat: DataFrame, totals: DataFrame) -> DataFrame:
+    """(bucket, n_keep_docs, n_drop_docs, weight, weight_absent):
+    Laplace-smoothed Bernoulli-NB log-odds of feature PRESENCE and
+    ABSENCE, each rounded to 6 dp per row (the cross-engine ln
+    convention). Both terms are needed for the full Bernoulli decision
+    rule — presence-only scoring degenerates to the base rate on this
+    label (drop-class docs are short, so their few features never
+    overcome the positive class prior; measured: presence-only
+    accuracy == base rate 0.776, full rule 0.846 at sf0.01)."""
+    pk = (F.col("n_keep_docs") + ALPHA) / (F.col("n_k") + 2 * ALPHA)
+    pd_ = (F.col("n_drop_docs") + ALPHA) / (F.col("n_d") + 2 * ALPHA)
+    return (
+        feat.groupBy("bucket")
+        .agg(
+            F.sum("y").alias("n_keep_docs"),
+            F.sum(F.lit(1) - F.col("y")).alias("n_drop_docs"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_keep_docs",
+            "n_drop_docs",
+            F.round(F.log(pk) - F.log(pd_), 6).alias("weight"),
+            F.round(F.log(1 - pk) - F.log(1 - pd_), 6).alias(
+                "weight_absent"
+            ),
+        )
+    )
+
+
+def _totals(lab: DataFrame) -> DataFrame:
+    """One-row (n_k, n_d): class totals for smoothing + prior."""
+    return lab.agg(
+        F.sum("y").alias("n_k"), F.sum(F.lit(1) - F.col("y")).alias("n_d")
+    )
+
+
+_ORACLE_FEAT = f"""
+    base AS (
+      SELECT doc_id, n_chars, text,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), labeled AS (
+      SELECT doc_id, t,
+        CAST(
+          len(regexp_extract_all(text, '{WORD}')) >= 5
+          AND len(regexp_extract_all(text, '{WORD}')) <= 100000
+          AND len(regexp_extract_all(text, '{WORD}')) > 0
+          AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
+              / len(regexp_extract_all(text, '{WORD}')) >= 3
+          AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
+              / len(regexp_extract_all(text, '{WORD}')) <= 12
+          AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
+              / GREATEST(n_chars, 1) <= 0.1
+          AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
+              / GREATEST(n_chars, 1) >= 0.6
+          AND len(regexp_extract_all(lower(text),
+                  '\\b(the|a|of|and|in|to|is)\\b')) >= 2
+        AS INTEGER) AS y
+      FROM base
+    ), feat AS (
+      SELECT doc_id, y, unnest(list_distinct(list_transform(
+               list_concat(t, list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])),
+               g -> CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT
+                         % {N_BUCKETS} AS BIGINT)))) AS bucket
+      FROM labeled
+    ), totals AS (
+      SELECT SUM(y) AS n_k, SUM(1 - y) AS n_d FROM labeled
+    ), weights AS (
+      SELECT bucket,
+             CAST(SUM(y) AS BIGINT) AS n_keep_docs,
+             CAST(SUM(1 - y) AS BIGINT) AS n_drop_docs,
+             ROUND(ln((SUM(y) + {ALPHA}) * 1.0 / (t.n_k + {2 * ALPHA}))
+                   - ln((SUM(1 - y) + {ALPHA}) * 1.0 / (t.n_d + {2 * ALPHA})), 6)
+               AS weight,
+             ROUND(ln(1.0 - (SUM(y) + {ALPHA}) * 1.0 / (t.n_k + {2 * ALPHA}))
+                   - ln(1.0 - (SUM(1 - y) + {ALPHA}) * 1.0
+                        / (t.n_d + {2 * ALPHA})), 6)
+               AS weight_absent
+      FROM feat CROSS JOIN totals t
+      GROUP BY bucket, t.n_k, t.n_d
+    )
+"""
+
+# The full model as reusable CTEs: _ORACLE_FEAT + prior + the absence
+# constant + per-doc sums + final per-doc decimal logits. Shared by the
+# scores oracle and corpus_curation_pipeline's score-threshold stage.
+_ORACLE_MODEL = f"""{_ORACLE_FEAT}, prior AS (
+      SELECT CAST(ROUND(ln((n_k + {ALPHA}) * 1.0 / (n_d + {ALPHA})), 6)
+                  AS DECIMAL(18,6)) AS p
+      FROM totals
+    ), absent_sum AS (
+      SELECT SUM(CAST(weight_absent AS DECIMAL(18,6))) AS c FROM weights
+    ), doc_sums AS (
+      SELECT f.doc_id,
+             COUNT(*) AS n_features,
+             SUM(CAST(w.weight AS DECIMAL(18,6))
+                 - CAST(w.weight_absent AS DECIMAL(18,6))) AS s
+      FROM feat f JOIN weights w ON f.bucket = w.bucket
+      GROUP BY f.doc_id
+    ), scores AS (
+      SELECT l.doc_id, l.y,
+             COALESCE(d.n_features, 0) AS n_features,
+             COALESCE(d.s, 0) + (SELECT p FROM prior)
+               + (SELECT c FROM absent_sum) AS logit_dec
+      FROM labeled l LEFT JOIN doc_sums d ON l.doc_id = d.doc_id
+    )
+"""
+
+
+@register(
+    "quality_classifier_weights",
+    oracle=f"""
+    WITH {_ORACLE_FEAT}
+    SELECT bucket, n_keep_docs, n_drop_docs, weight, weight_absent
+    FROM weights
+    """,
+    doc="The TRAINED model of the quality-classifier pair: per hashed "
+    "n-gram bucket, how many keep-class and drop-class documents "
+    "contain it, and the Laplace-smoothed Bernoulli-NB log-odds "
+    "weight. Training is one (doc, bucket) explode + one 2048-group "
+    "partial-agg shuffle — closed-form, no optimizer — and the "
+    "whole fit is oracle-checked against DuckDB running the "
+    "identical relational definition (md5 buckets, 6-dp-rounded ln). "
+    "This is the table quality_classifier_scores broadcasts; "
+    "inspecting it IS model debugging (which n-grams drive keep vs "
+    "drop).",
+)
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lab = _labeled_toks(d)
+    return _weights(_doc_features(lab), _totals(lab))
+
+
+@register(
+    "quality_classifier_scores",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}
+    SELECT doc_id,
+           CAST(n_features AS BIGINT) AS n_features,
+           CAST(logit_dec AS DOUBLE) AS logit,
+           (logit_dec > 0) AS pred_keep,
+           y AS weak_label
+    FROM scores
+    """,
+    doc="Model-based quality scoring, the fineweb-edu distillation "
+    "shape: the Gopher rule panel (the 'expensive grader') labels "
+    "the corpus once, a hashed-bigram Bernoulli-NB model distills "
+    "those labels, and every document gets a model logit + predicted "
+    "keep flag from ONE fused plan — train and apply, no UDF, no "
+    "optimizer. The FULL Bernoulli rule is used: logit = prior + "
+    "sum over the vocabulary of the absence log-odds (a per-corpus "
+    "CONSTANT, one 1-row agg over the weight table) + per present "
+    "feature (weight - weight_absent). Presence-only scoring "
+    "degenerates to the base rate here (drop docs are short; their "
+    "few features never overcome the class prior) — full-rule "
+    "accuracy 0.846 vs 0.776 base at sf0.01. Scoring is a broadcast "
+    "join of the 2048-row weight table against the in-row-hashed "
+    "features plus a per-doc partial agg; per-doc sums run in "
+    "DECIMAL(18,6) over 6-dp-rounded weights, so logits are exact, "
+    "order-independent, and hash-match DuckDB computing the "
+    "identical definition. At 100 TB: one corpus scan to train "
+    "(8-byte pair shuffle), one to score (broadcast join at scan "
+    "speed) — the production split would persist the weight table "
+    "and score daily batches incrementally, which this plan's "
+    "stages compose into.",
+)
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return _scores_frame(d).select(
+        "doc_id",
+        "n_features",
+        F.col("logit_dec").cast("double").alias("logit"),
+        (F.col("logit_dec") > 0).alias("pred_keep"),
+        "weak_label",
+    )
+
+
+def _scores_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, n_features, logit_dec, weak_label): the full
+    train-and-score subplan over `d`, logits kept as exact DECIMAL so
+    downstream thresholds (corpus_curation_pipeline's model stage)
+    compare the same value the oracle computes."""
+    lab = _labeled_toks(d)
+    feat = _doc_features(lab)
+    totals = _totals(lab)
+    w = _weights(feat, totals)
+    prior = totals.select(
+        F.round(
+            F.log((F.col("n_k") + ALPHA) * F.lit(1.0) / (F.col("n_d") + ALPHA)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    absent_sum = w.agg(
+        F.sum(F.col("weight_absent").cast("decimal(18,6)")).alias("c")
+    )
+    doc_sums = (
+        feat.join(
+            F.broadcast(w.select("bucket", "weight", "weight_absent")),
+            "bucket",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(
+                F.col("weight").cast("decimal(18,6)")
+                - F.col("weight_absent").cast("decimal(18,6)")
+            ).alias("s"),
+        )
+    )
+    labeled = lab.select("doc_id", F.col("y").alias("weak_label"))
+    return (
+        labeled.join(doc_sums, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(absent_sum))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            (F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")).alias(
+                "logit_dec"
+            ),
+            "weak_label",
+        )
+    )

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.texthash import normalize_text
 from ..sources.catalog import load_table
 from .registry import register
+from .classifier import _ORACLE_MODEL
 from .text import WORD
 
 MIN_TOKENS = 10
@@ -36,7 +37,7 @@ MIN_ALNUM_PCT4 = 5000  # alnum/chars ratio >= 0.5, in 1e-4 units
 @register(
     "corpus_curation_pipeline",
     oracle=f"""
-    WITH deduped AS (
+    WITH {_ORACLE_MODEL}, deduped AS (
       SELECT doc_id, lang, source, text, n_chars,
              ROW_NUMBER() OVER (
                PARTITION BY md5(regexp_replace(lower(trim(text)),
@@ -44,17 +45,19 @@ MIN_ALNUM_PCT4 = 5000  # alnum/chars ratio >= 0.5, in 1e-4 units
                ORDER BY doc_id) AS rn
       FROM documents
       WHERE text IS NOT NULL
-    ), scored AS (
+    ), cscored AS (
       SELECT doc_id, lang, source, n_chars,
              len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens,
              length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
                AS n_alnum
       FROM deduped WHERE rn = 1
     ), kept AS (
-      SELECT * FROM scored
+      SELECT * FROM cscored
       WHERE n_tokens >= {MIN_TOKENS}
         AND (2 * 10000 * n_alnum + n_chars) // (2 * n_chars)
             >= {MIN_ALNUM_PCT4}
+        AND EXISTS (SELECT 1 FROM scores s
+                    WHERE s.doc_id = cscored.doc_id AND s.logit_dec > 0)
     )
     SELECT lang, source,
            COUNT(*) AS n_docs,
@@ -64,13 +67,23 @@ MIN_ALNUM_PCT4 = 5000  # alnum/chars ratio >= 0.5, in 1e-4 units
     FROM kept
     GROUP BY 1, 2
     """,
-    doc="Flagship user-story pipeline: dedup → quality-filter → corpus "
-    "accounting as ONE fused Catalyst plan (two shuffles end to end; "
-    "no materialized intermediates). Every stage reuses the engine's "
-    "own primitives; alnum-ratio threshold uses exact bigint "
-    "arithmetic so the filter boundary is engine-independent.",
+    doc="Flagship user-story pipeline: dedup → quality-filter → "
+    "model-based quality scoring → corpus accounting as ONE fused "
+    "Catalyst plan (no materialized intermediates). Every stage "
+    "reuses the engine's own primitives; alnum-ratio threshold uses "
+    "exact bigint arithmetic so the filter boundary is "
+    "engine-independent. Round 7 added the classifier stage "
+    "(classifier.py): the Bernoulli-NB model trains on the full "
+    "corpus inside this same plan and survivors must also score "
+    "logit > 0 — the fineweb-edu 'rules then model' curation order, "
+    "joined in as a doc-id semi-join so the model side ships ids "
+    "only. The DECIMAL logit arithmetic keeps even the threshold "
+    "boundary engine-exact, so the fused five-stage plan still "
+    "hash-matches DuckDB.",
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classifier import _scores_frame
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     win = Window.partitionBy(
         F.md5(normalize_text(F.col("text")))
@@ -81,6 +94,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
     )
     scored = deduped.select(
+        "doc_id",
         "lang",
         "source",
         "n_chars",
@@ -91,13 +105,20 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alnum"
         ),
     )
+    # Round-7 model stage: the Bernoulli-NB quality classifier
+    # (classifier.py — trained on the FULL corpus inside this same
+    # plan) must also predict keep. A doc-id semi-join, so the model
+    # side ships (doc_id) only.
+    model_keep = (
+        _scores_frame(d).filter(F.col("logit_dec") > 0).select("doc_id")
+    )
     kept = scored.filter(
         (F.col("n_tokens") >= MIN_TOKENS)
         & (
             F.expr("(2 * 10000 * n_alnum + n_chars) div (2 * n_chars)")
             >= MIN_ALNUM_PCT4
         )
-    )
+    ).join(model_keep, "doc_id", "semi")
     return kept.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),

@@ -1,0 +1,96 @@
+"""Model-based quality classifier (operators/classifier.py): the
+DuckDB oracle pins VALUES (tests/test_oracle_parity.py covers the two
+registered queries); these tests pin MODEL behavior — the classifier
+must actually discriminate, and the helpers must degrade gracefully on
+degenerate corpora."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+    _doc_features,
+    _labeled_toks,
+    _scores_frame,
+    _totals,
+    _weights,
+    quality_classifier_scores,
+)
+from kafka_streams_reorder_timestamp_spark.sources import load_table
+
+
+def test_classifier_beats_base_rate(spark, sf_dir):
+    """The full-Bernoulli rule must beat always-predict-majority on its
+    own training labels AND predict both classes — the regression this
+    pins is the presence-only degeneration, where accuracy equalled the
+    base rate because every doc scored above threshold."""
+    df = quality_classifier_scores(spark, str(sf_dir))
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("pred_keep").cast("int") == F.col("weak_label")).cast(
+                "int"
+            )
+        ).alias("agree"),
+        F.sum(F.col("pred_keep").cast("int")).alias("pred_pos"),
+        F.sum("weak_label").alias("pos"),
+    ).collect()[0]
+    base = max(agg["pos"], agg["n"] - agg["pos"]) / agg["n"]
+    acc = agg["agree"] / agg["n"]
+    assert acc > base + 0.03, f"acc {acc:.3f} vs base {base:.3f}"
+    assert 0 < agg["pred_pos"] < agg["n"], "degenerate single-class preds"
+
+
+def test_classifier_logits_finite_and_labeled_rows_complete(spark, sf_dir):
+    """Every non-null-text document gets exactly one finite logit —
+    including zero-feature docs, which the left join + coalesce must
+    keep (logit = prior + absence constant)."""
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    df = quality_classifier_scores(spark, str(sf_dir))
+    assert df.count() == d.count()
+    assert df.filter(F.isnan("logit") | F.col("logit").isNull()).count() == 0
+
+
+def test_classifier_single_class_corpus_degrades_gracefully(spark):
+    """A corpus where every doc carries the SAME label must not crash
+    or emit NaN: Laplace smoothing keeps both class probabilities in
+    (0, 1), so weights and logits stay finite and every prediction
+    lands on the observed class."""
+    texts = [
+        (
+            i,
+            "the quick brown fox jumps of and in to is the lazy dog "
+            f"number {i} runs far",
+        )
+        for i in range(8)
+    ]
+    d = spark.createDataFrame(texts, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    scores = _scores_frame(d)
+    rows = scores.collect()
+    assert len(rows) == 8
+    assert all(r["weak_label"] == 1 for r in rows)  # all keep-class
+    assert all(r["logit_dec"] is not None for r in rows)
+    lab = _labeled_toks(d)
+    w = _weights(_doc_features(lab), _totals(lab)).collect()
+    assert all(
+        r["weight"] is not None and r["weight_absent"] is not None for r in w
+    )
+    # with zero drop evidence the smoothed model must still predict keep
+    assert all(float(r["logit_dec"]) > 0 for r in rows)
+
+
+def test_classifier_features_are_distinct_buckets_per_doc(spark):
+    """Feature rows are DISTINCT buckets per document (Bernoulli
+    presence semantics): a doc repeating one word many times
+    contributes each of its buckets once."""
+    d = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    feat = _doc_features(_labeled_toks(d)).collect()
+    # unigram 'spam' + bigram 'spam spam' = exactly 2 distinct buckets
+    assert len(feat) == len({r["bucket"] for r in feat}) == 2
