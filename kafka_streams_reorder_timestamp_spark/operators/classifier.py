@@ -330,3 +330,142 @@ def _scores_frame(d: DataFrame) -> DataFrame:
             "weak_label",
         )
     )
+
+
+CORPUS_MAX_ID = 250  # same corpus/batch split as the dedup_incremental family
+
+
+@register(
+    "quality_classifier_incremental",
+    oracle=f"""
+    WITH {_ORACLE_FEAT}, ttotals AS (
+      SELECT SUM(y) AS n_k, SUM(1 - y) AS n_d
+      FROM labeled WHERE doc_id < {CORPUS_MAX_ID}
+    ), tweights AS (
+      SELECT bucket,
+             ROUND(ln((SUM(y) + {ALPHA}) * 1.0 / (t.n_k + {2 * ALPHA}))
+                   - ln((SUM(1 - y) + {ALPHA}) * 1.0 / (t.n_d + {2 * ALPHA})), 6)
+               AS weight,
+             ROUND(ln(1.0 - (SUM(y) + {ALPHA}) * 1.0 / (t.n_k + {2 * ALPHA}))
+                   - ln(1.0 - (SUM(1 - y) + {ALPHA}) * 1.0
+                        / (t.n_d + {2 * ALPHA})), 6)
+               AS weight_absent
+      FROM feat CROSS JOIN ttotals t
+      WHERE feat.doc_id < {CORPUS_MAX_ID}
+      GROUP BY bucket, t.n_k, t.n_d
+    ), oov AS (
+      SELECT CAST(ROUND(ln({ALPHA} * 1.0 / (n_k + {2 * ALPHA}))
+                        - ln({ALPHA} * 1.0 / (n_d + {2 * ALPHA})), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM ttotals
+    ), prior AS (
+      SELECT CAST(ROUND(ln((n_k + {ALPHA}) * 1.0 / (n_d + {ALPHA})), 6)
+                  AS DECIMAL(18,6)) AS p
+      FROM ttotals
+    ), absent_sum AS (
+      SELECT SUM(CAST(weight_absent AS DECIMAL(18,6))) AS c FROM tweights
+    ), bsums AS (
+      SELECT f.doc_id,
+             COUNT(*) AS n_features,
+             SUM(CASE WHEN w.bucket IS NOT NULL THEN 1 ELSE 0 END)
+               AS n_known,
+             SUM(CASE WHEN w.bucket IS NOT NULL
+                  THEN CAST(w.weight AS DECIMAL(18,6))
+                       - CAST(w.weight_absent AS DECIMAL(18,6))
+                  ELSE (SELECT w FROM oov) END) AS s
+      FROM feat f LEFT JOIN tweights w ON f.bucket = w.bucket
+      WHERE f.doc_id >= {CORPUS_MAX_ID}
+      GROUP BY f.doc_id
+    )
+    SELECT l.doc_id,
+           CAST(COALESCE(b.n_features, 0) AS BIGINT) AS n_features,
+           CAST(COALESCE(b.n_known, 0) AS BIGINT) AS n_known,
+           CAST(COALESCE(b.s, 0) + (SELECT p FROM prior)
+                + (SELECT c FROM absent_sum) AS DOUBLE) AS logit,
+           (COALESCE(b.s, 0) + (SELECT p FROM prior)
+            + (SELECT c FROM absent_sum) > 0) AS pred_keep,
+           l.y AS weak_label
+    FROM labeled l LEFT JOIN bsums b ON l.doc_id = b.doc_id
+    WHERE l.doc_id >= {CORPUS_MAX_ID}
+    """,
+    doc="The PRODUCTION split of the quality classifier: the model "
+    "trains ONLY on the existing corpus (docs < 250 — the same "
+    "corpus/batch convention as dedup_incremental_*), and the fresh "
+    "daily batch (docs >= 250) is scored against that persisted "
+    "model — so scoring cost is proportional to the BATCH at any "
+    "corpus size, and the weight table is exactly what a scheduler "
+    "would write once and broadcast every day. This is also the "
+    "query that exercises OUT-OF-VOCABULARY handling for real: "
+    "batch n-grams absent from the training vocabulary take the "
+    "Laplace-default presence log-odds (the `oov` term) instead of "
+    "silently dropping, and n_known/n_features reports the vocab "
+    "hit rate per doc — the drift signal that tells a pipeline the "
+    "model needs retraining. Same exact-DECIMAL arithmetic as "
+    "quality_classifier_scores; full DuckDB oracle.",
+)
+def quality_classifier_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lab = _labeled_toks(d)
+    train = lab.filter(F.col("doc_id") < CORPUS_MAX_ID)
+    batch = lab.filter(F.col("doc_id") >= CORPUS_MAX_ID)
+    ttotals = _totals(train)
+    w = _weights(_doc_features(train), ttotals)
+    oov = ttotals.select(
+        F.round(
+            F.log(ALPHA * F.lit(1.0) / (F.col("n_k") + 2 * ALPHA))
+            - F.log(ALPHA * F.lit(1.0) / (F.col("n_d") + 2 * ALPHA)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w_oov")
+    )
+    prior = ttotals.select(
+        F.round(
+            F.log((F.col("n_k") + ALPHA) * F.lit(1.0) / (F.col("n_d") + ALPHA)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    absent_sum = w.agg(
+        F.sum(F.col("weight_absent").cast("decimal(18,6)")).alias("c")
+    )
+    known = F.col("weight").isNotNull()
+    bsums = (
+        _doc_features(batch)
+        .join(
+            F.broadcast(w.select("bucket", "weight", "weight_absent")),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.when(known, 1).otherwise(0)).alias("n_known"),
+            F.sum(
+                F.when(
+                    known,
+                    F.col("weight").cast("decimal(18,6)")
+                    - F.col("weight_absent").cast("decimal(18,6)"),
+                ).otherwise(F.col("w_oov"))
+            ).alias("s"),
+        )
+    )
+    logit_dec = F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")
+    return (
+        batch.select("doc_id", F.col("y").alias("weak_label"))
+        .join(bsums, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(absent_sum))
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
+            logit_dec.cast("double").alias("logit"),
+            (logit_dec > 0).alias("pred_keep"),
+            "weak_label",
+        )
+    )

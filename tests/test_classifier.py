@@ -94,3 +94,37 @@ def test_classifier_features_are_distinct_buckets_per_doc(spark):
     feat = _doc_features(_labeled_toks(d)).collect()
     # unigram 'spam' + bigram 'spam spam' = exactly 2 distinct buckets
     assert len(feat) == len({r["bucket"] for r in feat}) == 2
+
+
+def test_classifier_incremental_scores_batch_with_corpus_model(
+    spark, sf_dir
+):
+    """The production split: only batch docs (id >= 250) are scored,
+    OOV features are COUNTED (n_known < n_features somewhere — the
+    train-half vocabulary provably misses batch n-grams) rather than
+    dropped, the batch-side accuracy still beats the majority rate,
+    and both classes appear in the predictions."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_classifier_incremental,
+    )
+
+    df = quality_classifier_incremental(spark, str(sf_dir))
+    st = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("n_features").alias("nf"),
+        F.sum("n_known").alias("nk"),
+        F.sum(F.col("pred_keep").cast("int")).alias("pred_pos"),
+        F.sum(
+            (F.col("pred_keep").cast("int") == F.col("weak_label")).cast(
+                "int"
+            )
+        ).alias("agree"),
+        F.sum("weak_label").alias("pos"),
+    ).collect()[0]
+    assert st["min_id"] >= 250
+    assert st["nk"] < st["nf"], "no OOV feature ever hit the default path"
+    assert df.filter(F.col("n_known") > F.col("n_features")).count() == 0
+    base = max(st["pos"], st["n"] - st["pos"]) / st["n"]
+    assert st["agree"] / st["n"] > base + 0.03
+    assert 0 < st["pred_pos"] < st["n"]
