@@ -1,5 +1,6 @@
 from .reorder import reorder_stream
 from .reorder_tws import reorder_stream_tws, tws_available
+from .scoring import export_quality_model, score_doc_stream
 from .stateful import (
     streaming_distinct_hll,
     streaming_ema,
@@ -19,9 +20,11 @@ from .windows import (
 
 __all__ = [
     "enrich_with_static",
+    "export_quality_model",
     "interval_join",
     "reorder_stream",
     "reorder_stream_tws",
+    "score_doc_stream",
     "session_agg",
     "sliding_agg",
     "stream_dedup",
