@@ -348,6 +348,108 @@ def decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "probe_id", "span_offset")
 
 
+SEM_DECON_TAU = 0.9  # cosine threshold; background max is ~0.49 here
+
+
+def _sem_decon_dots() -> dict[str, str]:
+    from .similarity import _sql_dot
+
+    return {
+        "dot_cb": _sql_dot("c.emb", "b.probe_emb", 64),
+        "dot_cc": _sql_dot("c.emb", "c.emb", 64),
+        "dot_bb": _sql_dot("b.probe_emb", "b.probe_emb", 64),
+    }
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), bench AS (
+      SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 16
+    ), corpus AS (
+      SELECT vec_id, emb FROM e WHERE vec_id >= 16
+      UNION ALL
+      SELECT probe_id + 7000000000, probe_emb
+      FROM bench WHERE probe_id < 8
+      UNION ALL
+      SELECT probe_id + 8000000000,
+             list_concat([probe_emb[1] + 0.25], probe_emb[2:])
+      FROM bench WHERE probe_id >= 8
+    ), scored AS (
+      SELECT c.vec_id, b.probe_id,
+             ROUND(({{dot_cb}})
+                   / (sqrt({{dot_cc}}) * sqrt({{dot_bb}})), 6) AS cos_sim
+      FROM corpus c CROSS JOIN bench b
+    ), top AS (
+      SELECT vec_id, probe_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, probe_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id, probe_id, cos_sim
+    FROM top WHERE rn = 1 AND cos_sim >= {SEM_DECON_TAU}
+    """.format(**_sem_decon_dots()),
+    doc="SEMANTIC benchmark decontamination — the embedding-space "
+    "sibling of decontaminate_docs, catching paraphrased leakage that "
+    "n-gram containment misses (the Phi/GPT-era decon practice): "
+    "vectors 0-15 stand in for an eval suite; the corpus is planted "
+    "with 8 EXACT copies (cos = 1.0) and 8 first-coordinate-perturbed "
+    "copies (cos ~0.97-0.99 — invisible to exact/text matching), and "
+    "any corpus doc whose max probe cosine >= 0.9 is flagged with its "
+    "argmax probe (rounded-6dp ordering, probe-id tie-break; the "
+    "background cross-cosine tops out ~0.49, so the boundary is "
+    "wide). Shape: the benchmark broadcasts (eval suites are small), "
+    "the corpus streams ONCE through an unrolled-dot codegen scan, "
+    "norms precomputed per side — corpus x |bench| work with no "
+    "corpus shuffle at any scale; for thousand-probe suites the "
+    "existing LSH/IVF bucketing prefilters candidates first.",
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import as_double, dot, l2_norm
+    from .similarity import DIM
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    bench = e.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    exact = bench.filter(F.col("probe_id") < 8).select(
+        (F.col("probe_id") + F.lit(7_000_000_000)).alias("vec_id"),
+        F.col("probe_emb").alias("emb"),
+    )
+    perturbed = bench.filter(F.col("probe_id") >= 8).select(
+        (F.col("probe_id") + F.lit(8_000_000_000)).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("probe_emb", 1) + F.lit(0.25)),
+            F.slice("probe_emb", 2, DIM - 1),
+        ).alias("emb"),
+    )
+    corpus = (
+        e.filter(F.col("vec_id") >= 16)
+        .unionByName(exact)
+        .unionByName(perturbed)
+    )
+    c = corpus.withColumn("_n", l2_norm("emb", dim=DIM))
+    p = bench.withColumn("_pn", l2_norm("probe_emb", dim=DIM))
+    cos6 = F.round(
+        dot("emb", "probe_emb", dim=DIM) / (F.col("_n") * F.col("_pn")), 6
+    )
+    scored = c.crossJoin(F.broadcast(p)).select(
+        "vec_id", "probe_id", cos6.alias("cos_sim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("probe_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("cos_sim") >= SEM_DECON_TAU))
+        .select("vec_id", "probe_id", "cos_sim")
+    )
+
+
 # Shared PII regexes — Java-regex and RE2 compatible, identical
 # semantics in Spark and DuckDB (ASCII classes, \b word boundaries).
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -978,3 +978,26 @@ def test_hamming_band_pairs_boundary(spark):
     assert pairs[(1, 2)] == 3
     assert (1, 3) not in pairs  # hamming 4 > budget
     assert pairs[(2, 3)] == 1
+
+
+def test_semantic_decon_flags_planted_copies_only(spark, sf_dir):
+    """decontaminate_semantic must flag EXACTLY the planted
+    contamination: 8 exact benchmark copies at cos 1.0 and 8
+    first-coordinate-perturbed copies strictly below 1.0 but above the
+    0.9 threshold — and no organic corpus vector (background cosine
+    tops out ~0.5 on this synthetic table)."""
+    from kafka_streams_reorder_timestamp_spark.operators.pipeline import (
+        decontaminate_semantic,
+    )
+
+    rows = decontaminate_semantic(spark, str(sf_dir)).collect()
+    flagged = {r["vec_id"]: r for r in rows}
+    want_exact = {7_000_000_000 + i for i in range(8)}
+    want_pert = {8_000_000_000 + i for i in range(8, 16)}
+    assert set(flagged) == want_exact | want_pert
+    for v in want_exact:
+        assert flagged[v]["cos_sim"] == 1.0
+        assert flagged[v]["probe_id"] == v - 7_000_000_000
+    for v in want_pert:
+        assert 0.9 <= flagged[v]["cos_sim"] < 1.0
+        assert flagged[v]["probe_id"] == v - 8_000_000_000
