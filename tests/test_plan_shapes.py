@@ -420,3 +420,49 @@ def test_registry_column_names_are_clean(spark, sf_dir):
         if ugly or not cols:
             bad[name] = ugly or "EMPTY"
     assert not bad, f"unaliased/generated output columns: {bad}"
+
+
+def test_classifier_scoring_broadcasts_weights(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_classifier_scores,
+    )
+
+    df = quality_classifier_scores(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # the 2048-row weight table must ride a broadcast into the feature
+    # join (scoring at scan speed — a shuffled weight join would
+    # repartition the corpus-sized feature stream on bucket), and the
+    # plan must never go cartesian despite three 1-row scalar joins
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # scan reads only what the model needs: doc id, text, n_chars
+    assert plans.read_schema_columns(df) == {"doc_id", "text", "n_chars"}
+
+
+def test_semantic_decon_broadcasts_probes_and_prunes(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.pipeline import (
+        decontaminate_semantic,
+    )
+
+    df = decontaminate_semantic(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # benchmark side broadcasts (nested-loop for the probe cross join);
+    # the corpus embedding scan is never shuffled before scoring
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.read_schema_columns(df) == {"vec_id", "embedding"}
+
+
+def test_bpe_tokenize_broadcasts_vocab(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        bpe_tokenize_corpus,
+    )
+
+    df = bpe_tokenize_corpus(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # the learned (word, token_count) vocab joins broadcast — the
+    # corpus-sized (source, word) aggregate must not shuffle on word
+    # to meet a shuffled vocab table
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.read_schema_columns(df) == {"source", "text"}
