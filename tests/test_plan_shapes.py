@@ -205,9 +205,17 @@ def test_curation_pipeline_two_shuffles(spark, sf_dir):
     )
 
     df = corpus_curation_pipeline(spark, sf_dir)
-    # fused end-to-end: fingerprint window shuffle + group-key shuffle,
-    # nothing materialized between stages
-    assert plans.shuffle_count(df) == 2, plans.physical_plan(df, "simple")
+    # Still one fused plan, nothing materialized between stages. The
+    # round-7 model stage raised the exchange count from 2: the
+    # CORPUS-GRANULARITY shuffles are fingerprint window + feature
+    # bucket agg + per-doc score agg + the doc-id semi-join + final
+    # group agg; the rest are scalar/2048-row exchanges (class totals,
+    # prior, absence constant, weight broadcast) whose size is
+    # independent of corpus size. Pin a ceiling so an accidental extra
+    # corpus-wide shuffle (e.g. a lost broadcast on the weight join)
+    # still fails loudly.
+    n = plans.shuffle_count(df)
+    assert n <= 11, f"{n} shuffles: " + plans.physical_plan(df, "simple")
     assert plans.read_schema_columns(df) == {
         "doc_id", "text", "lang", "source", "n_chars",
     }
