@@ -83,6 +83,17 @@ def _labeled_toks(d: DataFrame) -> DataFrame:
 
     from ..functions.texthash import tokens
 
+    # Widen narrow inputs before the regex/tokenize pass (the LSH
+    # operators' pattern): the driver testdata ships one row group per
+    # file, so without this the label panel, tokenization, and feature
+    # hashing all run in ONE task. At sf0.1 the measured effect is
+    # neutral (~3s either way — the query's cost there is per-stage
+    # scheduling overhead, not compute), but a single-task funnel on
+    # real data would serialize the whole model; on a production
+    # layout the scan is already wide and this is a no-op.
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
     return d.select(
         "doc_id",
         tokens(F.col("text")).alias("t"),
