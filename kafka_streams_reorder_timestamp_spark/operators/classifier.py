@@ -300,9 +300,23 @@ def _scores_frame(d: DataFrame) -> DataFrame:
     downstream thresholds (corpus_curation_pipeline's model stage)
     compare the same value the oracle computes."""
     lab = _labeled_toks(d)
-    feat = _doc_features(lab)
     totals = _totals(lab)
-    w = _weights(feat, totals)
+    w = _weights(_doc_features(lab), totals)
+    return apply_quality_model(lab, w, totals)
+
+
+def apply_quality_model(
+    lab: DataFrame, w: DataFrame, totals: DataFrame
+) -> DataFrame:
+    """Score a labeled-tokens corpus against a trained weight table —
+    the PRODUCTION serving path: `w` and `totals` may come from the
+    in-plan fit (quality_classifier_scores) or from a PERSISTED
+    warehouse table written at training time; parquet round-trips the
+    6-dp-rounded doubles exactly, so both paths produce identical
+    DECIMAL logits (pinned by
+    tests/test_classifier.py::test_persisted_weight_table_scores_identically).
+    """
+    feat = _doc_features(lab)
     prior = totals.select(
         F.round(
             F.log((F.col("n_k") + ALPHA) * F.lit(1.0) / (F.col("n_d") + ALPHA)), 6

@@ -128,3 +128,36 @@ def test_classifier_incremental_scores_batch_with_corpus_model(
     base = max(st["pos"], st["n"] - st["pos"]) / st["n"]
     assert st["agree"] / st["n"] > base + 0.03
     assert 0 < st["pred_pos"] < st["n"]
+
+
+def test_persisted_weight_table_scores_identically(spark, sf_dir, tmp_path):
+    """The production artifact lifecycle: train -> write the weight
+    table + class totals to parquet -> reload in a fresh plan -> score.
+    Logits must be IDENTICAL to the fused train-and-score query —
+    parquet round-trips the 6-dp-rounded doubles exactly and the
+    DECIMAL sums are order-independent, so persistence loses nothing."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        apply_quality_model,
+        quality_classifier_weights,
+    )
+
+    w_path, t_path = tmp_path / "weights", tmp_path / "totals"
+    quality_classifier_weights(spark, str(sf_dir)).write.parquet(str(w_path))
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    _totals(_labeled_toks(d)).write.parquet(str(t_path))
+
+    w = spark.read.parquet(str(w_path))
+    totals = spark.read.parquet(str(t_path))
+    lab = _labeled_toks(d)
+    from_disk = {
+        r["doc_id"]: (r["n_features"], float(r["logit_dec"]))
+        for r in apply_quality_model(lab, w, totals).collect()
+    }
+    fused = {
+        r["doc_id"]: (r["n_features"], float(r["logit_dec"]))
+        for r in _scores_frame(d).collect()
+    }
+    assert from_disk == fused
+    assert len(fused) > 0
