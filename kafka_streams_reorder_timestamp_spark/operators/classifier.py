@@ -83,17 +83,16 @@ def _labeled_toks(d: DataFrame) -> DataFrame:
 
     from ..functions.texthash import tokens
 
-    # Widen narrow inputs before the regex/tokenize pass (the LSH
-    # operators' pattern): the driver testdata ships one row group per
-    # file, so without this the label panel, tokenization, and feature
-    # hashing all run in ONE task. At sf0.1 the measured effect is
-    # neutral (~3s either way — the query's cost there is per-stage
-    # scheduling overhead, not compute), but a single-task funnel on
-    # real data would serialize the whole model; on a production
-    # layout the scan is already wide and this is a no-op.
-    par = d.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
-        d = d.repartition(par)
+    # NO pre-widen here, unlike the LSH operators: their Arrow
+    # signature passes are CPU-heavy enough that buying parallelism
+    # with a repartition wins even at sf0.1, but this scan's per-doc
+    # regex work is light — the measured effect of widening was
+    # neutral on the scores query (~3s either way) and a +1.1s
+    # regression on the incremental one (it pays the full-text shuffle
+    # but trains on half the rows). The single-task scan is a
+    # local-testdata artifact (one row group per file — SCALE.md
+    # "Scan parallelism note"); production layouts scan wide without
+    # help.
     return d.select(
         "doc_id",
         tokens(F.col("text")).alias("t"),
