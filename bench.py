@@ -21,26 +21,26 @@ import time
 import pandas as pd
 
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-
-    from kafka_streams_reorder_timestamp_spark.operators import registry
-    from kafka_streams_reorder_timestamp_spark.session import get_spark
-
-    spark = get_spark(app_name="bench")
-
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # plan, not first-touch JIT/IO noise.
+def _warm(spark, sf_dirs) -> float:
+    """Shared warm-up for both bench entry points: parquet footers for
+    every table at every SF, Python UDF workers (touching the heavy
+    modules the real UDFs import — zlib, numpy), and the CC round
+    plan's codegen on a 4-edge toy graph. Returns elapsed seconds."""
     t_warm = time.perf_counter()
-    from kafka_streams_reorder_timestamp_spark.sources.catalog import TABLES, load_table
+    from kafka_streams_reorder_timestamp_spark.operators.graph import (
+        _clusters_from_pairs,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import (
+        TABLES,
+        load_table,
+    )
 
-    for t in TABLES:
-        load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    for d in sf_dirs:
+        for t in TABLES:
+            load_table(spark, d, t).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
-    # Spin up the Python UDF workers once so the first pandas-UDF query
-    # measures its plan, not daemon/Arrow process startup.
     from pyspark.sql.functions import col, pandas_udf
 
     @pandas_udf("long")
@@ -53,25 +53,36 @@ def main() -> int:
 
         return s
 
-    spark.range(1000, numPartitions=int(spark.conf.get("spark.sql.shuffle.partitions"))) \
-        .select(_noop(col("id"))).write.format("noop").mode("overwrite").save()
+    spark.range(
+        1000, numPartitions=int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ).select(_noop(col("id"))).write.format("noop").mode("overwrite").save()
 
-    # Compile the connected-components round plan once on a 4-edge toy
-    # graph (long ids, the registered CC queries' schema): the CC loop
-    # materializes one plan per round, and its first-ever compilation
-    # (analysis + whole-stage codegen) showed up as a 1.7-2x first-run
-    # penalty on whichever of dedup_clusters / dedup_clusters_lsh /
-    # semdedup_clusters the rotation hit first. One-time JIT cost, not
-    # plan cost — same rationale as the worker spin-up above.
-    from kafka_streams_reorder_timestamp_spark.operators.graph import (
-        _clusters_from_pairs,
-    )
-
+    # Compile the connected-components round plan once (long ids, the
+    # registered CC queries' schema): the CC loop materializes one plan
+    # per round, and its first-ever compilation (analysis + whole-stage
+    # codegen) showed up as a 1.7-2x first-run penalty on whichever of
+    # dedup_clusters / dedup_clusters_lsh / semdedup_clusters the
+    # rotation hit first. One-time JIT cost, not plan cost.
     toy = spark.createDataFrame(
         [(0, 1), (1, 2), (5, 6), (8, 9)], "doc_a long, doc_b long"
     )
     _clusters_from_pairs(toy).write.format("noop").mode("overwrite").save()
-    warm_sec = time.perf_counter() - t_warm
+    return time.perf_counter() - t_warm
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+    from kafka_streams_reorder_timestamp_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM + parquet footers + UDF workers + CC codegen once so
+    # per-query times measure the plan, not first-touch JIT/IO noise.
+    warm_sec = _warm(spark, [sf_dir])
 
     # Each query is timed RUNS times; the MEDIAN is recorded (the host
     # shows multi-second steal-time spikes — min-of-2, used through
@@ -237,34 +248,10 @@ def scaling_main() -> int:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
 
-    # Same warm-up as the main bench: tables at both SFs, UDF workers,
-    # and the CC round plan, so per-query numbers measure plans.
-    from kafka_streams_reorder_timestamp_spark.operators.graph import (
-        _clusters_from_pairs,
-    )
-    from kafka_streams_reorder_timestamp_spark.sources.catalog import (
-        TABLES,
-        load_table,
-    )
-
-    for d in dirs:
-        for t in TABLES:
-            load_table(spark, d, t).write.format("noop").mode("overwrite").save()
-    from pyspark.sql.functions import col, pandas_udf
-
-    @pandas_udf("long")
-    def _noop(s: pd.Series) -> pd.Series:
-        import numpy  # noqa: F401
-
-        return s
-
-    spark.range(1000, numPartitions=32).select(_noop(col("id"))).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    toy = spark.createDataFrame(
-        [(0, 1), (1, 2), (5, 6), (8, 9)], "doc_a long, doc_b long"
-    )
-    _clusters_from_pairs(toy).write.format("noop").mode("overwrite").save()
+    # Same warm-up as the main bench (shared helper — an earlier copy
+    # of this block drifted and skipped the zlib worker-import warm,
+    # biasing the first zlib-using query's fitted exponent).
+    _warm(spark, dirs)
 
     def timed(builder, d: str) -> float | None:
         samples = []

@@ -53,11 +53,16 @@ def _gopher_keep(d: DataFrame) -> Column:
     n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
     n_symbols = _count_matches(F.col("text"), PUNCT)
     n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
-    mean_wl = n_alnum * F.lit(1.0) / n_words
+    # greatest(..., 1) guards the division: ANSI mode evaluates the
+    # projection eagerly, so a punctuation-only/CJK doc with zero word
+    # matches would raise DIVIDE_BY_ZERO despite the n_words >= 5
+    # conjunct (conjunctions do not short-circuit expression
+    # evaluation). Semantics unchanged — such docs fail n_words >= 5
+    # regardless, and n_alnum is 0 when n_words is.
+    mean_wl = n_alnum * F.lit(1.0) / F.greatest(n_words, F.lit(1))
     return (
         (n_words >= 5)
         & (n_words <= 100_000)
-        & (n_words > 0)
         & (mean_wl >= 3)
         & (mean_wl <= 12)
         & (n_symbols * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)) <= 0.1)
@@ -103,8 +108,12 @@ def _labeled_toks(d: DataFrame) -> DataFrame:
 def _doc_features(lab: DataFrame) -> DataFrame:
     """(doc_id, y, bucket): distinct hashed unigram+bigram buckets per
     document, with the weak label. All in-row until the explode."""
+    # greatest(..., 0): F.slice throws on negative length, so an
+    # empty token array (empty/whitespace-only text) must clamp to a
+    # zero-length slice — yielding zero bigrams, matching the oracle's
+    # range(1, 0) = empty.
     bigrams = F.transform(
-        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
         lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("t"), i + 2)),
     )
     buckets = F.array_distinct(
@@ -161,11 +170,10 @@ _ORACLE_FEAT = f"""
         CAST(
           len(regexp_extract_all(text, '{WORD}')) >= 5
           AND len(regexp_extract_all(text, '{WORD}')) <= 100000
-          AND len(regexp_extract_all(text, '{WORD}')) > 0
           AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
-              / len(regexp_extract_all(text, '{WORD}')) >= 3
+              / GREATEST(len(regexp_extract_all(text, '{WORD}')), 1) >= 3
           AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
-              / len(regexp_extract_all(text, '{WORD}')) <= 12
+              / GREATEST(len(regexp_extract_all(text, '{WORD}')), 1) <= 12
           AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0
               / GREATEST(n_chars, 1) <= 0.1
           AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
@@ -314,6 +322,13 @@ def apply_quality_model(
     6-dp-rounded doubles exactly, so both paths produce identical
     DECIMAL logits (pinned by
     tests/test_classifier.py::test_persisted_weight_table_scores_identically).
+
+    Out-of-vocabulary features (possible whenever the scored corpus is
+    not the training corpus) follow the quality_classifier_incremental
+    contract: a LEFT join counts them in n_features and scores them
+    with the Laplace-default presence log-odds rather than silently
+    dropping them. On the training corpus itself every bucket is in
+    vocabulary, so this is exactly the inner-join the oracle computes.
     """
     feat = _doc_features(lab)
     prior = totals.select(
@@ -323,20 +338,35 @@ def apply_quality_model(
         .cast("decimal(18,6)")
         .alias("p")
     )
+    oov = totals.select(
+        F.round(
+            F.log(ALPHA * F.lit(1.0) / (F.col("n_k") + 2 * ALPHA))
+            - F.log(ALPHA * F.lit(1.0) / (F.col("n_d") + 2 * ALPHA)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w_oov")
+    )
     absent_sum = w.agg(
         F.sum(F.col("weight_absent").cast("decimal(18,6)")).alias("c")
     )
+    known = F.col("weight").isNotNull()
     doc_sums = (
         feat.join(
             F.broadcast(w.select("bucket", "weight", "weight_absent")),
             "bucket",
+            "left",
         )
+        .crossJoin(F.broadcast(oov))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
             F.sum(
-                F.col("weight").cast("decimal(18,6)")
-                - F.col("weight_absent").cast("decimal(18,6)")
+                F.when(
+                    known,
+                    F.col("weight").cast("decimal(18,6)")
+                    - F.col("weight_absent").cast("decimal(18,6)"),
+                ).otherwise(F.col("w_oov"))
             ).alias("s"),
         )
     )

@@ -942,7 +942,7 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word string, n_bpe int",
     )
     per_doc = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    word_totals = (
         src_wc.join(F.broadcast(vocab), "word", "left")
         .groupBy("source")
         .agg(
@@ -952,10 +952,18 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.coalesce(F.col("n_bpe"), F.length("word"))
             ).alias("total_bpe_tokens"),
         )
-        .join(per_doc, "source")
-        .select(
-            "source", "n_docs", "total_words", "total_bpe_tokens"
-        )
+    )
+    # per_doc is the LEFT side: a source whose docs all tokenize to
+    # zero words has no (source, word) rows, and an inner join would
+    # silently drop its n_docs from the accounting instead of
+    # reporting (n_docs, 0, 0).
+    return per_doc.join(word_totals, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce(F.col("total_words"), F.lit(0)).alias("total_words"),
+        F.coalesce(F.col("total_bpe_tokens"), F.lit(0)).alias(
+            "total_bpe_tokens"
+        ),
     )
 
 
@@ -1007,8 +1015,8 @@ def bpe_merges_local(
       SELECT doc_id, lang, n_words,
              (n_words >= 5 AND n_words <= 100000) AS ok_word_count,
              (n_words > 0 AND
-              n_alnum * 1.0 / n_words >= 3 AND
-              n_alnum * 1.0 / n_words <= 12) AS ok_mean_word_len,
+              n_alnum * 1.0 / GREATEST(n_words, 1) >= 3 AND
+              n_alnum * 1.0 / GREATEST(n_words, 1) <= 12) AS ok_mean_word_len,
              (n_symbols * 1.0 / GREATEST(n_chars, 1) <= 0.1)
                AS ok_symbol_ratio,
              (n_alnum * 1.0 / GREATEST(n_chars, 1) >= 0.6)
@@ -1042,7 +1050,11 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
     n_symbols = _count_matches(F.col("text"), PUNCT)
     n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
-    mean_wl = n_alnum * F.lit(1.0) / n_words
+    # greatest(..., 1) guards the division: ANSI mode evaluates the
+    # projection eagerly, so a doc with zero word matches would raise
+    # DIVIDE_BY_ZERO despite the ok_mwl (n_words > 0) conjunct.
+    # Semantics unchanged: n_alnum is 0 whenever n_words is.
+    mean_wl = n_alnum * F.lit(1.0) / F.greatest(n_words, F.lit(1))
     ok_wc = (n_words >= 5) & (n_words <= 100_000)
     ok_mwl = (n_words > 0) & (mean_wl >= 3) & (mean_wl <= 12)
     ok_sym = n_symbols * F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)) <= 0.1

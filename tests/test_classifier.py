@@ -161,3 +161,69 @@ def test_persisted_weight_table_scores_identically(spark, sf_dir, tmp_path):
     }
     assert from_disk == fused
     assert len(fused) > 0
+
+
+def test_classifier_survives_degenerate_documents(spark):
+    """Adversarial corpus rows that used to CRASH the classifier under
+    ANSI mode (reproduced pre-fix): punctuation-only text (zero word
+    matches -> DIVIDE_BY_ZERO in the label panel) and empty /
+    whitespace-only text (empty token array -> negative-length
+    F.slice in bigram extraction). All must score finitely; the
+    degenerate docs get zero features and fail the weak label."""
+    rows = [
+        (1, "the quick brown fox jumps of and in to is a lazy dog today"),
+        (2, "!!! ??? ,,, ;;; :::"),  # zero word-regex matches
+        (3, ""),  # empty text
+        (4, "   \t  "),  # whitespace-only
+        (5, "the small cat sat of and in to is on a warm mat now"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "n_chars", F.length("text")
+    )
+    got = {r["doc_id"]: r for r in _scores_frame(d).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    for r in got.values():
+        assert r["logit_dec"] is not None
+    # punctuation-only text still has whitespace TOKENS (features come
+    # from the whitespace tokenizer, the label from the word regex) —
+    # it fails the label but carries features; empty/whitespace docs
+    # carry none
+    assert got[2]["n_features"] > 0
+    for empty in (3, 4):
+        assert got[empty]["n_features"] == 0
+    for junk in (2, 3, 4):
+        assert got[junk]["weak_label"] == 0
+
+
+def test_apply_quality_model_scores_oov_with_default(spark):
+    """The persisted-model serving path must follow the incremental
+    query's OOV contract: features absent from the training vocabulary
+    are COUNTED and scored with the Laplace default, not silently
+    dropped by an inner join (the pre-fix behavior)."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        apply_quality_model,
+    )
+
+    train = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps of and in to is a lazy dog")
+            for i in range(4)
+        ]
+        + [(10 + i, "!!!") for i in range(4)],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    lab_train = _labeled_toks(train)
+    w = _weights(_doc_features(lab_train), _totals(lab_train))
+
+    new = spark.createDataFrame(
+        [(100, "zzzunseen wordszz neverzz seenzz before at all honestly")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    row = apply_quality_model(
+        _labeled_toks(new), w, _totals(lab_train)
+    ).collect()[0]
+    # 7 unigrams + 6 bigrams, all OOV (modulo md5-bucket collisions
+    # with the tiny training vocab — n_features counts every feature
+    # either way)
+    assert row["n_features"] >= 10
+    assert row["logit_dec"] is not None
