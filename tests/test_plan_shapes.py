@@ -214,8 +214,10 @@ def test_curation_pipeline_two_shuffles(spark, sf_dir):
     # independent of corpus size. Pin a ceiling so an accidental extra
     # corpus-wide shuffle (e.g. a lost broadcast on the weight join)
     # still fails loudly.
+    # (+1 for the 1-row OOV-default aggregate the serving-path fix
+    # added — another scalar exchange, not a corpus one)
     n = plans.shuffle_count(df)
-    assert n <= 11, f"{n} shuffles: " + plans.physical_plan(df, "simple")
+    assert n <= 12, f"{n} shuffles: " + plans.physical_plan(df, "simple")
     assert plans.read_schema_columns(df) == {
         "doc_id", "text", "lang", "source", "n_chars",
     }
