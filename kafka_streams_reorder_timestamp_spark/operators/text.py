@@ -17,6 +17,8 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -762,32 +764,61 @@ def unigram_doc_scores(base: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # BPE tokenizer training (iterative merge learning)
 
+# Vocabulary-size ceiling for the driver-side BPE fast path — the same
+# design as spark.sql.autoBroadcastJoinThreshold: a PROVABLY BOUNDED
+# payload (counted in-engine first) may take the cheap local path; an
+# unbounded one never does. At 100 TB of web text the distinct-"word"
+# set is 1e8-1e9 rows (typos, URLs, code) and the distributed loop
+# (bpe_learn_merges) runs instead; tests pin the two paths equal.
+BPE_DRIVER_VOCAB_MAX = 65_536
+
+
+def _bpe_driver_vocab_max() -> int:
+    return int(
+        os.environ.get(
+            "SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", str(BPE_DRIVER_VOCAB_MAX)
+        )
+    )
+
 
 def bpe_learn_merges(
-    words: "DataFrame", n_merges: int = 8
-) -> list[tuple[int, str, str, int]]:
+    words: "DataFrame", n_merges: int = 8, return_final: bool = False
+):
     """Learn `n_merges` BPE merges from a (word, wcount) vocabulary
     table — the Sennrich et al. 2016 algorithm, distributed.
 
     Each round: adjacent symbol pairs explode IN-ROW weighted by word
     count (never a self-join), one partial-agg shuffle sums pair
     counts, the argmax pair (count desc, then lexicographic — total
-    order, engine-stable) is a 1-row collect, and an Arrow pass
-    rewrites symbol arrays by merging that pair left-to-right
-    non-overlapping. The vocabulary table is orders of magnitude
-    smaller than the corpus (distinct words), so at 100 TB the corpus
-    is touched ONCE (word counting); every merge round runs on the
-    vocab table alone — which is why tokenizer training is cheap even
-    when the corpus is not. No end-of-word marker (documented
-    divergence from the paper's '</w>'; the merge dynamics are
-    identical within words).
+    order, engine-stable) is a 1-row collect, and the symbol arrays
+    are rewritten by a pure-codegen `F.aggregate` fold (left-to-right
+    non-overlapping merge — see _merge_pair_expr) stacked LAZILY on
+    the persisted base: round k's pair-count job evaluates k-1 folds
+    inline, so the whole loop is ONE job per round with no Python
+    workers, no per-round persist, and no per-round count()
+    materialization (the earlier Arrow-rewrite version paid all
+    three and ran ~4x slower). The vocabulary table is orders of
+    magnitude smaller than the corpus (distinct words), so at 100 TB
+    the corpus is touched ONCE (word counting); every merge round
+    runs on the vocab table alone — which is why tokenizer training
+    is cheap even when the corpus is not. No end-of-word marker
+    (documented divergence from the paper's '</w>'; the merge
+    dynamics are identical within words).
+
+    With ``return_final=True`` returns ``(merges, final)`` where
+    `final` is the persisted (word, wcount, syms) frame AFTER the last
+    merge — i.e. the fully BPE-tokenized vocabulary. Training already
+    pays for every rewrite, so tokenizing the vocab is free: the
+    application path (bpe_tokenize_corpus) reads token counts straight
+    off this frame instead of re-running the merge loop per word. The
+    caller owns unpersisting `final` (or clearCache).
     """
     from pyspark import StorageLevel
-    from pyspark.sql.functions import pandas_udf
 
     cur = words.select(
         "word", "wcount", F.split(F.col("word"), "").alias("syms")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    prev = None  # cur's parent: unpersist only after cur materializes
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, n_merges + 1):
         pairs = F.transform(
@@ -797,6 +828,9 @@ def bpe_learn_merges(
                 F.element_at(F.col("syms"), i + 2).alias("b"),
             ),
         )
+        # This job materializes cur's (lazy) persist — a single fold
+        # over its persisted parent — so no separate count() job per
+        # round is needed; only then is the parent safe to drop.
         best = (
             cur.filter(F.size("syms") >= 2)
             .select("wcount", F.explode(pairs).alias("p"))
@@ -806,37 +840,63 @@ def bpe_learn_merges(
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
         if not best:
             break
         a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
         merges.append((rank, a, b, c))
-
-        def _merge_factory(a: str, b: str):
-            @pandas_udf(T.ArrayType(T.StringType()))
-            def _merge(col: pd.Series) -> pd.Series:
-                out = []
-                for syms in col:
-                    s, i, n = [], 0, len(syms)
-                    while i < n:
-                        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
-                            s.append(a + b)
-                            i += 2
-                        else:
-                            s.append(syms[i])
-                            i += 1
-                    out.append(s)
-                return pd.Series(out)
-
-            return _merge
-
         nxt = cur.select(
-            "word", "wcount", _merge_factory(a, b)(F.col("syms")).alias("syms")
+            "word", "wcount", _merge_pair_expr(F.col("syms"), a, b).alias("syms")
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        nxt.count()  # materialize before dropping the parent cache
-        cur.unpersist()
-        cur = nxt
+        prev, cur = cur, nxt
+    if return_final:
+        if prev is not None:
+            cur.count()  # materialize the last rewrite off its parent
+            prev.unpersist()
+        return merges, cur
     cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
+
+
+def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping merge of the symbol pair (a, b) as
+    a pure Column fold — the BPE rewrite rule (greedy: after merging
+    positions i, i+1 the scan resumes at i+2) without any Python UDF.
+
+    State is (out-array, merged-last flag); the flag is what encodes
+    non-overlap: [a, a, a] under merge (a, a) yields [aa, a], never
+    [aa, aa]-style double consumption. CASE WHEN branches evaluate
+    lazily per row, so the slice on out-1 never sees a negative length
+    (the branch requires size > 0)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        syms,
+        F.struct(
+            F.array().cast("array<string>").alias("o"),
+            F.lit(False).alias("m"),
+        ),
+        lambda acc, x: F.when(
+            (~acc["m"])
+            & (F.size(acc["o"]) > 0)
+            & (F.element_at(acc["o"], -1) == la)
+            & (x == lb),
+            F.struct(
+                F.concat(
+                    F.slice(acc["o"], 1, F.size(acc["o"]) - 1), F.array(lab)
+                ).alias("o"),
+                F.lit(True).alias("m"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.concat(acc["o"], F.array(x)).alias("o"),
+                F.lit(False).alias("m"),
+            )
+        ),
+        lambda acc: acc["o"],
+    )
 
 
 @register(
@@ -862,15 +922,26 @@ def bpe_learn_merges(
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texthash import tokens
 
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    wc = {
-        r["word"]: r["wcount"]
-        for r in d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wcount"))
-        .collect()
-    }
-    merges = bpe_merges_local(wc, n_merges=8)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # count + collect/learn read it
+    )
+    # Same bounded-driver-path guard as bpe_tokenize_corpus: the
+    # limit(cap+1) probe bounds the driver payload by construction;
+    # only a provably-bounded vocabulary is used locally, an unbounded
+    # one learns distributed.
+    cap = _bpe_driver_vocab_max()
+    head = words.limit(cap + 1).collect()
+    if len(head) <= cap:
+        wc = {r["word"]: int(r["wcount"]) for r in head}
+        merges = bpe_merges_local(wc, n_merges=8)
+    else:
+        merges = bpe_learn_merges(words, n_merges=8)
     return d.sparkSession.createDataFrame(
         merges, "merge_rank int, left string, right string, pair_count long"
     )
@@ -907,20 +978,31 @@ def bpe_apply_merges_local(
     "tokens per source — the number a training-budget planner "
     "actually consumes (tokens per shard/source, compression vs raw "
     "words). Shape: the corpus is scanned once into (source, word) "
-    "counts (one partial-agg shuffle); the merge table is learned "
-    "from the Heaps-bounded vocabulary on the driver "
-    "(bpe_train_merges' path) and each DISTINCT word is tokenized "
-    "exactly once there, yielding a (word -> token_count) table that "
-    "BROADCASTS into the per-source aggregation. This beats an "
-    "Arrow-batched per-document merge loop at any corpus size: a "
-    "per-doc loop re-applies every merge to every occurrence of "
-    "'the', while the vocab join pays each distinct word once — "
+    "counts (one partial-agg shuffle, persisted); the global "
+    "vocabulary folds out of that same aggregate and is COUNTED "
+    "in-engine before anything moves to the driver: a vocab within "
+    "the 64Ki ceiling (the broadcast-threshold design) is learned "
+    "and tokenized locally as a provably bounded payload, while an "
+    "unbounded vocab — 1e8-1e9 distinct 'words' at 100 TB of web "
+    "text, a driver OOM as a collect — takes the FULLY DISTRIBUTED "
+    "loop (bpe_learn_merges: per round one pair-count shuffle over "
+    "the vocab + a 1-row argmax collect + a codegen fold rewrite), "
+    "whose final rewrite pass IS the tokenized vocab; the two paths "
+    "are pytest-pinned equal. Either way a (word -> token_count) "
+    "table joins back into the per-source aggregation on `word` "
+    "(AQE broadcasts it while it fits, shuffles it when it "
+    "doesn't). This "
+    "beats an Arrow-batched per-document merge loop at any corpus "
+    "size: a per-doc loop re-applies every merge to every occurrence "
+    "of 'the', while the vocab join pays each distinct word once — "
     "the same Heaps' bound that makes training cheap makes "
     "application cheap. Out-of-vocabulary words (possible when the "
     "merge table is trained elsewhere) degrade to character count "
     "via the left-join coalesce, never to dropped rows.",
 )
 def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from ..functions.texthash import tokens
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -929,21 +1011,42 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # One shuffle: (source, word) counts. The global vocabulary for
     # training folds out of the same aggregate, so the corpus text is
-    # scanned exactly once.
+    # scanned exactly once; persisted because both the merge-learning
+    # loop (via the word rollup) and the final per-source totals read
+    # it.
     src_wc = exploded.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("wcount")
-    )
-    wc: dict[str, int] = {}
-    for r in src_wc.select("word", "wcount").collect():
-        wc[r["word"]] = wc.get(r["word"], 0) + int(r["wcount"])
-    merges = bpe_merges_local(wc, n_merges=8)
-    vocab = spark.createDataFrame(
-        [(w, len(bpe_apply_merges_local(w, merges))) for w in sorted(wc)],
-        "word string, n_bpe int",
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    words = src_wc.groupBy("word").agg(F.sum("wcount").alias("wcount"))
+    # Bounded-by-construction probe: limit(cap+1) caps the driver
+    # payload no matter how large the vocabulary is; iff the probe
+    # comes back within the ceiling it IS the whole vocabulary.
+    cap = _bpe_driver_vocab_max()
+    head = words.limit(cap + 1).collect()
+    if len(head) <= cap:
+        # Bounded fast path: vocab fits the ceiling, so driver-side
+        # learning + per-distinct-word tokenization is a constant-size
+        # payload — never the corpus, never an unbounded vocab.
+        wc = {r["word"]: int(r["wcount"]) for r in head}
+        merges = bpe_merges_local(wc, n_merges=8)
+        vocab = spark.createDataFrame(
+            [(w, len(bpe_apply_merges_local(w, merges))) for w in sorted(wc)],
+            "word string, n_bpe int",
+        )
+    else:
+        # Unbounded vocab: fully-distributed merge learning; its final
+        # rewrite frame IS the BPE-tokenized vocabulary — token counts
+        # fall out as size(syms). Pinned equal to the fast path by
+        # tests/test_llm_pipeline.py.
+        _merges, tokenized = bpe_learn_merges(
+            words, n_merges=8, return_final=True
+        )
+        vocab = tokenized.select(
+            "word", F.size("syms").cast("int").alias("n_bpe")
+        )
     per_doc = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     word_totals = (
-        src_wc.join(F.broadcast(vocab), "word", "left")
+        src_wc.join(vocab, "word", "left")
         .groupBy("source")
         .agg(
             F.sum("wcount").alias("total_words"),

@@ -945,6 +945,38 @@ def test_bpe_tokenize_corpus_matches_direct_tokenizer(spark, sf_dir):
         assert bpe > words, src
 
 
+def test_bpe_tokenize_corpus_distributed_path_equals_fast_path(
+    spark, sf_dir, monkeypatch
+):
+    """Forcing the driver-vocab ceiling to 0 routes bpe_tokenize_corpus
+    (and bpe_train_merges) through the fully-distributed
+    bpe_learn_merges loop; results must be row-identical to the bounded
+    driver fast path — the guarantee that lets the 100 TB path share
+    the small-scale oracle pins."""
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        bpe_tokenize_corpus,
+        bpe_train_merges,
+    )
+
+    fast_tok = sorted(
+        map(tuple, bpe_tokenize_corpus(spark, str(sf_dir)).collect())
+    )
+    fast_merges = sorted(
+        map(tuple, bpe_train_merges(spark, str(sf_dir)).collect())
+    )
+    spark.catalog.clearCache()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", "0")
+    dist_tok = sorted(
+        map(tuple, bpe_tokenize_corpus(spark, str(sf_dir)).collect())
+    )
+    dist_merges = sorted(
+        map(tuple, bpe_train_merges(spark, str(sf_dir)).collect())
+    )
+    assert dist_tok == fast_tok
+    assert dist_merges == fast_merges
+    spark.catalog.clearCache()
+
+
 def test_bpe_argmax_tie_breaks_lexicographically(spark):
     """Two pairs with identical counts: the lexicographically smaller
     (left, right) pair must win — the documented deterministic
