@@ -361,6 +361,7 @@ def apply_quality_model(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_features"),
+            F.sum(F.when(known, 1).otherwise(0)).alias("n_known"),
             F.sum(
                 F.when(
                     known,
@@ -378,6 +379,7 @@ def apply_quality_model(
         .select(
             "doc_id",
             F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
             (F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")).alias(
                 "logit_dec"
             ),

@@ -44,16 +44,23 @@ _WS = re.compile(r"\s+")
 
 class QualityModel:
     """Driver-side export of the trained classifier: per-bucket
-    adjustment weights in integer MICRO-UNITS (1e-6), plus the prior
-    and absence-constant scalars — the exact values the batch DECIMAL
-    arithmetic produces, so streaming logits match bit-for-bit."""
+    adjustment weights in integer MICRO-UNITS (1e-6), plus the prior,
+    absence-constant and OOV-default scalars — the exact values the
+    batch DECIMAL arithmetic produces, so streaming logits match
+    bit-for-bit, INCLUDING on documents with out-of-vocabulary
+    n-grams (the apply_quality_model / quality_classifier_incremental
+    serving contract: OOV buckets count in n_features and score with
+    the Laplace-default presence log-odds w_oov)."""
 
-    def __init__(self, adj_micros: np.ndarray, const_micros: int):
+    def __init__(
+        self, adj_micros: np.ndarray, const_micros: int, w_oov_micros: int = 0
+    ):
         assert adj_micros.shape == (N_BUCKETS,)
         self.adj_micros = adj_micros  # weight - weight_absent, 1e-6 units
         self.const_micros = const_micros  # prior + sum(weight_absent)
-        # buckets never seen in training keep adj == 0 AND must not
-        # count as features; track membership separately
+        self.w_oov_micros = w_oov_micros  # Laplace-default per OOV bucket
+        # buckets never seen in training keep adj == 0 and instead
+        # score with w_oov; track membership separately
         self.in_vocab = np.zeros(N_BUCKETS, dtype=bool)
 
 
@@ -80,8 +87,17 @@ def export_quality_model(spark, sf_dir: str) -> QualityModel:
         F.round(
             F.log((F.col("n_k") + ALPHA) * F.lit(1.0) / (F.col("n_d") + ALPHA)),
             6,
-        ).alias("p")
-    ).collect()[0]["p"]
+        ).alias("p"),
+        # w_oov out of the SAME Spark expression the batch serving path
+        # evaluates (apply_quality_model's `oov` term), for the same
+        # ulp/rounding-mode reason as the prior.
+        F.round(
+            F.log(ALPHA * F.lit(1.0) / (F.col("n_k") + 2 * ALPHA))
+            - F.log(ALPHA * F.lit(1.0) / (F.col("n_d") + 2 * ALPHA)),
+            6,
+        ).alias("w_oov"),
+    ).collect()[0]
+    prior, w_oov = prior["p"], prior["w_oov"]
     w_rows = _weights(_doc_features(lab), totals).collect()
 
     def micros(x: float) -> int:
@@ -95,7 +111,7 @@ def export_quality_model(spark, sf_dir: str) -> QualityModel:
         adj[b] = micros(r["weight"]) - micros(r["weight_absent"])
         c_micros += micros(r["weight_absent"])
         vocab[b] = True
-    m = QualityModel(adj, micros(prior) + c_micros)
+    m = QualityModel(adj, micros(prior) + c_micros, micros(w_oov))
     m.in_vocab = vocab
     return m
 
@@ -117,40 +133,59 @@ def _buckets_py(text: str) -> list[int]:
 
 
 def score_doc_stream(docs: DataFrame, model: QualityModel) -> DataFrame:
-    """(doc_id, text, ...) stream -> (doc_id, n_features, logit,
-    pred_keep) stream: stateless per-row scoring, append-mode safe.
+    """(doc_id, text, ...) stream -> (doc_id, n_features, n_known,
+    logit, pred_keep) stream: stateless per-row scoring, append-mode
+    safe.
 
-    One Arrow batch per micro-batch partition; the hot loop is a numpy
-    take+sum over the broadcast adjustment vector."""
+    OOV contract matches batch serving (apply_quality_model /
+    quality_classifier_incremental): out-of-vocabulary buckets COUNT
+    in n_features and each contributes the Laplace-default log-odds
+    w_oov; n_known reports the vocab hit count, so n_known/n_features
+    is the retrain-drift signal DEPLOY.md prescribes. One Arrow batch
+    per micro-batch partition; the hot loop is a numpy take+sum over
+    the broadcast adjustment vector."""
     adj = model.adj_micros
     vocab = model.in_vocab
     const = model.const_micros
+    w_oov = model.w_oov_micros
 
     @pandas_udf(
         T.StructType(
             [
                 T.StructField("n_features", T.LongType()),
+                T.StructField("n_known", T.LongType()),
                 T.StructField("logit", T.DoubleType()),
                 T.StructField("pred_keep", T.BooleanType()),
             ]
         )
     )
     def _score(texts: pd.Series) -> pd.DataFrame:
-        n_feats, logits, preds = [], [], []
+        n_feats, n_knowns, logits, preds = [], [], [], []
         for t in texts:
             bs = np.asarray(_buckets_py(t or ""), dtype=np.int64)
             known = bs[vocab[bs]] if len(bs) else bs
-            micros = const + int(adj[known].sum()) if len(known) else const
-            n_feats.append(len(known))
+            micros = (
+                const
+                + (int(adj[known].sum()) if len(known) else 0)
+                + w_oov * (len(bs) - len(known))
+            )
+            n_feats.append(len(bs))
+            n_knowns.append(len(known))
             logits.append(micros / 1_000_000)
             preds.append(micros > 0)
         return pd.DataFrame(
-            {"n_features": n_feats, "logit": logits, "pred_keep": preds}
+            {
+                "n_features": n_feats,
+                "n_known": n_knowns,
+                "logit": logits,
+                "pred_keep": preds,
+            }
         )
 
     return docs.withColumn("_s", _score(F.col("text"))).select(
         "doc_id",
         F.col("_s.n_features").alias("n_features"),
+        F.col("_s.n_known").alias("n_known"),
         F.col("_s.logit").alias("logit"),
         F.col("_s.pred_keep").alias("pred_keep"),
     )

@@ -52,6 +52,8 @@ def test_stream_scores_equal_batch_scores(spark, sf_dir, tmp_path):
                 r["logit"],
                 r["pred_keep"],
             )
+            # scoring the training corpus: every feature in vocab
+            assert r["n_known"] == r["n_features"], r
 
     want = {
         r["doc_id"]: (r["n_features"], r["logit"], r["pred_keep"])
@@ -59,6 +61,87 @@ def test_stream_scores_equal_batch_scores(spark, sf_dir, tmp_path):
     }
     assert got == want  # bit-equal logits, counts, and predictions
     assert len(want) > 0
+
+
+def test_stream_scores_equal_batch_on_oov_documents(spark, sf_dir, tmp_path):
+    """The serving contract OFF the training corpus: documents with
+    unseen n-grams must stream-score bit-equal to the batch serving
+    path (apply_quality_model) — OOV buckets counted in n_features,
+    each scored with the Laplace-default w_oov, n_known reporting the
+    vocab hit count. This is exactly the divergence the
+    training-corpus-only parity test cannot see (zero OOV there)."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        _doc_features,
+        _labeled_toks,
+        _totals,
+        _weights,
+        apply_quality_model,
+    )
+
+    model = export_quality_model(spark, str(sf_dir))
+
+    # Perturbed docs: real corpus text prefixed with tokens that cannot
+    # be in the training vocabulary, plus a fully-unseen doc and an
+    # empty doc.
+    base = [
+        r["text"]
+        for r in load_table(spark, str(sf_dir), "documents")
+        .filter(F.col("text").isNotNull())
+        .limit(5)
+        .collect()
+    ]
+    rows = [
+        (i, f"zzqxunseen{i} glorpfizz{i} " + t) for i, t in enumerate(base)
+    ] + [
+        (100, "zzqxnothing glorpwords everzz seenzz xyzzyplugh"),
+        (101, ""),
+    ]
+    pert = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Batch serving path: model trained on the full corpus, applied to
+    # the perturbed docs.
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    lab_train = _labeled_toks(d)
+    totals = _totals(lab_train)
+    w = _weights(_doc_features(lab_train), totals)
+    lab_pert = _labeled_toks(pert.withColumn("n_chars", F.length("text")))
+    want = {}
+    for r in apply_quality_model(lab_pert, w, totals).collect():
+        want[r["doc_id"]] = (
+            r["n_features"],
+            r["n_known"],
+            float(r["logit_dec"]),
+            float(r["logit_dec"]) > 0,
+        )
+    assert any(
+        v[1] < v[0] for v in want.values()
+    ), "perturbation produced no OOV features; test is vacuous"
+
+    in_dir = tmp_path / "in"
+    pert.coalesce(1).write.parquet(str(in_dir))
+    src = spark.readStream.schema(pert.schema).parquet(str(in_dir))
+    out_dir, ckpt = tmp_path / "out", tmp_path / "ck"
+    q = (
+        score_doc_stream(src, model)
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {}
+    for part in glob.glob(f"{out_dir}/part-*.parquet"):
+        for r in pq.read_table(part).to_pylist():
+            got[r["doc_id"]] = (
+                r["n_features"],
+                r["n_known"],
+                r["logit"],
+                r["pred_keep"],
+            )
+    assert got == want
 
 
 def test_stream_scoring_is_stateless(spark, sf_dir, tmp_path):
