@@ -1029,9 +1029,16 @@ def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         # payload — never the corpus, never an unbounded vocab.
         wc = {r["word"]: int(r["wcount"]) for r in head}
         merges = bpe_merges_local(wc, n_merges=8)
-        vocab = spark.createDataFrame(
-            [(w, len(bpe_apply_merges_local(w, merges))) for w in sorted(wc)],
-            "word string, n_bpe int",
+        # A bounded driver-local vocab always broadcasts (it already
+        # fits the same ceiling a broadcast would need).
+        vocab = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (w, len(bpe_apply_merges_local(w, merges)))
+                    for w in sorted(wc)
+                ],
+                "word string, n_bpe int",
+            )
         )
     else:
         # Unbounded vocab: fully-distributed merge learning; its final

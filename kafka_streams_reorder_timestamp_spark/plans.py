@@ -72,6 +72,51 @@ def shuffle_count(df: DataFrame) -> int:
     )
 
 
+def exchange_partition_keys(df: DataFrame) -> list[list[str]]:
+    """The partitioning key column names of every shuffle Exchange in
+    the plan (one list per exchange; `#id` suffixes, sort directions
+    and the numPartitions literal stripped). Lets a test pin shuffles
+    BY GRANULARITY — e.g. "exactly N exchanges keyed on doc_id" —
+    instead of a total-count ceiling that quietly absorbs a lost
+    broadcast (a 2048-row scalar exchange and a corpus-wide one both
+    count 1 in shuffle_count)."""
+    plan = physical_plan(df, "simple")
+    out: list[list[str]] = []
+    for m in re.finditer(
+        r"Exchange (?:hash|range)partitioning\(", plan
+    ):
+        # scan to the matching close paren (keys may nest parens)
+        i, depth = m.end(), 1
+        while i < len(plan) and depth:
+            depth += {"(": 1, ")": -1}.get(plan[i], 0)
+            i += 1
+        body = plan[m.end(): i - 1]
+        keys: list[str] = []
+        for tok in _split_top_level(body):
+            tok = tok.strip()
+            if re.fullmatch(r"\d+", tok):
+                continue  # numPartitions literal
+            keys.append(tok.split("#")[0].split("(")[0].strip())
+        out.append(keys)
+    return out
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a comma-separated expression list, ignoring commas inside
+    nested parentheses."""
+    parts, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        depth += {"(": 1, ")": -1}.get(ch, 0)
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return parts
+
+
 def single_partition_scan_funnels(df: DataFrame) -> list[str]:
     """Detect the global-sort scale killer: an `Exchange SinglePartition`
     whose subtree reaches a file Scan WITHOUT passing through an

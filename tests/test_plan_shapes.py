@@ -199,25 +199,38 @@ def test_minhash_lsh_lazy_and_reused(spark, sf_dir):
     assert plan.count("ReusedExchange") >= 2, plan
 
 
-def test_curation_pipeline_two_shuffles(spark, sf_dir):
+def test_curation_pipeline_corpus_exchanges_pinned(spark, sf_dir):
     from kafka_streams_reorder_timestamp_spark.operators.pipeline import (
         corpus_curation_pipeline,
     )
 
     df = corpus_curation_pipeline(spark, sf_dir)
-    # Still one fused plan, nothing materialized between stages. The
-    # round-7 model stage raised the exchange count from 2: the
-    # CORPUS-GRANULARITY shuffles are fingerprint window + feature
-    # bucket agg + per-doc score agg + the doc-id semi-join + final
-    # group agg; the rest are scalar/2048-row exchanges (class totals,
-    # prior, absence constant, weight broadcast) whose size is
-    # independent of corpus size. Pin a ceiling so an accidental extra
-    # corpus-wide shuffle (e.g. a lost broadcast on the weight join)
-    # still fails loudly.
-    # (+1 for the 1-row OOV-default aggregate the serving-path fix
-    # added — another scalar exchange, not a corpus one)
-    n = plans.shuffle_count(df)
-    assert n <= 12, f"{n} shuffles: " + plans.physical_plan(df, "simple")
+    # Still one fused plan, nothing materialized between stages —
+    # pinned BY GRANULARITY, not by a total ceiling (a ceiling wide
+    # enough for the scalar/2048-row exchanges would also absorb a
+    # lost broadcast). The exchanges that move CORPUS-sized data are
+    # keyed on per-document keys: the fingerprint window (_w0), the
+    # per-doc score agg (doc_id), the labeled-vs-scores outer join
+    # (doc_id) and the keep semi-join (doc_id) — exactly 4. Everything
+    # else is bucket-granularity (<=2048 rows post partial-agg),
+    # scalar, or the final group rollup.
+    keys = plans.exchange_partition_keys(df)
+    corpus = [
+        k
+        for k in keys
+        if any(c == "doc_id" or c.startswith("_w") for c in k)
+    ]
+    assert len(corpus) == 4, (
+        f"corpus-granularity exchanges {corpus}: "
+        + plans.physical_plan(df, "simple")
+    )
+    # The 2048-row weight table must BROADCAST into the corpus-side
+    # feature join; a broadcast->SortMergeJoin degradation re-keys the
+    # corpus features on bucket and is the exact regression this pin
+    # exists to catch.
+    plan = plans.physical_plan(df, "simple")
+    assert "BroadcastHashJoin [bucket" in plan, plan
+    assert "SortMergeJoin [bucket" not in plan, plan
     assert plans.read_schema_columns(df) == {
         "doc_id", "text", "lang", "source", "n_chars",
     }
@@ -470,9 +483,11 @@ def test_bpe_tokenize_broadcasts_vocab(spark, sf_dir):
 
     df = bpe_tokenize_corpus(spark, sf_dir)
     plan = plans.physical_plan(df, "simple")
-    # the learned (word, token_count) vocab joins broadcast — the
-    # corpus-sized (source, word) aggregate must not shuffle on word
-    # to meet a shuffled vocab table
+    # On the bounded driver fast path the learned (word, token_count)
+    # vocab joins broadcast — the corpus-sized (source, word)
+    # aggregate must not shuffle on word to meet a shuffled vocab
+    # table. (The unbounded distributed path leaves the choice to
+    # AQE: a 1e9-word vocab is a legitimate shuffle join.)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plans.read_schema_columns(df) == {"source", "text"}
