@@ -808,9 +808,21 @@ def audience_overlap_matrix_theta(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "events_weekly_users_hll",
-    oracle=None,  # sketch bytes are engine-specific; pytest bounds the
-    # estimates against exact weekly distincts (the mergeability
-    # property itself is what this query demonstrates)
+    # The EXACT set-algebra twin as the oracle: at oracle SF the
+    # Datasketches HLL sketch is in its sparse/coupon regime, where
+    # estimates are exact — so the weekly COUNT(DISTINCT) IS the
+    # expected value, and a codepath/merge bug (wrong grouping, lost
+    # daily sketch, bad union) hash-fails instead of hiding behind a
+    # rows-only check. Beyond the exact regime the pytest error-bound
+    # pin (vs exact weekly distincts) still governs.
+    oracle="""
+    SELECT event_type,
+           epoch_us(date_trunc('week', ts)) AS week_us,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_weekly_users,
+           CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+             AS n_days_merged
+    FROM events GROUP BY 1, 2
+    """,
     doc="Mergeable-sketch rollup: DAILY per-type HLL sketches "
     "(Datasketches hll_sketch_agg) are UNIONED up to weekly distinct-"
     "user estimates without touching raw events again — the 100 TB "
@@ -846,8 +858,30 @@ def events_weekly_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_audience_theta_setops",
-    oracle=None,  # sketch-based estimates; pytest bounds them against
-    # the exact audience sizes from event_type_audience_overlap's inputs
+    # Exact set-algebra twin as the oracle: a Theta sketch below its
+    # nominal-entries threshold (4096) is in EXACT mode — estimates
+    # equal true cardinalities, and union/intersection/difference
+    # follow inclusion-exclusion — so at oracle SF the sketch query
+    # must hash-match exact distinct counts. Beyond the exact regime
+    # the pytest error-bound pin still governs.
+    oracle="""
+    WITH aud AS (
+      SELECT
+        COUNT(DISTINCT CASE WHEN event_type = 'click'
+                            THEN user_id END) AS c,
+        COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+                            THEN user_id END) AS p,
+        COUNT(DISTINCT CASE WHEN event_type IN ('click', 'purchase')
+                            THEN user_id END) AS u
+      FROM events
+    )
+    SELECT CAST(c AS BIGINT) AS click_users,
+           CAST(p AS BIGINT) AS purchase_users,
+           CAST(u AS BIGINT) AS union_users,
+           CAST(c + p - u AS BIGINT) AS both_users,
+           CAST(c - (c + p - u) AS BIGINT) AS click_only_users
+    FROM aud
+    """,
     doc="Sketch set algebra: per-type Theta sketches of user audiences "
     "support UNION, INTERSECTION and DIFFERENCE estimates — the "
     "overlap analytics HLL cannot express (HLL only unions). One "
