@@ -762,10 +762,38 @@ def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "audience_overlap_matrix_theta",
-    oracle=None,  # sketch estimates are hash-function-specific; pytest
-    # pins every pair's estimates and Jaccard against the exact twin
-    # (event_type_audience_overlap) — below the sketch's sampling
-    # threshold Theta is exact, so the pin is tight at test SFs.
+    # Exact pairwise set algebra as the oracle: Theta sketches below
+    # the nominal-entries threshold are in EXACT mode, so every cell
+    # of the matrix must hash-match the inclusion-exclusion counts at
+    # oracle SF (the pytest pin vs event_type_audience_overlap still
+    # governs beyond the exact regime).
+    oracle="""
+    WITH sizes AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n
+      FROM events GROUP BY 1
+    ), aud AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM aud a JOIN aud b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT sa.event_type AS type_a,
+           sb.event_type AS type_b,
+           CAST(COALESCE(i.n_both, 0) AS BIGINT) AS n_both_est,
+           CAST(sa.n AS BIGINT) AS n_a_est,
+           CAST(sb.n AS BIGINT) AS n_b_est,
+           CASE WHEN sa.n + sb.n - COALESCE(i.n_both, 0) > 0
+                THEN ROUND(COALESCE(i.n_both, 0) * 1.0
+                           / (sa.n + sb.n - COALESCE(i.n_both, 0)), 6)
+                ELSE 0.0 END AS jaccard_est
+    FROM sizes sa
+    JOIN sizes sb ON sa.event_type < sb.event_type
+    LEFT JOIN inter i
+      ON i.type_a = sa.event_type AND i.type_b = sb.event_type
+    """,
     doc="THE 100 TB audience-overlap path: the full pairwise Jaccard "
     "matrix computed from per-type Theta sketches instead of the "
     "exact user-level self-join. ONE sketch pass over events (partial "
@@ -1067,9 +1095,21 @@ def cms_estimate(matrix: "np.ndarray", keys: "np.ndarray") -> "np.ndarray":
 
 @register(
     "events_cms_user_counts",
-    oracle=None,  # the estimate is hash-function-specific; pytest pins
-    # the CMS guarantee (est >= exact, est - exact <= eps*N) against
-    # exact per-user counts (tests/test_llm_pipeline.py).
+    # Exact per-key counts as the oracle: with 4x1024 counters and the
+    # oracle-SF key cardinality (~150 users), the min-over-depths
+    # estimate is collision-free and equals the exact count — so a
+    # hashing/fold/merge bug hash-fails instead of hiding inside the
+    # error bound. The pytest CMS-guarantee pin (est >= exact,
+    # overshoot <= eps*N) still governs at any cardinality.
+    oracle="""
+    WITH probes AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id IS NOT NULL ORDER BY user_id LIMIT 20
+    )
+    SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS est_count
+    FROM probes p JOIN events e ON e.user_id = p.user_id
+    GROUP BY 1
+    """,
     doc="Count-Min point-frequency estimates for the 20 lowest "
     "user_ids over the events stream — the sketch that answers 'how "
     "often did key X occur' for ANY key with O(d*w) memory (4x1024 "
