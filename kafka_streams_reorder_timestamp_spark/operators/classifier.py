@@ -390,11 +390,11 @@ def apply_quality_model(
 
 CORPUS_MAX_ID = 250  # same corpus/batch split as the dedup_incremental family
 
-
-@register(
-    "quality_classifier_incremental",
-    oracle=f"""
-    WITH {_ORACLE_FEAT}, ttotals AS (
+# The incremental-serving CTE chain (train on docs < CORPUS_MAX_ID,
+# score the fresh batch against that persisted model) — shared by the
+# quality_classifier_incremental oracle and the quality_model_drift
+# rollup oracle.
+_ORACLE_INCR = f"""{_ORACLE_FEAT}, ttotals AS (
       SELECT SUM(y) AS n_k, SUM(1 - y) AS n_d
       FROM labeled WHERE doc_id < {CORPUS_MAX_ID}
     ), tweights AS (
@@ -432,17 +432,30 @@ CORPUS_MAX_ID = 250  # same corpus/batch split as the dedup_incremental family
       FROM feat f LEFT JOIN tweights w ON f.bucket = w.bucket
       WHERE f.doc_id >= {CORPUS_MAX_ID}
       GROUP BY f.doc_id
+    ), batch_scores AS (
+      SELECT l.doc_id,
+             COALESCE(b.n_features, 0) AS n_features,
+             COALESCE(b.n_known, 0) AS n_known,
+             COALESCE(b.s, 0) + (SELECT p FROM prior)
+               + (SELECT c FROM absent_sum) AS logit_dec,
+             l.y
+      FROM labeled l LEFT JOIN bsums b ON l.doc_id = b.doc_id
+      WHERE l.doc_id >= {CORPUS_MAX_ID}
     )
-    SELECT l.doc_id,
-           CAST(COALESCE(b.n_features, 0) AS BIGINT) AS n_features,
-           CAST(COALESCE(b.n_known, 0) AS BIGINT) AS n_known,
-           CAST(COALESCE(b.s, 0) + (SELECT p FROM prior)
-                + (SELECT c FROM absent_sum) AS DOUBLE) AS logit,
-           (COALESCE(b.s, 0) + (SELECT p FROM prior)
-            + (SELECT c FROM absent_sum) > 0) AS pred_keep,
-           l.y AS weak_label
-    FROM labeled l LEFT JOIN bsums b ON l.doc_id = b.doc_id
-    WHERE l.doc_id >= {CORPUS_MAX_ID}
+"""
+
+
+@register(
+    "quality_classifier_incremental",
+    oracle=f"""
+    WITH {_ORACLE_INCR}
+    SELECT doc_id,
+           CAST(n_features AS BIGINT) AS n_features,
+           CAST(n_known AS BIGINT) AS n_known,
+           CAST(logit_dec AS DOUBLE) AS logit,
+           (logit_dec > 0) AS pred_keep,
+           y AS weak_label
+    FROM batch_scores
     """,
     doc="The PRODUCTION split of the quality classifier: the model "
     "trains ONLY on the existing corpus (docs < 250 — the same "
@@ -463,6 +476,23 @@ def quality_classifier_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    logit_dec = F.col("logit_dec")
+    return _incremental_batch_scores(d).select(
+        "doc_id",
+        "n_features",
+        "n_known",
+        logit_dec.cast("double").alias("logit"),
+        (logit_dec > 0).alias("pred_keep"),
+        "weak_label",
+    )
+
+
+def _incremental_batch_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, n_features, n_known, logit_dec, weak_label) for the
+    fresh batch (docs >= CORPUS_MAX_ID) scored against the model
+    trained ONLY on the corpus (docs < CORPUS_MAX_ID) — the shared
+    subplan behind quality_classifier_incremental (per-doc serving)
+    and quality_model_drift (the per-source monitoring rollup)."""
     lab = _labeled_toks(d)
     train = lab.filter(F.col("doc_id") < CORPUS_MAX_ID)
     batch = lab.filter(F.col("doc_id") >= CORPUS_MAX_ID)
@@ -520,8 +550,62 @@ def quality_classifier_incremental(
             "doc_id",
             F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
             F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
-            logit_dec.cast("double").alias("logit"),
-            (logit_dec > 0).alias("pred_keep"),
+            logit_dec.alias("logit_dec"),
             "weak_label",
+        )
+    )
+
+
+@register(
+    "quality_model_drift",
+    oracle=f"""
+    WITH {_ORACLE_INCR}
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.n_features) AS BIGINT) AS total_features,
+           CAST(SUM(b.n_known) AS BIGINT) AS total_known,
+           CASE WHEN SUM(b.n_features) > 0
+                THEN ROUND(SUM(b.n_known) * 1.0 / SUM(b.n_features), 6)
+                ELSE 1.0 END AS vocab_hit_rate,
+           CAST(SUM(CASE WHEN b.logit_dec > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred_keep,
+           CAST(SUM(b.logit_dec) AS DOUBLE) AS sum_logit
+    FROM batch_scores b JOIN documents d ON d.doc_id = b.doc_id
+    GROUP BY 1
+    """,
+    doc="The MONITORING rollup of the incremental serving path — the "
+    "query a scheduler alerts on, per DEPLOY.md's retrain rule: for "
+    "each source in the fresh daily batch, how many of its n-gram "
+    "features the persisted model recognizes (vocab_hit_rate = "
+    "total_known / total_features), how many docs the model would "
+    "keep, and the exact-DECIMAL logit mass. A source whose hit rate "
+    "drifts down is drifting away from the training vocabulary — "
+    "retrain before the keep decisions go stale; a source whose "
+    "n_pred_keep collapses flags an upstream content change. Shares "
+    "the incremental query's whole subplan (train on corpus docs, "
+    "broadcast the 2048-row model, score only the batch) plus one "
+    "broadcast doc_id->source join and a tiny per-source rollup; at "
+    "100 TB the cost is the daily batch scan, nothing else. Full "
+    "DuckDB oracle over the shared incremental CTE chain.",
+)
+def quality_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    scores = _incremental_batch_scores(d)
+    src = d.select("doc_id", "source")
+    hit = F.sum("n_known") * F.lit(1.0) / F.sum("n_features")
+    return (
+        scores.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_features").alias("total_features"),
+            F.sum("n_known").alias("total_known"),
+            F.when(F.sum("n_features") > 0, F.round(hit, 6))
+            .otherwise(F.lit(1.0))
+            .alias("vocab_hit_rate"),
+            F.sum(F.when(F.col("logit_dec") > 0, 1).otherwise(0)).alias(
+                "n_pred_keep"
+            ),
+            F.sum("logit_dec").cast("double").alias("sum_logit"),
         )
     )

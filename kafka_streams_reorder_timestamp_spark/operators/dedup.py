@@ -86,6 +86,64 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_size_histogram",
+    oracle="""
+    WITH cl AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+               AS fingerprint,
+             COUNT(*) AS cluster_size,
+             MIN(n_chars) AS doc_chars
+      FROM documents WHERE text IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(SUM(cluster_size - 1) AS BIGINT) AS dup_docs_removed,
+           CAST(SUM((cluster_size - 1) * doc_chars) AS BIGINT)
+             AS chars_saved
+    FROM cl GROUP BY 1
+    """,
+    doc="The dedup SAVINGS report — what exact dedup actually buys, "
+    "the number a curation run publishes: the distribution of "
+    "duplicate-cluster sizes (how many texts appear exactly k times) "
+    "with, per size, how many documents survivorship removes and how "
+    "many characters of storage/compute that saves (duplicates share "
+    "identical normalized text, so per-cluster savings is "
+    "(size-1) * doc_chars exactly). Two cheap aggregations: the same "
+    "digest-only fingerprint shuffle as dedup_exact_docs, then a "
+    "size-keyed rollup over cluster-cardinality rows — at 100 TB the "
+    "second agg's input is one row per DISTINCT text, already "
+    "reduced. Complements dedup_rate_by_source (who duplicates) with "
+    "the size/weight profile (HOW texts duplicate: a fat head of "
+    "boilerplate vs a long tail of double-posts).",
+)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    cl = (
+        d.select(
+            F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+            "n_chars",
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min("n_chars").alias("doc_chars"),
+        )
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+        F.sum(F.col("cluster_size") - 1).alias("dup_docs_removed"),
+        F.sum((F.col("cluster_size") - 1) * F.col("doc_chars")).alias(
+            "chars_saved"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (blocked exact similarity — the oracle-checkable
 # pairwise path; LSH below is the scale path)

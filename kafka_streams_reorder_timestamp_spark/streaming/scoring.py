@@ -132,7 +132,9 @@ def _buckets_py(text: str) -> list[int]:
     )
 
 
-def score_doc_stream(docs: DataFrame, model: QualityModel) -> DataFrame:
+def score_doc_stream(
+    docs: DataFrame, model: QualityModel, keep_cols: tuple = ()
+) -> DataFrame:
     """(doc_id, text, ...) stream -> (doc_id, n_features, n_known,
     logit, pred_keep) stream: stateless per-row scoring, append-mode
     safe.
@@ -184,8 +186,35 @@ def score_doc_stream(docs: DataFrame, model: QualityModel) -> DataFrame:
 
     return docs.withColumn("_s", _score(F.col("text"))).select(
         "doc_id",
+        *keep_cols,
         F.col("_s.n_features").alias("n_features"),
         F.col("_s.n_known").alias("n_known"),
         F.col("_s.logit").alias("logit"),
         F.col("_s.pred_keep").alias("pred_keep"),
+    )
+
+
+def drift_doc_stream(docs: DataFrame, model: QualityModel) -> DataFrame:
+    """Per-source running drift totals over a scored document stream —
+    the streaming half of quality_model_drift (operators/classifier.py):
+    n_docs, total_features, total_known and n_pred_keep per source,
+    maintained as a streaming aggregation (complete/update mode).
+
+    Design for unbounded streams: the grouping key is `source`
+    (bounded, human-scale cardinality — NOT doc_id), so state is a few
+    integer counters per source forever; and the state holds ONLY
+    order-independent integer sums — no float accumulation, because
+    micro-batch arrival order is nondeterministic and a double sum
+    would not be replay-stable. The vocab hit rate (total_known /
+    total_features) and keep rate derive from the counters at read
+    time. Pinned equal to the batch DECIMAL serving path's rollup by
+    tests/test_streaming_scoring.py."""
+    scored = score_doc_stream(docs, model, keep_cols=("source",))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_features").alias("total_features"),
+        F.sum("n_known").alias("total_known"),
+        F.sum(F.when(F.col("pred_keep"), 1).otherwise(0)).alias(
+            "n_pred_keep"
+        ),
     )

@@ -106,6 +106,42 @@ def test_exact_dedup_keeps_min_id(spark):
     assert [(r.doc_id, r.group_size) for r in out] == [(1, 2), (3, 1)]
 
 
+def test_cluster_size_histogram_savings_math(spark, tmp_path, sf_dir):
+    """Synthetic corpus with known duplicate structure (the sf0.01
+    table has no exact dups, so the oracle check alone never exercises
+    cluster_size > 1): 3 copies of A (5 chars), 2 of B (7), 1 of C —
+    the histogram must report removal of (size-1) docs and
+    (size-1)*chars saved per size."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+
+    rows = (
+        [(i, "aaaaa", "s", "en") for i in range(3)]
+        + [(10 + i, "bbbb bb", "s", "en") for i in range(2)]
+        + [(20, "c diff", "s", "en")]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    ).withColumn("n_chars", F.length("text"))
+    out = tmp_path / "documents.parquet"
+    df.write.parquet(str(out))
+    got = {
+        r["cluster_size"]: (
+            r["n_clusters"],
+            r["n_docs"],
+            r["dup_docs_removed"],
+            r["chars_saved"],
+        )
+        for r in dedup_cluster_size_histogram(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        3: (1, 3, 2, 10),  # 2 dup copies of the 5-char text
+        2: (1, 2, 1, 7),
+        1: (1, 1, 0, 0),
+    }
+
+
 # ---------------------------------------------------------------------------
 # ANN
 

@@ -144,6 +144,83 @@ def test_stream_scores_equal_batch_on_oov_documents(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_drift_stream_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """drift_doc_stream's per-source counters after draining the stream
+    must equal the batch serving path's rollup over the same docs with
+    the same model — integer totals only, so the equality is exact
+    regardless of micro-batch arrival order."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        _labeled_toks,
+        _totals,
+        _weights,
+        apply_quality_model,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        _doc_features,
+    )
+    from kafka_streams_reorder_timestamp_spark.streaming.scoring import (
+        drift_doc_stream,
+    )
+
+    model = export_quality_model(spark, str(sf_dir))
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    docs = d.select("doc_id", "source", "text")
+
+    # Batch twin: DECIMAL serving path + source join + same rollup.
+    lab_train = _labeled_toks(d)
+    totals = _totals(lab_train)
+    w = _weights(_doc_features(lab_train), totals)
+    batch_scores = apply_quality_model(_labeled_toks(d), w, totals)
+    want = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_features"],
+            r["total_known"],
+            r["n_pred_keep"],
+        )
+        for r in batch_scores.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_features").alias("total_features"),
+            F.sum("n_known").alias("total_known"),
+            F.sum(
+                F.when(F.col("logit_dec") > 0, 1).otherwise(0)
+            ).alias("n_pred_keep"),
+        )
+        .collect()
+    }
+
+    in_dir = tmp_path / "in"
+    docs.repartition(4).write.parquet(str(in_dir))
+    src = spark.readStream.schema(docs.schema).parquet(str(in_dir))
+    q = (
+        drift_doc_stream(src, model)
+        .writeStream.format("memory")
+        .queryName("drift_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # the drift rollup IS stateful (bounded per-source counters)
+    assert any(p["stateOperators"] for p in q.recentProgress)
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["total_features"],
+            r["total_known"],
+            r["n_pred_keep"],
+        )
+        for r in spark.table("drift_stream").collect()
+    }
+    assert got == want
+    assert len(got) > 1
+
+
 def test_stream_scoring_is_stateless(spark, sf_dir, tmp_path):
     """The serving plan must contain NO stateful streaming operator —
     no state store, no watermark requirement — so it runs append-mode
