@@ -127,6 +127,97 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_stage_attrition",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}, fp AS (
+      SELECT doc_id, source, text, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(trim(text)),
+                                               '\\s+', ' ', 'g'))
+               ORDER BY doc_id) AS rn
+      FROM documents WHERE text IS NOT NULL
+    ), flags AS (
+      SELECT f.doc_id, f.source,
+             (f.rn = 1) AS pass_dedup,
+             (f.rn = 1
+              AND len(regexp_extract_all(f.text, '{WORD}'))
+                  >= {MIN_TOKENS}
+              AND (2 * 10000 * length(regexp_replace(f.text,
+                     '[^A-Za-z0-9]', '', 'g')) + f.n_chars)
+                  // (2 * f.n_chars) >= {MIN_ALNUM_PCT4}) AS pass_quality
+      FROM fp f
+    )
+    SELECT fl.source,
+           CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN fl.pass_dedup THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_dedup,
+           CAST(SUM(CASE WHEN fl.pass_quality THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after_quality,
+           CAST(SUM(CASE WHEN fl.pass_quality AND s.logit_dec > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM flags fl JOIN scores s ON s.doc_id = fl.doc_id
+    GROUP BY 1
+    """,
+    doc="Per-source ATTRITION funnel of the flagship pipeline — the "
+    "report a curation run publishes alongside its output: of each "
+    "source's raw documents, how many survive exact dedup, how many "
+    "also pass the rule-based quality gate, and how many the model "
+    "finally keeps. Uses EXACTLY corpus_curation_pipeline's stage "
+    "definitions (same fingerprint window, same thresholds, same "
+    "in-plan classifier), so the counts reconcile with its output by "
+    "construction — but keeps every doc's flags instead of filtering, "
+    "turning the pipeline into per-stage survival counts in the same "
+    "single fused plan (flags are free; only the final rollup "
+    "aggregates). The per-source asymmetry in WHERE docs die (dedup "
+    "vs quality vs model) is the signal that tells a crawl operator "
+    "WHICH upstream source regressed and at which gate.",
+)
+def pipeline_stage_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .classifier import _scores_frame
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    win = Window.partitionBy(
+        F.md5(normalize_text(F.col("text")))
+    ).orderBy("doc_id")
+    pass_dedup = F.col("rn") == 1
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(WORD), 0))
+    alnum_ok = (
+        F.expr(
+            "(2 * 10000 * length(regexp_replace(text, '[^A-Za-z0-9]', ''))"
+            " + n_chars) div (2 * n_chars)"
+        )
+        >= MIN_ALNUM_PCT4
+    )
+    pass_quality = pass_dedup & (n_tokens >= MIN_TOKENS) & alnum_ok
+    flags = d.withColumn("rn", F.row_number().over(win)).select(
+        "doc_id",
+        "source",
+        pass_dedup.alias("pass_dedup"),
+        pass_quality.alias("pass_quality"),
+    )
+    scores = _scores_frame(d).select(
+        "doc_id", (F.col("logit_dec") > 0).alias("model_keep")
+    )
+    return (
+        flags.join(scores, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_input"),
+            F.sum(F.when(F.col("pass_dedup"), 1).otherwise(0)).alias(
+                "n_after_dedup"
+            ),
+            F.sum(F.when(F.col("pass_quality"), 1).otherwise(0)).alias(
+                "n_after_quality"
+            ),
+            F.sum(
+                F.when(F.col("pass_quality") & F.col("model_keep"), 1)
+                .otherwise(0)
+            ).alias("n_kept"),
+        )
+    )
+
+
 def _split_expr(key):
     """THE train/val/test rule: first md5-hex byte of `key` (0x00-0xcc
     train ~80%, 0xcd-0xe5 val ~10%, rest test). One definition shared

@@ -562,3 +562,85 @@ def orders_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_orders"),
         med.cast("long").alias("rolling_median7"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, d, c,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+             SUM(c) OVER (PARTITION BY event_type) AS total
+      FROM daily
+    ), cs AS (
+      SELECT event_type, d, n_days, total,
+             SUM(n_days * c - total) OVER (
+               PARTITION BY event_type ORDER BY d) AS cusum
+      FROM tot
+    ), pk AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(cusum) DESC, d) AS rn
+      FROM cs
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(total AS BIGINT) AS total_events,
+           strftime(d, '%Y-%m-%d') AS peak_day,
+           CAST(cusum AS BIGINT) AS peak_cusum
+    FROM pk WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection on daily event volume, per type: "
+    "the cumulative sum of deviations from the series mean peaks (in "
+    "absolute value) at the most likely level-shift point — the "
+    "classic offline changepoint locator, complementing "
+    "events_hourly_anomalies (point outliers) and source_drift_psi "
+    "(distribution drift) in the monitoring family. INTEGER-EXACT by "
+    "scaling: deviation = n_days * count - total (all bigint, sums "
+    "to zero over the series), so the running sum needs no float "
+    "mean and both engines agree bit-for-bit; ties on |CUSUM| break "
+    "to the earliest day. Shape: reduce-then-window — events "
+    "collapse to ~30 daily rows per type FIRST, every window walks "
+    "that bounded axis (one shuffle on event_type), and the argmax "
+    "is a row_number filter, never a global sort of raw data.",
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    part = Window.partitionBy("event_type")
+    tot = daily.select(
+        "event_type",
+        "d",
+        "c",
+        F.count(F.lit(1)).over(part).alias("n_days"),
+        F.sum("c").over(part).alias("total"),
+    )
+    ordered = Window.partitionBy("event_type").orderBy("d")
+    cs = tot.select(
+        "event_type",
+        "d",
+        "n_days",
+        "total",
+        F.sum(F.col("n_days") * F.col("c") - F.col("total"))
+        .over(ordered)
+        .alias("cusum"),
+    )
+    peak = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("d").asc()
+    )
+    return (
+        cs.withColumn("rn", F.row_number().over(peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("total").cast("long").alias("total_events"),
+            F.date_format("d", "yyyy-MM-dd").alias("peak_day"),
+            F.col("cusum").cast("long").alias("peak_cusum"),
+        )
+    )
