@@ -498,6 +498,100 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH m AS (
+      SELECT label, d.dim,
+             CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
+      FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+           (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
+    ), lab AS (
+      SELECT label, dim, SUM(v) AS s FROM m GROUP BY 1, 2
+    ), gsum AS (
+      SELECT dim, SUM(s) AS g FROM lab GROUP BY 1
+    ), dots AS (
+      SELECT l.label,
+             SUM(CAST(l.s * gl.g AS DECIMAL(38,0))) AS dot_lg,
+             SUM(CAST(l.s * l.s AS DECIMAL(38,0))) AS n2_l,
+             SUM(CAST(gl.g * gl.g AS DECIMAL(38,0))) AS n2_g
+      FROM lab l JOIN gsum gl ON gl.dim = l.dim
+      GROUP BY 1
+    ), counts AS (
+      SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1
+    )
+    SELECT d.label, CAST(c.n_vecs AS BIGINT) AS n_vecs,
+           CASE WHEN d.n2_l > 0 AND d.n2_g > 0
+                THEN ROUND(CAST(d.dot_lg AS DOUBLE)
+                           / (sqrt(CAST(d.n2_l AS DOUBLE))
+                              * sqrt(CAST(d.n2_g AS DOUBLE))), 6)
+                ELSE 0.0 END AS centroid_cosine
+    FROM dots d JOIN counts c ON c.label = d.label
+    """,
+    doc="Embedding-space drift monitor, completing the drift family "
+    "(quality_model_drift = model vocabulary, source_drift_psi = "
+    "token distribution, this = representation space): per label, "
+    "the cosine between the label's centroid and the global corpus "
+    "centroid — a cohort whose centroid swings away from the corpus "
+    "mean has semantically shifted content. EXACT by fixed-point: "
+    "components quantize to integer micro-units in-row (the repo's "
+    "micros convention — drift telemetry on fixed-point vectors, not "
+    "a float reduction), per-dim sums are then order-independent "
+    "BIGINT adds, cross-dim dot products accumulate in DECIMAL(38,0) "
+    "(each product bounded ~1e17, no overflow), and only the final "
+    "cosine division runs in doubles — one deterministic IEEE op "
+    "chain, so both engines agree bit-for-bit with NO unrolled "
+    "expression tree (cosine is scale-invariant, so sum vectors "
+    "stand in for means with zero extra arithmetic). Shape: one "
+    "in-row quantize pass, one (label, dim) partial-agg shuffle "
+    "(|labels| x {DIM} rows), a {DIM}-row broadcast join, and "
+    "label-grain rollups — corpus is scanned once.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", as_double("embedding").alias("emb")
+    )
+    micros = F.transform(
+        F.col("emb"), lambda x: F.round(x * 1_000_000, 0).cast("long")
+    )
+    m = e.select(
+        "label", F.posexplode(micros).alias("dim0", "v")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
+    lab = m.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    glob = lab.groupBy("dim").agg(F.sum("s").alias("g"))
+    dots = (
+        lab.join(F.broadcast(glob), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("s") * F.col("g")).cast("decimal(38,0)")).alias(
+                "dot_lg"
+            ),
+            F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias(
+                "n2_l"
+            ),
+            F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias(
+                "n2_g"
+            ),
+        )
+    )
+    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    cos = F.round(
+        F.col("dot_lg").cast("double")
+        / (
+            F.sqrt(F.col("n2_l").cast("double"))
+            * F.sqrt(F.col("n2_g").cast("double"))
+        ),
+        6,
+    )
+    return dots.join(counts, "label").select(
+        "label",
+        "n_vecs",
+        F.when((F.col("n2_l") > 0) & (F.col("n2_g") > 0), cos)
+        .otherwise(F.lit(0.0))
+        .alias("centroid_cosine"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) with asymmetric distance computation (ADC)
 # — the memory-scale ANN path: codes are M bytes per vector instead of
