@@ -1013,6 +1013,58 @@ def test_bpe_tokenize_corpus_distributed_path_equals_fast_path(
     spark.catalog.clearCache()
 
 
+def test_merge_pair_expr_matches_python_rewrite(spark):
+    """The codegen fold that rewrites symbol arrays during distributed
+    BPE training (_merge_pair_expr) must implement EXACTLY the greedy
+    left-to-right non-overlapping rule, including the adversarial
+    shapes: runs of the same symbol ([a,a,a] + (a,a) -> [aa,a], never
+    re-consuming), a merged symbol equal to the next raw symbol, pairs
+    touching array ends, empty and single-symbol arrays, and
+    multi-char symbols from earlier merges. One Spark job evaluates
+    every case."""
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        _merge_pair_expr,
+    )
+
+    cases = [
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "b", "a", "b", "a"], "a", "b"),
+        (["b", "a", "b"], "a", "b"),
+        (["a"], "a", "a"),
+        ([], "a", "b"),
+        (["ab", "ab", "c"], "ab", "ab"),
+        (["x", "ab", "b"], "ab", "b"),
+        (["a", "b", "b"], "a", "b"),
+        (["b", "b", "a", "b"], "b", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, a, b) for i, (syms, a, b) in enumerate(cases)],
+        "i int, syms array<string>, a string, b string",
+    )
+    # one fold expression per distinct pair, branch-selected by row
+    out = {}
+    for a, b in {(a, b) for _s, a, b in cases}:
+        got = (
+            df.filter((F.col("a") == a) & (F.col("b") == b))
+            .select("i", _merge_pair_expr(F.col("syms"), a, b).alias("m"))
+            .collect()
+        )
+        for r in got:
+            out[r["i"]] = list(r["m"])
+    for i, (syms, a, b) in enumerate(cases):
+        # python twin: one-merge application on the raw symbol list
+        s, j = [], 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                s.append(a + b)
+                j += 2
+            else:
+                s.append(syms[j])
+                j += 1
+        assert out[i] == s, (i, syms, a, b, out[i], s)
+
+
 def test_bpe_argmax_tie_breaks_lexicographically(spark):
     """Two pairs with identical counts: the lexicographically smaller
     (left, right) pair must win — the documented deterministic
