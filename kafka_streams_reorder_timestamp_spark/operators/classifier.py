@@ -388,6 +388,104 @@ def apply_quality_model(
     )
 
 
+@register(
+    "quality_classifier_confusion",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}
+    SELECT d.source,
+           CAST(SUM(CASE WHEN s.logit_dec > 0 AND s.y = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+           CAST(SUM(CASE WHEN s.logit_dec > 0 AND s.y = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+           CAST(SUM(CASE WHEN s.logit_dec <= 0 AND s.y = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_fn,
+           CAST(SUM(CASE WHEN s.logit_dec <= 0 AND s.y = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_tn,
+           CAST((10000 * SUM(CASE WHEN (s.logit_dec > 0) = (s.y = 1)
+                             THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS accuracy_pct4
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    GROUP BY 1
+    """,
+    doc="Model-eval confusion matrix per source: where the distilled "
+    "classifier agrees with its weak teacher labels and where it "
+    "does not — n_tp/n_fp/n_fn/n_tn plus an exact integer accuracy "
+    "(basis points, floor division; no float ratio to drift across "
+    "engines). A source with outlier n_fp is one whose junk the "
+    "model mistakes for quality (training-label blind spot); "
+    "outlier n_fn flags quality content the weak rules reject — the "
+    "two failure directions a curation operator audits before "
+    "trusting model-gated filtering. Reuses the full train+score "
+    "subplan (_scores_frame / the shared _ORACLE_MODEL CTE chain) "
+    "plus one doc_id->source join and a source-grain rollup.",
+)
+def quality_classifier_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = _scores_frame(d)
+    pred = F.col("logit_dec") > 0
+    label = F.col("weak_label") == 1
+    return (
+        s.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(pred & label, 1).otherwise(0)).alias("n_tp"),
+            F.sum(F.when(pred & ~label, 1).otherwise(0)).alias("n_fp"),
+            F.sum(F.when(~pred & label, 1).otherwise(0)).alias("n_fn"),
+            F.sum(F.when(~pred & ~label, 1).otherwise(0)).alias("n_tn"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN (logit_dec > 0) = "
+                "(weak_label = 1) THEN 1 ELSE 0 END)) div count(*) "
+                "AS BIGINT)"
+            ).alias("accuracy_pct4"),
+        )
+    )
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}
+    SELECT CAST(FLOOR(logit_dec) AS BIGINT) AS logit_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_label_keep,
+           CAST((10000 * SUM(y)) // COUNT(*) AS BIGINT)
+             AS label_keep_pct4
+    FROM scores
+    GROUP BY 1
+    """,
+    doc="Model-eval reliability curve: documents bucketed by unit-wide "
+    "logit bins (FLOOR of the exact DECIMAL logit — identical "
+    "boundary in both engines, no float binning), with the observed "
+    "weak-label keep rate per bin in exact basis points. A "
+    "well-ordered model shows keep rate rising monotonically with "
+    "the bin — the check that the logit MAGNITUDE is usable as a "
+    "confidence for threshold tuning (e.g. curation at logit > 2 "
+    "instead of > 0), not just its sign. Costs one bin-grain rollup "
+    "over the shared train+score subplan.",
+)
+def quality_classifier_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = _scores_frame(d)
+    return (
+        s.select(
+            F.floor(F.col("logit_dec")).cast("long").alias("logit_bin"),
+            F.col("weak_label").alias("y"),
+        )
+        .groupBy("logit_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("y").alias("n_label_keep"),
+            F.expr(
+                "CAST((10000 * sum(y)) div count(*) AS BIGINT)"
+            ).alias("label_keep_pct4"),
+        )
+    )
+
+
 CORPUS_MAX_ID = 250  # same corpus/batch split as the dedup_incremental family
 
 # The incremental-serving CTE chain (train on docs < CORPUS_MAX_ID,
