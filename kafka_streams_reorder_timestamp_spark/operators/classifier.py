@@ -77,13 +77,16 @@ def _bucket(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % N_BUCKETS
 
 
-def _labeled_toks(d: DataFrame) -> DataFrame:
-    """(doc_id, t, y): token arrays + weak label, LAZILY persisted —
-    the regex label panel and tokenization are the expensive per-doc
-    work, and features, class totals, and the final per-doc frame all
-    derive from this one table, so without the cache boundary Catalyst
-    re-runs the regex scan once per consumer (measured ~2x wall on the
-    scores query at sf0.1)."""
+def _labeled_toks(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, t, y): token arrays + weak label, LAZILY
+    persisted — the regex label panel and tokenization are the
+    expensive per-doc work, and features, class totals, and the final
+    per-doc frame all derive from this one table, so without the cache
+    boundary Catalyst re-runs the regex scan once per consumer
+    (measured ~2x wall on the scores query at sf0.1). `extra` carries
+    pass-through columns (e.g. source for the monitoring rollups) so
+    downstream consumers never pay a doc_id-keyed join — at corpus
+    scale that join is a full extra shuffle."""
     from pyspark import StorageLevel
 
     from ..functions.texthash import tokens
@@ -100,6 +103,7 @@ def _labeled_toks(d: DataFrame) -> DataFrame:
     # help.
     return d.select(
         "doc_id",
+        *extra,
         tokens(F.col("text")).alias("t"),
         _gopher_keep(d).cast("int").alias("y"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -301,19 +305,21 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _scores_frame(d: DataFrame) -> DataFrame:
-    """(doc_id, n_features, logit_dec, weak_label): the full
-    train-and-score subplan over `d`, logits kept as exact DECIMAL so
-    downstream thresholds (corpus_curation_pipeline's model stage)
-    compare the same value the oracle computes."""
-    lab = _labeled_toks(d)
+def _scores_frame(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, n_features, n_known, logit_dec, weak_label):
+    the full train-and-score subplan over `d`, logits kept as exact
+    DECIMAL so downstream thresholds (corpus_curation_pipeline's model
+    stage) compare the same value the oracle computes. `extra` columns
+    ride through the labeled scan so rollup consumers (confusion,
+    drift) skip a corpus-granularity doc_id join."""
+    lab = _labeled_toks(d, extra)
     totals = _totals(lab)
     w = _weights(_doc_features(lab), totals)
-    return apply_quality_model(lab, w, totals)
+    return apply_quality_model(lab, w, totals, extra)
 
 
 def apply_quality_model(
-    lab: DataFrame, w: DataFrame, totals: DataFrame
+    lab: DataFrame, w: DataFrame, totals: DataFrame, extra: tuple = ()
 ) -> DataFrame:
     """Score a labeled-tokens corpus against a trained weight table —
     the PRODUCTION serving path: `w` and `totals` may come from the
@@ -371,13 +377,14 @@ def apply_quality_model(
             ).alias("s"),
         )
     )
-    labeled = lab.select("doc_id", F.col("y").alias("weak_label"))
+    labeled = lab.select("doc_id", *extra, F.col("y").alias("weak_label"))
     return (
         labeled.join(doc_sums, "doc_id", "left")
         .crossJoin(F.broadcast(prior))
         .crossJoin(F.broadcast(absent_sum))
         .select(
             "doc_id",
+            *extra,
             F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
             F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
             (F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")).alias(
@@ -416,19 +423,19 @@ def apply_quality_model(
     "outlier n_fn flags quality content the weak rules reject — the "
     "two failure directions a curation operator audits before "
     "trusting model-gated filtering. Reuses the full train+score "
-    "subplan (_scores_frame / the shared _ORACLE_MODEL CTE chain) "
-    "plus one doc_id->source join and a source-grain rollup.",
+    "subplan (_scores_frame / the shared _ORACLE_MODEL CTE chain); "
+    "source rides THROUGH the labeled scan rather than joining back "
+    "on doc_id — at corpus scale that join is a whole extra shuffle.",
 )
 def quality_classifier_confusion(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    s = _scores_frame(d)
+    s = _scores_frame(d, extra=("source",))
     pred = F.col("logit_dec") > 0
     label = F.col("weak_label") == 1
     return (
-        s.join(d.select("doc_id", "source"), "doc_id")
-        .groupBy("source")
+        s.groupBy("source")
         .agg(
             F.sum(F.when(pred & label, 1).otherwise(0)).alias("n_tp"),
             F.sum(F.when(pred & ~label, 1).otherwise(0)).alias("n_fp"),
@@ -585,13 +592,15 @@ def quality_classifier_incremental(
     )
 
 
-def _incremental_batch_scores(d: DataFrame) -> DataFrame:
-    """(doc_id, n_features, n_known, logit_dec, weak_label) for the
-    fresh batch (docs >= CORPUS_MAX_ID) scored against the model
-    trained ONLY on the corpus (docs < CORPUS_MAX_ID) — the shared
-    subplan behind quality_classifier_incremental (per-doc serving)
-    and quality_model_drift (the per-source monitoring rollup)."""
-    lab = _labeled_toks(d)
+def _incremental_batch_scores(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, n_features, n_known, logit_dec, weak_label)
+    for the fresh batch (docs >= CORPUS_MAX_ID) scored against the
+    model trained ONLY on the corpus (docs < CORPUS_MAX_ID) — the
+    shared subplan behind quality_classifier_incremental (per-doc
+    serving) and quality_model_drift (the per-source monitoring
+    rollup, which passes extra=('source',) so the rollup never joins
+    back on doc_id)."""
+    lab = _labeled_toks(d, extra)
     train = lab.filter(F.col("doc_id") < CORPUS_MAX_ID)
     batch = lab.filter(F.col("doc_id") >= CORPUS_MAX_ID)
     ttotals = _totals(train)
@@ -640,12 +649,13 @@ def _incremental_batch_scores(d: DataFrame) -> DataFrame:
     )
     logit_dec = F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")
     return (
-        batch.select("doc_id", F.col("y").alias("weak_label"))
+        batch.select("doc_id", *extra, F.col("y").alias("weak_label"))
         .join(bsums, "doc_id", "left")
         .crossJoin(F.broadcast(prior))
         .crossJoin(F.broadcast(absent_sum))
         .select(
             "doc_id",
+            *extra,
             F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
             F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
             logit_dec.alias("logit_dec"),
@@ -681,19 +691,19 @@ def _incremental_batch_scores(d: DataFrame) -> DataFrame:
     "retrain before the keep decisions go stale; a source whose "
     "n_pred_keep collapses flags an upstream content change. Shares "
     "the incremental query's whole subplan (train on corpus docs, "
-    "broadcast the 2048-row model, score only the batch) plus one "
-    "broadcast doc_id->source join and a tiny per-source rollup; at "
-    "100 TB the cost is the daily batch scan, nothing else. Full "
-    "DuckDB oracle over the shared incremental CTE chain.",
+    "broadcast the 2048-row model, score only the batch); source "
+    "rides THROUGH the labeled scan into a tiny per-source rollup — "
+    "no doc_id join back to documents, which at corpus scale would "
+    "be a whole extra shuffle. At 100 TB the cost is the daily batch "
+    "scan, nothing else. Full DuckDB oracle over the shared "
+    "incremental CTE chain.",
 )
 def quality_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    scores = _incremental_batch_scores(d)
-    src = d.select("doc_id", "source")
+    scores = _incremental_batch_scores(d, extra=("source",))
     hit = F.sum("n_known") * F.lit(1.0) / F.sum("n_features")
     return (
-        scores.join(src, "doc_id")
-        .groupBy("source")
+        scores.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_features").alias("total_features"),
