@@ -93,7 +93,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                AS fingerprint,
              COUNT(*) AS cluster_size,
-             MIN(n_chars) AS doc_chars
+             SUM(n_chars) AS total_chars,
+             arg_min(n_chars, doc_id) AS survivor_chars
       FROM documents WHERE text IS NOT NULL
       GROUP BY 1
     )
@@ -101,7 +102,7 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_clusters,
            CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
            CAST(SUM(cluster_size - 1) AS BIGINT) AS dup_docs_removed,
-           CAST(SUM((cluster_size - 1) * doc_chars) AS BIGINT)
+           CAST(SUM(total_chars - survivor_chars) AS BIGINT)
              AS chars_saved
     FROM cl GROUP BY 1
     """,
@@ -109,15 +110,19 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the number a curation run publishes: the distribution of "
     "duplicate-cluster sizes (how many texts appear exactly k times) "
     "with, per size, how many documents survivorship removes and how "
-    "many characters of storage/compute that saves (duplicates share "
-    "identical normalized text, so per-cluster savings is "
-    "(size-1) * doc_chars exactly). Two cheap aggregations: the same "
-    "digest-only fingerprint shuffle as dedup_exact_docs, then a "
-    "size-keyed rollup over cluster-cardinality rows — at 100 TB the "
-    "second agg's input is one row per DISTINCT text, already "
-    "reduced. Complements dedup_rate_by_source (who duplicates) with "
-    "the size/weight profile (HOW texts duplicate: a fat head of "
-    "boilerplate vs a long tail of double-posts).",
+    "many characters of storage/compute that saves. Savings is "
+    "SUM(n_chars) minus the min-doc_id survivor's chars per cluster "
+    "(min_by / arg_min) — NOT (size-1) * any single doc's length, "
+    "because the fingerprint normalizes case/whitespace, so raw "
+    "n_chars can differ WITHIN a cluster and the removed copies' "
+    "actual bytes are what dedup_exact_docs' survivorship frees. Two "
+    "cheap aggregations: the same digest-only fingerprint shuffle as "
+    "dedup_exact_docs, then a size-keyed rollup over "
+    "cluster-cardinality rows — at 100 TB the second agg's input is "
+    "one row per DISTINCT text, already reduced. Complements "
+    "dedup_rate_by_source (who duplicates) with the size/weight "
+    "profile (HOW texts duplicate: a fat head of boilerplate vs a "
+    "long tail of double-posts).",
 )
 def dedup_cluster_size_histogram(
     spark: SparkSession, sf_dir: str
@@ -126,19 +131,21 @@ def dedup_cluster_size_histogram(
     cl = (
         d.select(
             F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+            "doc_id",
             "n_chars",
         )
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.min("n_chars").alias("doc_chars"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min_by("n_chars", "doc_id").alias("survivor_chars"),
         )
     )
     return cl.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
         F.sum(F.col("cluster_size") - 1).alias("dup_docs_removed"),
-        F.sum((F.col("cluster_size") - 1) * F.col("doc_chars")).alias(
+        F.sum(F.col("total_chars") - F.col("survivor_chars")).alias(
             "chars_saved"
         ),
     )

@@ -507,26 +507,29 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
            (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
     ), lab AS (
-      SELECT label, dim, SUM(v) AS s FROM m GROUP BY 1, 2
+      SELECT label, dim, SUM(v) AS s, COUNT(*) AS nv
+      FROM m GROUP BY 1, 2
     ), gsum AS (
       SELECT dim, SUM(s) AS g FROM lab GROUP BY 1
     ), dots AS (
       SELECT l.label,
-             SUM(CAST(l.s * gl.g AS DECIMAL(38,0))) AS dot_lg,
-             SUM(CAST(l.s * l.s AS DECIMAL(38,0))) AS n2_l,
-             SUM(CAST(gl.g * gl.g AS DECIMAL(38,0))) AS n2_g
+             MAX(l.nv) AS n_vecs,
+             SUM(CAST(l.s AS DECIMAL(19,0))
+                 * CAST(gl.g AS DECIMAL(19,0))) AS dot_lg,
+             SUM(CAST(l.s AS DECIMAL(19,0))
+                 * CAST(l.s AS DECIMAL(19,0))) AS n2_l,
+             SUM(CAST(gl.g AS DECIMAL(19,0))
+                 * CAST(gl.g AS DECIMAL(19,0))) AS n2_g
       FROM lab l JOIN gsum gl ON gl.dim = l.dim
       GROUP BY 1
-    ), counts AS (
-      SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY 1
     )
-    SELECT d.label, CAST(c.n_vecs AS BIGINT) AS n_vecs,
-           CASE WHEN d.n2_l > 0 AND d.n2_g > 0
-                THEN ROUND(CAST(d.dot_lg AS DOUBLE)
-                           / (sqrt(CAST(d.n2_l AS DOUBLE))
-                              * sqrt(CAST(d.n2_g AS DOUBLE))), 6)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           CASE WHEN n2_l > 0 AND n2_g > 0
+                THEN ROUND(CAST(dot_lg AS DOUBLE)
+                           / (sqrt(CAST(n2_l AS DOUBLE))
+                              * sqrt(CAST(n2_g AS DOUBLE))), 6)
                 ELSE 0.0 END AS centroid_cosine
-    FROM dots d JOIN counts c ON c.label = d.label
+    FROM dots
     """,
     doc="Embedding-space drift monitor, completing the drift family "
     "(quality_model_drift = model vocabulary, source_drift_psi = "
@@ -537,15 +540,17 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components quantize to integer micro-units in-row (the repo's "
     "micros convention — drift telemetry on fixed-point vectors, not "
     "a float reduction), per-dim sums are then order-independent "
-    "BIGINT adds, cross-dim dot products accumulate in DECIMAL(38,0) "
-    "(each product bounded ~1e17, no overflow), and only the final "
-    "cosine division runs in doubles — one deterministic IEEE op "
-    "chain, so both engines agree bit-for-bit with NO unrolled "
-    "expression tree (cosine is scale-invariant, so sum vectors "
-    "stand in for means with zero extra arithmetic). Shape: one "
-    "in-row quantize pass, one (label, dim) partial-agg shuffle "
-    "(|labels| x {DIM} rows), a {DIM}-row broadcast join, and "
-    "label-grain rollups — corpus is scanned once.",
+    "BIGINT adds, cross-dim dot products multiply DECIMAL(19,0) "
+    "factors into exact DECIMAL(38,0) terms (sums stay < 1e15 even "
+    "at 1e9 vectors, so products stay < 1e30 — an int64 product "
+    "would overflow there), and only the final cosine division runs "
+    "in doubles — one deterministic IEEE op chain, so both engines "
+    "agree bit-for-bit with NO unrolled expression tree (cosine is "
+    "scale-invariant, so sum vectors stand in for means with zero "
+    "extra arithmetic). Shape: one in-row quantize pass, one "
+    "(label, dim) partial-agg shuffle (|labels| x {DIM} rows) whose "
+    "row count doubles as n_vecs, a {DIM}-row broadcast join, and "
+    "label-grain rollups — the corpus is scanned exactly once.",
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -557,24 +562,29 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e.select(
         "label", F.posexplode(micros).alias("dim0", "v")
     ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
-    lab = m.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    # nv rides the same aggregate: every vector contributes exactly one
+    # row per dim, so the per-(label, dim) row count IS n_vecs — no
+    # second scan of the embeddings table for a counts branch.
+    lab = m.groupBy("label", "dim").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("nv")
+    )
     glob = lab.groupBy("dim").agg(F.sum("s").alias("g"))
+    # DECIMAL(19,0) per factor BEFORE the multiply: a bare int64
+    # product overflows at web scale (g ~ 1e12 for 1e6 vectors -> s*g
+    # ~ 1e23 >> 2^63, an ANSI ARITHMETIC_OVERFLOW), while 19+19-digit
+    # decimal products land in DECIMAL(38,0) exactly (sums stay under
+    # 1e15 even at 1e9 vectors, products under 1e30).
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     dots = (
         lab.join(F.broadcast(glob), "dim")
         .groupBy("label")
         .agg(
-            F.sum((F.col("s") * F.col("g")).cast("decimal(38,0)")).alias(
-                "dot_lg"
-            ),
-            F.sum((F.col("s") * F.col("s")).cast("decimal(38,0)")).alias(
-                "n2_l"
-            ),
-            F.sum((F.col("g") * F.col("g")).cast("decimal(38,0)")).alias(
-                "n2_g"
-            ),
+            F.max("nv").alias("n_vecs"),
+            F.sum(d19("s") * d19("g")).alias("dot_lg"),
+            F.sum(d19("s") * d19("s")).alias("n2_l"),
+            F.sum(d19("g") * d19("g")).alias("n2_g"),
         )
     )
-    counts = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
     cos = F.round(
         F.col("dot_lg").cast("double")
         / (
@@ -583,9 +593,9 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return dots.join(counts, "label").select(
+    return dots.select(
         "label",
-        "n_vecs",
+        F.col("n_vecs").cast("long").alias("n_vecs"),
         F.when((F.col("n2_l") > 0) & (F.col("n2_g") > 0), cos)
         .otherwise(F.lit(0.0))
         .alias("centroid_cosine"),

@@ -93,10 +93,16 @@ def exchange_partition_keys(df: DataFrame) -> list[list[str]]:
         body = plan[m.end(): i - 1]
         keys: list[str] = []
         for tok in _split_top_level(body):
-            tok = tok.strip()
-            if re.fullmatch(r"\d+", tok):
-                continue  # numPartitions literal
-            keys.append(tok.split("#")[0].split("(")[0].strip())
+            # Resolve each key to the COLUMN NAMES it references (every
+            # `name#id` attribute in the expression), not the outer
+            # function name — `cast(doc_id#5L as bigint)` must read as
+            # a doc_id-keyed exchange or granularity pins would miss a
+            # corpus shuffle hiding under a derived key. Literal-only
+            # tokens (the numPartitions int) reference nothing and
+            # drop out naturally.
+            keys.extend(
+                re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", tok)
+            )
         out.append(keys)
     return out
 

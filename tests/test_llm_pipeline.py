@@ -109,9 +109,11 @@ def test_exact_dedup_keeps_min_id(spark):
 def test_cluster_size_histogram_savings_math(spark, tmp_path, sf_dir):
     """Synthetic corpus with known duplicate structure (the sf0.01
     table has no exact dups, so the oracle check alone never exercises
-    cluster_size > 1): 3 copies of A (5 chars), 2 of B (7), 1 of C —
-    the histogram must report removal of (size-1) docs and
-    (size-1)*chars saved per size."""
+    cluster_size > 1): 3 copies of A (5 chars), 2 of B (7), 1 of C,
+    plus a cluster whose copies differ in RAW length ("x y" vs
+    "X  Y" — identical after normalization) — chars_saved must count
+    the REMOVED copies' actual bytes (sum - min-doc_id survivor),
+    which a (size-1)*min(n_chars) shortcut gets wrong (3, not 4)."""
     from kafka_streams_reorder_timestamp_spark.operators.dedup import (
         dedup_cluster_size_histogram,
     )
@@ -120,6 +122,7 @@ def test_cluster_size_histogram_savings_math(spark, tmp_path, sf_dir):
         [(i, "aaaaa", "s", "en") for i in range(3)]
         + [(10 + i, "bbbb bb", "s", "en") for i in range(2)]
         + [(20, "c diff", "s", "en")]
+        + [(30, "x y", "s", "en"), (31, "X  Y", "s", "en")]
     )
     df = spark.createDataFrame(
         rows, "doc_id long, text string, source string, lang string"
@@ -137,7 +140,9 @@ def test_cluster_size_histogram_savings_math(spark, tmp_path, sf_dir):
     }
     assert got == {
         3: (1, 3, 2, 10),  # 2 dup copies of the 5-char text
-        2: (1, 2, 1, 7),
+        # B cluster saves 7; the x/y cluster saves the REMOVED doc 31's
+        # 4 raw chars (survivor doc 30 has 3) -> 11 total at size 2
+        2: (2, 4, 2, 11),
         1: (1, 1, 0, 0),
     }
 
