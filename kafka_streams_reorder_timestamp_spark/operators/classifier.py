@@ -86,7 +86,13 @@ def _labeled_toks(d: DataFrame, extra: tuple = ()) -> DataFrame:
     (measured ~2x wall on the scores query at sf0.1). `extra` carries
     pass-through columns (e.g. source for the monitoring rollups) so
     downstream consumers never pay a doc_id-keyed join — at corpus
-    scale that join is a full extra shuffle."""
+    scale that join is a full extra shuffle. Only queries that NEED a
+    pass-through column ask for it: threading source everywhere would
+    unify the persisted plan shape across the family (one cache), but
+    it also defeats column pruning on the scan for the queries that
+    never read it — and the registry cache contract clears between
+    queries, so the two shapes never actually coexist in bench or
+    driver runs."""
     from pyspark import StorageLevel
 
     from ..functions.texthash import tokens

@@ -93,8 +93,8 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
                AS fingerprint,
              COUNT(*) AS cluster_size,
-             SUM(n_chars) AS total_chars,
-             arg_min(n_chars, doc_id) AS survivor_chars
+             SUM(COALESCE(n_chars, 0)) AS total_chars,
+             arg_min(COALESCE(n_chars, 0), doc_id) AS survivor_chars
       FROM documents WHERE text IS NOT NULL
       GROUP BY 1
     )
@@ -132,7 +132,12 @@ def dedup_cluster_size_histogram(
         d.select(
             F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
             "doc_id",
-            "n_chars",
+            # coalesce BEFORE the aggregates: Spark's min_by returns
+            # the (possibly NULL) value at min doc_id while DuckDB's
+            # arg_min SKIPS null arguments — pre-coalescing makes the
+            # survivor pick identical on both engines for nullable
+            # n_chars
+            F.coalesce(F.col("n_chars"), F.lit(0)).alias("n_chars"),
         )
         .groupBy("fingerprint")
         .agg(

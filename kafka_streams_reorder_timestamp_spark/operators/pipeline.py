@@ -110,7 +110,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plan) must also predict keep. A doc-id semi-join, so the model
     # side ships (doc_id) only.
     model_keep = (
-        _scores_frame(d).filter(F.col("logit_dec") > 0).select("doc_id")
+        _scores_frame(d)
+        .filter(F.col("logit_dec") > 0)
+        .select("doc_id")
     )
     kept = scored.filter(
         (F.col("n_tokens") >= MIN_TOKENS)

@@ -556,15 +556,24 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "label", as_double("embedding").alias("emb")
     )
-    micros = F.transform(
-        F.col("emb"), lambda x: F.round(x * 1_000_000, 0).cast("long")
-    )
+    # Every embeddings ROW emits exactly DIM (dim, component) rows —
+    # F.get is NULL-safe for null/short arrays (never throws under
+    # ANSI, unlike element_at) and NULL components drop out of SUM on
+    # both engines, mirroring the oracle's dims cross-join — so a
+    # degenerate (null/empty) embedding still counts in n_vecs and
+    # contributes a zero vector, and the per-(label, dim) row count
+    # IS n_vecs with no second scan of the table.
     m = e.select(
-        "label", F.posexplode(micros).alias("dim0", "v")
-    ).select("label", (F.col("dim0") + 1).alias("dim"), "v")
-    # nv rides the same aggregate: every vector contributes exactly one
-    # row per dim, so the per-(label, dim) row count IS n_vecs — no
-    # second scan of the embeddings table for a counts branch.
+        "label",
+        "emb",
+        F.explode(F.sequence(F.lit(1), F.lit(DIM))).alias("dim"),
+    ).select(
+        "label",
+        "dim",
+        F.round(F.get(F.col("emb"), F.col("dim") - 1) * 1_000_000, 0)
+        .cast("long")
+        .alias("v"),
+    )
     lab = m.groupBy("label", "dim").agg(
         F.sum("v").alias("s"), F.count(F.lit(1)).alias("nv")
     )

@@ -93,16 +93,27 @@ def exchange_partition_keys(df: DataFrame) -> list[list[str]]:
         body = plan[m.end(): i - 1]
         keys: list[str] = []
         for tok in _split_top_level(body):
-            # Resolve each key to the COLUMN NAMES it references (every
-            # `name#id` attribute in the expression), not the outer
+            # Resolve each key to the ATTRIBUTE NAMES it references
+            # (every `name#id` in the expression), not the outer
             # function name — `cast(doc_id#5L as bigint)` must read as
             # a doc_id-keyed exchange or granularity pins would miss a
-            # corpus shuffle hiding under a derived key. Literal-only
-            # tokens (the numPartitions int) reference nothing and
-            # drop out naturally.
-            keys.extend(
-                re.findall(r"([A-Za-z_][A-Za-z0-9_]*)#\d+", tok)
-            )
+            # corpus shuffle hiding under a derived key. Attribute
+            # names themselves may contain parens (auto-named exprs
+            # like `count(1)#200L` / `FLOOR(x)#12L`), so match an
+            # identifier with an optional parenthesized tail, then
+            # also surface the identifiers INSIDE that tail — an
+            # exchange must never come back keyless just because its
+            # key was an unaliased expression. Literal-only tokens
+            # (the numPartitions int) reference nothing and drop out.
+            for name in re.findall(
+                r"([A-Za-z_]\w*(?:\([^()]*\))?)#\d+", tok
+            ):
+                keys.append(name)
+                if "(" in name:
+                    keys.extend(
+                        n
+                        for n in re.findall(r"[A-Za-z_]\w*", name)[1:]
+                    )
         out.append(keys)
     return out
 
