@@ -115,9 +115,10 @@ def _labeled_toks(d: DataFrame, extra: tuple = ()) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
 
 
-def _doc_features(lab: DataFrame) -> DataFrame:
-    """(doc_id, y, bucket): distinct hashed unigram+bigram buckets per
-    document, with the weak label. All in-row until the explode."""
+def _gram_array() -> Column:
+    """The model's feature-gram array (unigrams + bigrams of the token
+    column `t`), in-row. Shared by _doc_features (which hashes it) and
+    classifier_bucket_collisions (which audits the hash)."""
     # greatest(..., 0): F.slice throws on negative length, so an
     # empty token array (empty/whitespace-only text) must clamp to a
     # zero-length slice — yielding zero bigrams, matching the oracle's
@@ -126,9 +127,13 @@ def _doc_features(lab: DataFrame) -> DataFrame:
         F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
         lambda x, i: F.concat_ws(" ", x, F.element_at(F.col("t"), i + 2)),
     )
-    buckets = F.array_distinct(
-        F.transform(F.concat(F.col("t"), bigrams), _bucket)
-    )
+    return F.concat(F.col("t"), bigrams)
+
+
+def _doc_features(lab: DataFrame) -> DataFrame:
+    """(doc_id, y, bucket): distinct hashed unigram+bigram buckets per
+    document, with the weak label. All in-row until the explode."""
+    buckets = F.array_distinct(F.transform(_gram_array(), _bucket))
     return lab.select("doc_id", "y", F.explode(buckets).alias("bucket"))
 
 
@@ -497,6 +502,135 @@ def quality_classifier_calibration(
             ).alias("label_keep_pct4"),
         )
     )
+
+
+@register(
+    "quality_classifier_auc",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}, g AS (
+      SELECT d.source, s.logit_dec,
+             SUM(s.y) AS n_pos_g, SUM(1 - s.y) AS n_neg_g
+      FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY 1, 2
+    ), c AS (
+      SELECT source, n_pos_g, n_neg_g,
+             COALESCE(SUM(n_neg_g) OVER (
+               PARTITION BY source ORDER BY logit_dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg_below
+      FROM g
+    )
+    SELECT source,
+           CAST(SUM(n_pos_g) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg_g) AS BIGINT) AS n_neg,
+           CAST(CASE WHEN SUM(n_pos_g) = 0 OR SUM(n_neg_g) = 0 THEN NULL
+                ELSE (10000 * SUM(n_pos_g * (2 * cum_neg_below + n_neg_g)))
+                     // (2 * SUM(n_pos_g) * SUM(n_neg_g)) END
+                AS BIGINT) AS auc_pct4
+    FROM c GROUP BY 1
+    """,
+    doc="Model-eval ranking quality: EXACT per-source AUC of the "
+    "classifier logit against the weak teacher label, in basis "
+    "points. Completes the eval triptych (confusion = thresholded "
+    "accuracy, calibration = probability reliability, AUC = "
+    "threshold-FREE ranking power — the number that says whether "
+    "tuning the curation threshold can help at all). Computed as the "
+    "Mann-Whitney rank-sum, but NOT via a per-document global rank: "
+    "documents first collapse to the per-source distinct-logit "
+    "histogram (one partial-agg shuffle; DECIMAL logits make the "
+    "group keys exact), then a cumulative window over that tiny "
+    "histogram yields 2U = sum(pos_g * (2*cum_neg_below + neg_g)) — "
+    "tie-corrected (ties contribute half, hence the doubled-U "
+    "integer form) and all-integer through the final floor division, "
+    "so Spark and DuckDB hash-match bit-for-bit. At 100 TB the "
+    "window runs over distinct logit values per source, not "
+    "documents — the same reduce-then-window shape as the rollup "
+    "family. Degenerate single-class sources emit NULL rather than "
+    "a fake score.",
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = _scores_frame(d, extra=("source",))
+    g = s.groupBy("source", "logit_dec").agg(
+        F.sum("weak_label").alias("n_pos_g"),
+        F.sum(F.lit(1) - F.col("weak_label")).alias("n_neg_g"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("logit_dec")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("n_neg_g").over(w), F.lit(0))
+    )
+    n_pos, n_neg = F.sum("n_pos_g"), F.sum("n_neg_g")
+    return c.groupBy("source").agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        F.when(
+            (n_pos == 0) | (n_neg == 0), F.lit(None).cast("long")
+        )
+        .otherwise(
+            F.expr(
+                "(10000 * sum(n_pos_g * (2 * cum_neg_below + n_neg_g)))"
+                " div (2 * sum(n_pos_g) * sum(n_neg_g))"
+            )
+        )
+        .alias("auc_pct4"),
+    )
+
+
+@register(
+    "classifier_bucket_collisions",
+    oracle=f"""
+    WITH {_ORACLE_FEAT}, grams AS (
+      SELECT DISTINCT unnest(list_distinct(list_concat(t,
+               list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i+1])))) AS gram
+      FROM labeled
+    ), by_bucket AS (
+      SELECT CAST(('0x' || substring(md5(gram), 1, 15))::UBIGINT
+                  % {N_BUCKETS} AS BIGINT) AS bucket,
+             COUNT(*) AS n_grams
+      FROM grams GROUP BY 1
+    )
+    SELECT n_grams AS grams_per_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM by_bucket GROUP BY 1
+    """,
+    doc="Feature-HASHING collision audit (Weinberger et al. 2009, the "
+    "hashing trick): how many distinct corpus n-grams land in each "
+    "of the model's 2048 md5 buckets, reported as the collision "
+    "histogram (grams-per-bucket -> bucket count). THE sizing signal "
+    "for N_BUCKETS: a long tail of overloaded buckets means distinct "
+    "(possibly opposing) n-grams share one weight and the model's "
+    "per-feature log-odds are blurred — the capacity/cost dial every "
+    "hashed-feature model tunes before trusting its weights. Scale "
+    "shape: corpus grams collapse to the DISTINCT vocabulary "
+    "in-engine (Heaps-law bounded, one dedup shuffle of short "
+    "strings — never collected), then a 2048-group count and a "
+    "histogram-of-counts rollup; output is at most a few dozen rows "
+    "at any corpus size.",
+)
+def classifier_bucket_collisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    lab = _labeled_toks(d)
+    grams = (
+        lab.select(
+            F.explode(F.array_distinct(_gram_array())).alias("gram")
+        )
+        .distinct()
+    )
+    by_bucket = grams.groupBy(_bucket(F.col("gram")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return by_bucket.groupBy(
+        F.col("n_grams").alias("grams_per_bucket")
+    ).agg(F.count(F.lit(1)).alias("n_buckets"))
 
 
 CORPUS_MAX_ID = 250  # same corpus/batch split as the dedup_incremental family

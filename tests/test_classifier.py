@@ -227,3 +227,77 @@ def test_apply_quality_model_scores_oov_with_default(spark):
     # either way)
     assert row["n_features"] >= 10
     assert row["logit_dec"] is not None
+
+
+def test_auc_matches_bruteforce_pairwise(spark, sf_dir):
+    """The histogram rank-sum AUC must equal the O(n_pos * n_neg)
+    pairwise definition exactly — 2U = #(pos > neg) * 2 + #(ties) —
+    computed per source from the same logits in plain Python. Pins the
+    tie-correction and the strictly-below cumulative frame."""
+    from collections import defaultdict
+
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_classifier_auc,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources import load_table
+
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    rows = (
+        _scores_frame(d, extra=("source",))
+        .select("source", "logit_dec", "weak_label")
+        .collect()
+    )
+    by_src: dict[str, list] = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append((r["logit_dec"], r["weak_label"]))
+    expect = {}
+    for src, xs in by_src.items():
+        pos = [v for v, y in xs if y == 1]
+        neg = [v for v, y in xs if y == 0]
+        if not pos or not neg:
+            expect[src] = (len(pos), len(neg), None)
+            continue
+        u2 = sum(
+            2 if p > n else (1 if p == n else 0) for p in pos for n in neg
+        )
+        expect[src] = (
+            len(pos),
+            len(neg),
+            (10000 * u2) // (2 * len(pos) * len(neg)),
+        )
+    got = {
+        r["source"]: (r["n_pos"], r["n_neg"], r["auc_pct4"])
+        for r in quality_classifier_auc(spark, str(sf_dir)).collect()
+    }
+    assert got == expect
+    # and the model must actually rank: majority of sources above 0.5
+    aucs = [v[2] for v in got.values() if v[2] is not None]
+    assert aucs and sorted(aucs)[len(aucs) // 2] > 5000
+
+
+def test_bucket_collision_histogram_accounts_for_vocabulary(spark, sf_dir):
+    """The collision histogram's mass equals the distinct corpus
+    vocabulary exactly (sum grams_per_bucket * n_buckets == |distinct
+    grams|) and never claims more buckets than the hash range."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        N_BUCKETS,
+        _gram_array,
+        classifier_bucket_collisions,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources import load_table
+
+    d = load_table(spark, str(sf_dir), "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_vocab = (
+        _labeled_toks(d)
+        .select(F.explode(F.array_distinct(_gram_array())).alias("g"))
+        .distinct()
+        .count()
+    )
+    hist = classifier_bucket_collisions(spark, str(sf_dir)).collect()
+    assert sum(r["grams_per_bucket"] * r["n_buckets"] for r in hist) == n_vocab
+    assert sum(r["n_buckets"] for r in hist) <= N_BUCKETS
+    assert all(r["grams_per_bucket"] >= 1 for r in hist)
