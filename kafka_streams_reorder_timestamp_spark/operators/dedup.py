@@ -477,6 +477,7 @@ def shingle_jaccard_pairs(
     id_col: str,
     threshold: float = 0.7,
     shingle_n: int = 3,
+    with_sizes: bool = False,
 ) -> DataFrame:
     """EXACT near-duplicate pairs at `threshold` over `shingle_n`-token
     shingle sets — same shingle universe as `minhash_lsh_pairs`, but
@@ -600,8 +601,11 @@ def shingle_jaccard_pairs(
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter / union
+    size_cols = (
+        [inter.alias("n_inter"), union.alias("n_union")] if with_sizes else []
+    )
     return paired.filter(jac >= threshold).select(
-        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+        "doc_a", "doc_b", *size_cols, F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -645,6 +649,102 @@ def shingle_jaccard_pairs(
 def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return shingle_jaccard_pairs(_planted_corpus(d), "text", "doc_id", threshold=0.7)
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 20 AND len(t) > 0
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END AS s
+      FROM corpus
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.s, b.s)) AS n_inter,
+             len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS n_union
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+    ), e AS (
+      SELECT CASE WHEN 10 * n_inter >= 9 * n_union THEN 90
+                  WHEN 10 * n_inter >= 8 * n_union THEN 80
+                  WHEN 10 * n_inter >= 7 * n_union THEN 70
+                  ELSE 60 END AS threshold_pct,
+             unnest([doc_a, doc_b]) AS d
+      FROM pairs
+    ), g AS (
+      SELECT threshold_pct,
+             CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_docs
+      FROM e GROUP BY 1
+    )
+    SELECT threshold_pct, n_pairs, n_docs,
+           CAST(SUM(n_pairs) OVER (ORDER BY threshold_pct DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_pairs
+    FROM g
+    """,
+    doc="Dedup THRESHOLD-tuning report: exact shingle-Jaccard pair "
+    "counts per 0.1-wide similarity band from 0.6 up, with the "
+    "cumulative pair count an operator reads as 'dedup at >= t keeps "
+    "this many pairs in scope'. THE decision table before committing "
+    "a near-dup threshold (Lee et al. 2021 pick 0.7-0.8 by exactly "
+    "this curve): a fat 0.6-0.7 band means the corpus has a gray "
+    "zone where the threshold choice moves real volume. One AllPairs "
+    "pass at the LOOSEST threshold (0.6), then banding by INTEGER "
+    "cross-multiplication (10*inter >= k*union — no float boundary "
+    "to disagree across engines); n_pairs and n_docs derive from one "
+    "exploded subtree (each pair contributes exactly two doc rows, "
+    "so n_pairs = rows/2) — the expensive candidate pipeline runs "
+    "ONCE, and the cumulative window sees at most 4 rows. Same "
+    "planted corpus as the minhash/shingle twins, so all three "
+    "reports reconcile.",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pairs = shingle_jaccard_pairs(
+        _planted_corpus(d), "text", "doc_id", threshold=0.6, with_sizes=True
+    )
+    band = (
+        F.when(10 * F.col("n_inter") >= 9 * F.col("n_union"), 90)
+        .when(10 * F.col("n_inter") >= 8 * F.col("n_union"), 80)
+        .when(10 * F.col("n_inter") >= 7 * F.col("n_union"), 70)
+        .otherwise(60)
+    )
+    e = pairs.select(
+        band.alias("threshold_pct"),
+        F.explode(F.array("doc_a", "doc_b")).alias("d"),
+    )
+    g = e.groupBy("threshold_pct").agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_pairs"),
+        F.countDistinct("d").alias("n_docs"),
+    )
+    w = (
+        Window.orderBy(F.col("threshold_pct").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        "threshold_pct",
+        "n_pairs",
+        "n_docs",
+        F.sum("n_pairs").over(w).alias("cum_pairs"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1126,3 +1126,34 @@ def test_semantic_decon_flags_planted_copies_only(spark, sf_dir):
     for v in want_pert:
         assert 0.9 <= flagged[v]["cos_sim"] < 1.0
         assert flagged[v]["probe_id"] == v - 8_000_000_000
+
+
+def test_threshold_sweep_reconciles_with_exact_twin(spark, sf_dir):
+    """The sweep's cumulative count at the 0.7 band must equal the
+    number of pairs dedup_jaccard_shingles reports at threshold 0.7 —
+    the integer cross-multiplication banding and the twin's double
+    filter must agree on every boundary pair — and the banding must
+    partition: cum_pairs at the loosest band equals the sum of all
+    bands' n_pairs."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        dedup_jaccard_shingles,
+        dedup_threshold_sweep,
+    )
+
+    rows = {
+        r["threshold_pct"]: r
+        for r in dedup_threshold_sweep(spark, str(sf_dir)).collect()
+    }
+    n_at_07 = dedup_jaccard_shingles(spark, str(sf_dir)).count()
+    cum_at_07 = sum(
+        r["n_pairs"] for pct, r in rows.items() if pct >= 70
+    )
+    assert cum_at_07 == n_at_07
+    if 70 in rows:
+        assert rows[70]["cum_pairs"] == n_at_07
+    total = sum(r["n_pairs"] for r in rows.values())
+    loosest = rows[min(rows)]
+    assert loosest["cum_pairs"] == total
+    for r in rows.values():
+        # each pair touches exactly 2 docs; distinct docs never exceed
+        assert 2 <= r["n_docs"] <= 2 * r["n_pairs"]
