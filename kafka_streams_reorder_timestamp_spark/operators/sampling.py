@@ -583,3 +583,224 @@ def shard_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("last_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling + token-budget mixture planning
+
+# Target domain for the DSIR selector: a small set of "trusted"
+# sources standing in for the high-quality reference corpus (in the
+# paper: Wikipedia + books; here: three synthetic sources). The raw
+# distribution is the whole corpus, target included — the standard
+# DSIR setup (the target IS drawn from the raw pool).
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), tok AS (
+      SELECT doc_id, source,
+             unnest(list_transform(t,
+               g -> CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT
+                         % 2048 AS BIGINT))) AS bucket
+      FROM base
+    ), cnt AS (
+      SELECT bucket,
+             COUNT(*) FILTER (WHERE source IN
+               {DSIR_TARGET_SOURCES!r}) AS c_t,
+             COUNT(*) AS c_r
+      FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT COUNT(*) FILTER (WHERE source IN
+               {DSIR_TARGET_SOURCES!r}) AS n_t,
+             COUNT(*) AS n_r
+      FROM tok
+    ), lr AS (
+      SELECT bucket,
+             CAST(ROUND(ln((c_t + 1) * 1.0 / (n_t + 2048))
+                        - ln((c_r + 1) * 1.0 / (n_r + 2048)), 6)
+                  AS DECIMAL(18,6)) AS lr
+      FROM cnt CROSS JOIN tot
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             SUM(lr) AS logw_dec
+      FROM tok JOIN lr USING (bucket) GROUP BY 1
+    )
+    SELECT b.doc_id, b.source,
+           COALESCE(p.n_tokens, 0) AS n_tokens,
+           CAST(COALESCE(p.logw_dec, 0) AS DOUBLE) AS logw,
+           COALESCE(p.logw_dec, 0) > 0 AS dsir_keep
+    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc="Data Selection via Importance Resampling (Xie et al. 2023, "
+    "DSIR): score every raw document by how much more likely its "
+    "hashed-unigram bag is under the TARGET domain's distribution "
+    "(docs from the trusted sources) than under the raw corpus's — "
+    "logw = sum over token occurrences of ln p_target(bucket) - "
+    "ln p_raw(bucket), Laplace-smoothed over the same md5-mod-2048 "
+    "feature space the quality classifier uses. This is the "
+    "complementary selection method to the classifier family: DSIR "
+    "needs only an unlabeled target sample, no weak labels. Per-"
+    "bucket log-ratios are rounded to 6 dp and per-doc sums run in "
+    "DECIMAL(18,6), so logw is exact, order-independent, and hash-"
+    "matches DuckDB; dsir_keep (logw > 0 = more target-like than "
+    "raw) is the deterministic stand-in for the paper's Gumbel-noise "
+    "resampling draw. Shape for 100 TB: BOTH n-gram models train in "
+    "ONE token-keyed partial-agg shuffle (the target counts are a "
+    "FILTER inside the same agg — no second corpus pass), the ratio "
+    "table is 2048 rows regardless of corpus size and broadcasts, "
+    "and scoring is a broadcast hash join + per-doc partial agg — "
+    "cost linear in corpus tokens, no wide shuffle anywhere.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+    from .classifier import N_BUCKETS, _bucket
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.transform(tokens(F.col("text")), _bucket)).alias(
+            "bucket"
+        ),
+    )
+    is_target = F.col("source").isin(*DSIR_TARGET_SOURCES)
+    cnt = toks.groupBy("bucket").agg(
+        F.count(F.when(is_target, 1)).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    tot = toks.agg(
+        F.count(F.when(is_target, 1)).alias("n_t"),
+        F.count(F.lit(1)).alias("n_r"),
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("c_t") + 1) * F.lit(1.0) / (F.col("n_t") + N_BUCKETS)
+            )
+            - F.log(
+                (F.col("c_r") + 1) * F.lit(1.0) / (F.col("n_r") + N_BUCKETS)
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr").alias("logw_dec"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    return (
+        d.select("doc_id", "source")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("logw_dec"), zero)
+            .cast("double")
+            .alias("logw"),
+            (F.coalesce(F.col("logw_dec"), zero) > 0).alias("dsir_keep"),
+        )
+    )
+
+
+# Token-budget mixture plan: target mixture weights in basis points
+# (must sum to 10000) and the total token budget the trainer will
+# consume. Integer-exact throughout so the plan is engine-stable.
+TOKEN_BUDGET = 1_000_000
+MIXTURE_TOKEN_BP = [
+    ("en", 3000),
+    ("de", 2000),
+    ("es", 2000),
+    ("fr", 2000),
+    ("zh", 1000),
+]
+
+
+@register(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH weights(lang, weight_bp) AS (
+      VALUES {", ".join(f"('{l}', {w})" for l, w in MIXTURE_TOKEN_BP)}
+    ), avail AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(list_filter(
+               regexp_split_to_array(lower(trim(text)), '\\s+'),
+               t -> t <> ''))) AS BIGINT) AS avail_tokens
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    )
+    SELECT a.lang, a.n_docs, a.avail_tokens,
+           CAST(w.weight_bp AS BIGINT) AS weight_bp,
+           CAST({TOKEN_BUDGET} AS BIGINT) * w.weight_bp // 10000
+             AS target_tokens,
+           (10000 * (CAST({TOKEN_BUDGET} AS BIGINT) * w.weight_bp // 10000)
+            + GREATEST(a.avail_tokens, 1) - 1)
+             // GREATEST(a.avail_tokens, 1) AS repeat_bp,
+           a.avail_tokens
+             - CAST({TOKEN_BUDGET} AS BIGINT) * w.weight_bp // 10000
+             AS surplus_tokens
+    FROM avail a JOIN weights w USING (lang)
+    """,
+    doc="Token-budget mixture planning — the accounting step of a "
+    "Gopher/Llama-style data-mixture recipe: given target mixture "
+    "weights (basis points) and the total token budget the trainer "
+    "will consume, report per language how many tokens exist, how "
+    "many the mixture demands, the repeat factor required "
+    "(repeat_bp: 10000 = exactly one epoch; 25000 = the source must "
+    "be seen 2.5 times — the multi-epoch smell a mixture designer "
+    "watches for), and the surplus (negative = deficit). All math is "
+    "integer (floor division, ceil via the add-denominator-minus-one "
+    "identity), so the plan is bit-identical across engines — no "
+    "float ratio to drift. Shape for 100 TB: token counting is "
+    "in-row (size of the split array, no explode), one partial-agg "
+    "shuffle over ~tens of language keys, and the weights side is a "
+    "literal broadcast — the whole plan is one scan.",
+)
+def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.texthash import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    avail = (
+        d.select("lang", F.size(tokens(F.col("text"))).alias("nt"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("avail_tokens"),
+        )
+    )
+    w = F.broadcast(
+        spark.createDataFrame(MIXTURE_TOKEN_BP, ["lang", "weight_bp"])
+    )
+    target = F.expr(
+        f"CAST({TOKEN_BUDGET} AS BIGINT) * weight_bp div 10000"
+    )
+    joined = avail.join(w, "lang").withColumn("target_tokens", target)
+    return joined.select(
+        "lang",
+        "n_docs",
+        "avail_tokens",
+        F.col("weight_bp").cast("long").alias("weight_bp"),
+        "target_tokens",
+        F.expr(
+            "(10000 * target_tokens + GREATEST(avail_tokens, 1) - 1)"
+            " div GREATEST(avail_tokens, 1)"
+        ).alias("repeat_bp"),
+        (F.col("avail_tokens") - F.col("target_tokens")).alias(
+            "surplus_tokens"
+        ),
+    )

@@ -188,3 +188,45 @@ def test_packing_conserves_tokens_and_orders_bins(spark, sf_dir):
         assert sum(r.sum_tokens for r in rs) == totals[lang]
         for a, b in zip(rs, rs[1:]):
             assert a.last_doc < b.first_doc  # no interleaving
+
+
+def test_dsir_weights_rank_target_sources_higher(spark, sf_dir):
+    """DSIR's whole point: importance weights must rank the target
+    domain above the raw pool. Mean logw over the target sources must
+    exceed mean logw over the rest, and the keep flag must be exactly
+    the logw > 0 decision."""
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        DSIR_TARGET_SOURCES,
+    )
+
+    rows = _run(spark, sf_dir, "dsir_importance_weights").collect()
+    assert len(rows) > 0
+    target = [r.logw for r in rows if r.source in DSIR_TARGET_SOURCES]
+    rest = [r.logw for r in rows if r.source not in DSIR_TARGET_SOURCES]
+    assert target and rest
+    assert sum(target) / len(target) > sum(rest) / len(rest)
+    for r in rows:
+        assert r.dsir_keep == (r.logw > 0), r
+        assert r.n_tokens >= 0
+
+
+def test_token_budget_mixture_integer_identities(spark, sf_dir):
+    """The plan's integer math must be self-consistent: weights sum to
+    10000 bp, target_tokens is the exact floor share of the budget,
+    repeat_bp is the exact ceiling ratio, surplus is the difference."""
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        MIXTURE_TOKEN_BP,
+        TOKEN_BUDGET,
+    )
+
+    assert sum(w for _, w in MIXTURE_TOKEN_BP) == 10000
+    rows = _run(spark, sf_dir, "token_budget_mixture").collect()
+    assert {r.lang for r in rows} == {l for l, _ in MIXTURE_TOKEN_BP}
+    bp = dict(MIXTURE_TOKEN_BP)
+    for r in rows:
+        assert r.weight_bp == bp[r.lang]
+        assert r.target_tokens == TOKEN_BUDGET * r.weight_bp // 10000
+        avail = max(r.avail_tokens, 1)
+        assert r.repeat_bp == (10000 * r.target_tokens + avail - 1) // avail
+        assert r.surplus_tokens == r.avail_tokens - r.target_tokens
+        assert r.n_docs > 0 and r.avail_tokens > 0
