@@ -508,3 +508,36 @@ def test_bpe_tokenize_broadcasts_vocab(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plans.read_schema_columns(df) == {"source", "text"}
+
+
+def test_dsir_broadcasts_ratio_table(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    df = dsir_importance_weights(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # the 2048-row log-ratio table must ride a broadcast into the
+    # token-bucket join (scoring at scan speed) — a shuffled ratio
+    # join would repartition the corpus-sized token stream on bucket;
+    # the two 1-row totals joins must not go cartesian
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the scan reads only what the selector needs
+    assert plans.read_schema_columns(df) == {"doc_id", "source", "text"}
+
+
+def test_token_budget_mixture_single_agg_no_explode(spark, sf_dir):
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        token_budget_mixture,
+    )
+
+    df = token_budget_mixture(spark, sf_dir)
+    plan = plans.physical_plan(df, "simple")
+    # token counting is in-row (size of the split array): the plan
+    # must contain NO generate/explode, and the weights side is a
+    # literal local table riding a broadcast
+    assert "Generate" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plans.read_schema_columns(df) == {"lang", "text"}
