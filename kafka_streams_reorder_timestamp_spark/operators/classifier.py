@@ -857,3 +857,85 @@ def quality_model_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logit_dec").cast("double").alias("sum_logit"),
         )
     )
+
+
+@register(
+    "quality_selection_per_source",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}, src_hist AS (
+      SELECT d.source, s.logit_dec, COUNT(*) AS c
+      FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT source, logit_dec, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY logit_dec DESC
+                          ROWS UNBOUNDED PRECEDING) AS cum_c,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM src_hist
+    )
+    SELECT source,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST((MAX(n) + 3) // 4 AS BIGINT) AS quota,
+           CAST(MAX(CASE WHEN cum_c - c < (n + 3) // 4
+                    THEN cum_c END) AS BIGINT) AS n_kept,
+           CAST(MIN(CASE WHEN cum_c - c < (n + 3) // 4
+                    THEN logit_dec END) AS DOUBLE) AS logit_cutoff
+    FROM cum GROUP BY source
+    """,
+    doc="Per-source budgeted quality selection — the FineWeb-style "
+    "per-domain threshold the classifier family's global pred_keep "
+    "cannot express: ONE global logit cutoff lets a high-scoring "
+    "domain crowd out every other source, so curation recipes keep "
+    "the top X% WITHIN each source instead. Keeps the top ~25% of "
+    "each source by model logit, admitting the whole tie-group at "
+    "the boundary (n_kept >= quota = ceil(n/4); ceil via the "
+    "add-denominator-minus-one identity — all integer, no float "
+    "percent_rank to drift across engines). logit_cutoff is the "
+    "per-source admission threshold a production pipeline would "
+    "persist beside the weight table and apply at scan speed. Scale "
+    "shape: the reduce-then-window rule, exactly as "
+    "quality_classifier_auc — documents collapse to the per-source "
+    "DISTINCT-LOGIT histogram first (one partial-agg shuffle; "
+    "DECIMAL group keys are exact), then the cumulative window and "
+    "the cutoff search run over that histogram, never a "
+    "per-document rank. When logits are near-unique the histogram "
+    "degenerates toward per-source doc counts; the documented "
+    "production fallback at that point is approx_percentile on the "
+    "logit (one pass, mergeable sketch) feeding the same "
+    "threshold-application scan — the exact histogram path here IS "
+    "the oracle for that approximation.",
+)
+def quality_selection_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = _scores_frame(d, extra=("source",))
+    hist = s.groupBy("source", "logit_dec").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("logit_dec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = hist.select(
+        "source",
+        "logit_dec",
+        "c",
+        F.sum("c").over(w_cum).alias("cum_c"),
+        F.sum("c").over(w_src).alias("n"),
+    )
+    kept_group = F.col("cum_c") - F.col("c") < F.expr("(n + 3) div 4")
+    return cum.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.expr("(max(n) + 3) div 4").alias("quota"),
+        F.max(F.when(kept_group, F.col("cum_c")))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.min(F.when(kept_group, F.col("logit_dec")))
+        .cast("double")
+        .alias("logit_cutoff"),
+    )

@@ -301,3 +301,44 @@ def test_bucket_collision_histogram_accounts_for_vocabulary(spark, sf_dir):
     assert sum(r["grams_per_bucket"] * r["n_buckets"] for r in hist) == n_vocab
     assert sum(r["n_buckets"] for r in hist) <= N_BUCKETS
     assert all(r["grams_per_bucket"] >= 1 for r in hist)
+
+
+def test_per_source_selection_matches_per_doc_recompute(spark, sf_dir):
+    """quality_selection_per_source's histogram-side cutoff math must
+    agree with a direct per-document recompute: within each source,
+    quota = ceil(n/4), the cutoff is the logit at the quota-th ranked
+    document, and n_kept counts every doc at or above it (whole
+    tie-group admitted)."""
+    import math
+
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_classifier_scores,
+        quality_selection_per_source,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources import load_table
+
+    sel = {
+        r.source: r
+        for r in quality_selection_per_source(spark, str(sf_dir)).collect()
+    }
+    scores = quality_classifier_scores(spark, str(sf_dir))
+    docs = load_table(spark, str(sf_dir), "documents").select(
+        "doc_id", "source"
+    )
+    per_doc = scores.join(docs, "doc_id").select("source", "logit").collect()
+    by_source: dict[str, list[float]] = {}
+    for r in per_doc:
+        by_source.setdefault(r.source, []).append(r.logit)
+    assert set(sel) == set(by_source)
+    for src, logits in by_source.items():
+        logits.sort(reverse=True)
+        n = len(logits)
+        quota = math.ceil(n / 4)
+        boundary = logits[quota - 1]
+        n_kept = sum(1 for x in logits if x >= boundary)
+        row = sel[src]
+        assert row.n_docs == n, (src, row)
+        assert row.quota == quota, (src, row)
+        assert row.n_kept == n_kept, (src, row)
+        assert row.logit_cutoff == boundary, (src, row)
+        assert quota <= row.n_kept <= n
