@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .classifier import N_BUCKETS
 from .registry import register
 
 # 4-hex-digit md5 prefix < '1a00' keeps 6656/65536 ~ 10.16% of rows.
@@ -608,7 +609,7 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
       SELECT doc_id, source,
              unnest(list_transform(t,
                g -> CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT
-                         % 2048 AS BIGINT))) AS bucket
+                         % {N_BUCKETS} AS BIGINT))) AS bucket
       FROM base
     ), cnt AS (
       SELECT bucket,
@@ -623,8 +624,8 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
       FROM tok
     ), lr AS (
       SELECT bucket,
-             CAST(ROUND(ln((c_t + 1) * 1.0 / (n_t + 2048))
-                        - ln((c_r + 1) * 1.0 / (n_r + 2048)), 6)
+             CAST(ROUND(ln((c_t + 1) * 1.0 / (n_t + {N_BUCKETS}))
+                        - ln((c_r + 1) * 1.0 / (n_r + {N_BUCKETS})), 6)
                   AS DECIMAL(18,6)) AS lr
       FROM cnt CROSS JOIN tot
     ), per_doc AS (
@@ -655,13 +656,14 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
     "resampling draw. Shape for 100 TB: BOTH n-gram models train in "
     "ONE token-keyed partial-agg shuffle (the target counts are a "
     "FILTER inside the same agg — no second corpus pass), the ratio "
-    "table is 2048 rows regardless of corpus size and broadcasts, "
+    "table holds only observed buckets (at most 2048 rows whatever "
+    "the corpus size) and broadcasts, "
     "and scoring is a broadcast hash join + per-doc partial agg — "
     "cost linear in corpus tokens, no wide shuffle anywhere.",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.texthash import tokens
-    from .classifier import N_BUCKETS, _bucket
+    from .classifier import _bucket
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
@@ -744,17 +746,19 @@ MIXTURE_TOKEN_BP = [
                t -> t <> ''))) AS BIGINT) AS avail_tokens
       FROM documents WHERE text IS NOT NULL GROUP BY 1
     )
-    SELECT a.lang, a.n_docs, a.avail_tokens,
+    SELECT w.lang,
+           CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(a.avail_tokens, 0) AS BIGINT) AS avail_tokens,
            CAST(w.weight_bp AS BIGINT) AS weight_bp,
            CAST({TOKEN_BUDGET} AS BIGINT) * w.weight_bp // 10000
              AS target_tokens,
            (10000 * (CAST({TOKEN_BUDGET} AS BIGINT) * w.weight_bp // 10000)
-            + GREATEST(a.avail_tokens, 1) - 1)
-             // GREATEST(a.avail_tokens, 1) AS repeat_bp,
-           a.avail_tokens
+            + GREATEST(COALESCE(a.avail_tokens, 0), 1) - 1)
+             // GREATEST(COALESCE(a.avail_tokens, 0), 1) AS repeat_bp,
+           COALESCE(a.avail_tokens, 0)
              - CAST({TOKEN_BUDGET} AS BIGINT) * w.weight_bp // 10000
              AS surplus_tokens
-    FROM avail a JOIN weights w USING (lang)
+    FROM weights w LEFT JOIN avail a USING (lang)
     """,
     doc="Token-budget mixture planning — the accounting step of a "
     "Gopher/Llama-style data-mixture recipe: given target mixture "
@@ -766,7 +770,11 @@ MIXTURE_TOKEN_BP = [
     "watches for), and the surplus (negative = deficit). All math is "
     "integer (floor division, ceil via the add-denominator-minus-one "
     "identity), so the plan is bit-identical across engines — no "
-    "float ratio to drift. Shape for 100 TB: token counting is "
+    "float ratio to drift. The join runs FROM the weights side "
+    "(left-outer) so a planned language missing from the corpus "
+    "surfaces as the worst-case row (avail_tokens=0, surplus = "
+    "-target) instead of silently dropping out of the report. "
+    "Shape for 100 TB: token counting is "
     "in-row (size of the split array, no explode), one partial-agg "
     "shuffle over ~tens of language keys, and the weights side is a "
     "literal broadcast — the whole plan is one scan.",
@@ -789,7 +797,21 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = F.expr(
         f"CAST({TOKEN_BUDGET} AS BIGINT) * weight_bp div 10000"
     )
-    joined = avail.join(w, "lang").withColumn("target_tokens", target)
+    # Left join FROM the weights side: a planned language that is
+    # absent from the corpus must surface as a full deficit
+    # (avail_tokens=0, surplus=-target), never silently vanish from
+    # the mixture report.
+    joined = (
+        w.join(avail, "lang", "left")
+        .withColumn(
+            "n_docs", F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "avail_tokens",
+            F.coalesce(F.col("avail_tokens"), F.lit(0)).cast("long"),
+        )
+        .withColumn("target_tokens", target)
+    )
     return joined.select(
         "lang",
         "n_docs",

@@ -6,7 +6,12 @@ Writes PARITY_FULL.json next to this script: one row per query with
 rows/schema/hash match flags (driver format). Queries without an
 oracle record spark_rows and err="no_oracle".
 
-Usage:  python parity.py   [env: SPARK_GRAFT_SF_DIR, default sf0.01]
+Usage:  python parity.py [--only name1,name2,...]
+        [env: SPARK_GRAFT_SF_DIR, default sf0.01]
+
+--only restricts the run to the named queries (comma-separated) for
+fast iteration; PARITY_FULL.json is NOT written in that mode so a
+partial run can never masquerade as a full-registry result.
 """
 
 from __future__ import annotations
@@ -52,6 +57,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only: set[str] | None = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
 
     from kafka_streams_reorder_timestamp_spark.operators import registry
     from kafka_streams_reorder_timestamp_spark.session import get_spark
@@ -67,6 +75,8 @@ def main() -> int:
     results: dict[str, dict] = {}
     n_green = n_no_oracle = n_bad = 0
     for name, spec in registry.REGISTRY.items():
+        if only is not None and name not in only:
+            continue
         row = {
             "rows_match": None,
             "schema_match": None,
@@ -109,6 +119,18 @@ def main() -> int:
         print(f"parity: {name}: {tag}", file=sys.stderr)
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    if only is not None:
+        print(
+            json.dumps(
+                {
+                    "n_queries": len(results),
+                    "n_hash_green": n_green,
+                    "n_no_oracle": n_no_oracle,
+                    "n_failed": n_bad,
+                }
+            )
+        )
+        return 0 if n_bad == 0 else 1
     with open(os.path.join(repo_root, "PARITY_FULL.json"), "w") as f:
         json.dump(
             {
