@@ -8,6 +8,13 @@ JSON line:
 Each query is timed over a full materialization
 (``df.write.format("noop")``) so the measured cost includes the whole
 physical plan but no driver-side collect of result rows.
+
+Other modes:
+  python bench.py --scaling      two-SF exponent fit -> SCALING.json
+  python bench.py --ab <ref>     within-boot code-vs-code A/B vs a git
+                                 ref -> BENCH_AB.json (the ONLY valid
+                                 basis for perf-regression claims on
+                                 this host; see ab_main docstring)
 """
 
 from __future__ import annotations
@@ -338,5 +345,260 @@ def scaling_main() -> int:
     return 0 if not failed else 1
 
 
+# ---------------------------------------------------------------------------
+# Within-boot A/B bench: the ONLY sanctioned way to make a perf claim
+# about a code change on this host. Rounds 7 and 8 both burned effort
+# chasing "regressions" that a manual A/B later proved were host-window
+# variance (the VM's wall-clock drifts 15-30% across boots and even
+# within one boot over hours — see SCALE.md "Round-8 perf
+# investigation"). Cross-round BENCH_r{N}.json totals are therefore
+# only directional; code-vs-code comparisons MUST interleave both
+# trees' runs on the same boot, which is what this mode does.
+
+_AB_WORKER_CODE = r'''
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+import pandas as pd
+from kafka_streams_reorder_timestamp_spark.operators import registry
+from kafka_streams_reorder_timestamp_spark.session import get_spark
+
+spark = get_spark(app_name="bench-ab")
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Version-tolerant warm-up (older trees lack bench._warm): parquet
+# footers, Python-UDF workers with the heavy imports, CC codegen.
+from kafka_streams_reorder_timestamp_spark.sources.catalog import TABLES, load_table
+for t in TABLES:
+    load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+from pyspark.sql.functions import col, pandas_udf
+@pandas_udf("long")
+def _noop(s):
+    import zlib, numpy  # noqa: F401
+    return s
+spark.range(1000, numPartitions=int(
+    spark.conf.get("spark.sql.shuffle.partitions"))
+).select(_noop(col("id"))).write.format("noop").mode("overwrite").save()
+try:
+    from kafka_streams_reorder_timestamp_spark.operators.graph import (
+        _clusters_from_pairs,
+    )
+    toy = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6), (8, 9)], "doc_a long, doc_b long"
+    )
+    _clusters_from_pairs(toy).write.format("noop").mode("overwrite").save()
+except Exception:
+    pass
+
+qs = registry.all_queries()
+print(json.dumps({"ready": True, "queries": sorted(qs)}), flush=True)
+for line in sys.stdin:
+    req = json.loads(line)
+    if req.get("cmd") == "quit":
+        break
+    name = req["name"]
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    try:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        print(json.dumps({"sec": time.perf_counter() - t0}), flush=True)
+    except Exception as e:
+        print(json.dumps(
+            {"err": ("%s: %s" % (type(e).__name__, e))[:200]}), flush=True)
+'''
+
+
+class _ABWorker:
+    """One tree's bench process: a persistent subprocess hosting its own
+    SparkSession, timing queries on request over a line-JSON pipe. The
+    worker code is injected by the parent (``python -c``), so the ref
+    tree does not need to contain this bench mode itself."""
+
+    def __init__(self, tree_dir: str, label: str):
+        import subprocess
+
+        self.label = label
+        self.proc = subprocess.Popen(
+            [sys.executable, "-u", "-c", _AB_WORKER_CODE],
+            cwd=tree_dir,
+            stdin=subprocess.PIPE,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+
+    def _read_json(self) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"worker {self.label} died")
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    return json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+
+    def wait_ready(self) -> list[str]:
+        msg = self._read_json()
+        assert msg.get("ready"), msg
+        return msg["queries"]
+
+    def time_query(self, name: str) -> dict:
+        self.proc.stdin.write(json.dumps({"name": name}) + "\n")
+        self.proc.stdin.flush()
+        return self._read_json()
+
+    def quit(self) -> None:
+        try:
+            self.proc.stdin.write(json.dumps({"cmd": "quit"}) + "\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=30)
+        except Exception:
+            self.proc.kill()
+
+
+def ab_main() -> int:
+    """``python bench.py --ab <ref>``: within-boot code-vs-code A/B.
+
+    Extracts ``git archive <ref>`` into a temp dir (tree A), benches it
+    against the current working tree (tree B) with per-run
+    interleaving — for every query, each timed run executes on A then B
+    (order flipped every run so slow host drift cancels instead of
+    biasing one side). Reports per-query median ratio B/A plus both
+    spreads, writes BENCH_AB.json, prints one compact JSON line.
+    A query is flagged "suspect" (a claimable code-level change) only
+    if its ratio clears 1.25x (either direction), its combined runtime
+    is non-trivial, and BOTH sides' steady-state spreads are below the
+    noise threshold — the same filter the round-8 investigation showed
+    separates code effects from host variance.
+    """
+    import statistics
+    import subprocess
+    import tempfile
+
+    ref = sys.argv[sys.argv.index("--ab") + 1]
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    sha = subprocess.run(
+        ["git", "-C", repo_root, "rev-parse", ref],
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.strip()
+    tree_a = tempfile.mkdtemp(prefix=f"spark_graft_ab_{sha[:8]}_")
+    subprocess.run(
+        f"git -C {repo_root} archive {sha} | tar -x -C {tree_a}",
+        shell=True,
+        check=True,
+    )
+
+    RUNS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    wa = _ABWorker(tree_a, f"A({ref})")
+    wb = _ABWorker(repo_root, "B(worktree)")
+    qa, qb = set(wa.wait_ready()), set(wb.wait_ready())
+    common = sorted(qa & qb)
+    if only:
+        common = [n for n in common if n in only]
+
+    NOISY_SPREAD = 0.30
+    RATIO_HI, RATIO_LO, MIN_T = 1.25, 0.80, 0.5
+    per_query: dict[str, dict] = {}
+    failed: dict[str, str] = {}
+    for name in common:
+        # one untimed warm run per side: plan compilation is a fixed
+        # cost, not a code-speed difference
+        ra, rb = wa.time_query(name), wb.time_query(name)
+        if "err" in ra or "err" in rb:
+            failed[name] = ra.get("err") or rb.get("err")
+            print(f"ab: {name} FAILED: {failed[name]}", file=sys.stderr)
+            continue
+        ta: list[float] = []
+        tb: list[float] = []
+        for r in range(RUNS):
+            pair = (wa, ta, wb, tb) if r % 2 == 0 else (wb, tb, wa, ta)
+            w1, t1, w2, t2 = pair
+            m1, m2 = w1.time_query(name), w2.time_query(name)
+            if "err" in m1 or "err" in m2:
+                failed[name] = m1.get("err") or m2.get("err")
+                break
+            t1.append(m1["sec"])
+            t2.append(m2["sec"])
+        if name in failed:
+            continue
+        med_a, med_b = statistics.median(ta), statistics.median(tb)
+        spread_a = (max(ta) - min(ta)) / med_a if med_a else 0.0
+        spread_b = (max(tb) - min(tb)) / med_b if med_b else 0.0
+        ratio = med_b / med_a if med_a else float("inf")
+        per_query[name] = {
+            "a_med": round(med_a, 3),
+            "b_med": round(med_b, 3),
+            "ratio": round(ratio, 3),
+            "a_spread": round(spread_a, 3),
+            "b_spread": round(spread_b, 3),
+            "suspect": bool(
+                (ratio > RATIO_HI or ratio < RATIO_LO)
+                and (med_a + med_b) > MIN_T
+                and max(spread_a, spread_b) < NOISY_SPREAD
+            ),
+        }
+        print(
+            f"ab: {name}: A={med_a:.3f}s B={med_b:.3f}s "
+            f"ratio={ratio:.3f}",
+            file=sys.stderr,
+        )
+    wa.quit()
+    wb.quit()
+
+    ratios = sorted(r["ratio"] for r in per_query.values())
+    suspects = sorted(n for n, r in per_query.items() if r["suspect"])
+    full = {
+        "metric": "ab_ratio_b_over_a",
+        "ref": ref,
+        "ref_sha": sha,
+        "sf_dir": sf_dir,
+        "runs_per_side": RUNS,
+        "stat": "median",
+        "ratio_flag_hi": RATIO_HI,
+        "ratio_flag_lo": RATIO_LO,
+        "min_combined_sec": MIN_T,
+        "noisy_spread_threshold": NOISY_SPREAD,
+        "n_queries": len(per_query),
+        "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "total_a": round(sum(r["a_med"] for r in per_query.values()), 3),
+        "total_b": round(sum(r["b_med"] for r in per_query.values()), 3),
+        "suspects": suspects,
+        "only_in_ref": sorted(qa - qb),
+        "only_in_worktree": sorted(qb - qa),
+        "queries": per_query,
+    }
+    if failed:
+        full["failed"] = failed
+    with open(os.path.join(repo_root, "BENCH_AB.json"), "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    line = {
+        k: full[k]
+        for k in (
+            "metric",
+            "ref",
+            "n_queries",
+            "median_ratio",
+            "total_a",
+            "total_b",
+            "suspects",
+        )
+    }
+    line["full"] = "BENCH_AB.json"
+    if failed:
+        line["n_failed"] = len(failed)
+    print(json.dumps(line, separators=(",", ":")))
+    return 0 if not failed else 1
+
+
 if __name__ == "__main__":
+    if "--ab" in sys.argv:
+        sys.exit(ab_main())
     sys.exit(scaling_main() if "--scaling" in sys.argv else main())
