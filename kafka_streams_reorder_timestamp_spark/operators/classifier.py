@@ -939,3 +939,253 @@ def quality_selection_per_source(
         .cast("double")
         .alias("logit_cutoff"),
     )
+
+
+@register(
+    "quality_eval_report",
+    oracle=f"""
+    WITH {_ORACLE_MODEL}, sc AS (
+      SELECT s.doc_id, s.y, s.logit_dec, d.source
+      FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    ), conf AS (
+      SELECT 'confusion' AS section, source AS grp,
+             CAST(SUM(CASE WHEN logit_dec > 0 AND y = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN logit_dec > 0 AND y = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN logit_dec <= 0 AND y = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+             CAST(SUM(CASE WHEN logit_dec <= 0 AND y = 0
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_d,
+             CAST((10000 * SUM(CASE WHEN (logit_dec > 0) = (y = 1)
+                               THEN 1 ELSE 0 END)) // COUNT(*)
+                  AS BIGINT) AS metric_pct4
+      FROM sc GROUP BY 2
+    ), calib AS (
+      SELECT 'calibration' AS section,
+             CAST(CAST(FLOOR(logit_dec) AS BIGINT) AS VARCHAR) AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n_a,
+             CAST(SUM(y) AS BIGINT) AS n_b,
+             CAST(NULL AS BIGINT) AS n_c,
+             CAST(NULL AS BIGINT) AS n_d,
+             CAST((10000 * SUM(y)) // COUNT(*) AS BIGINT) AS metric_pct4
+      FROM sc GROUP BY 2
+    ), g AS (
+      SELECT source, logit_dec,
+             SUM(y) AS n_pos_g, SUM(1 - y) AS n_neg_g
+      FROM sc GROUP BY 1, 2
+    ), c AS (
+      SELECT source, n_pos_g, n_neg_g,
+             COALESCE(SUM(n_neg_g) OVER (
+               PARTITION BY source ORDER BY logit_dec
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg_below
+      FROM g
+    ), auc AS (
+      SELECT 'auc' AS section, source AS grp,
+             CAST(SUM(n_pos_g) AS BIGINT) AS n_a,
+             CAST(SUM(n_neg_g) AS BIGINT) AS n_b,
+             CAST(NULL AS BIGINT) AS n_c,
+             CAST(NULL AS BIGINT) AS n_d,
+             CAST(CASE WHEN SUM(n_pos_g) = 0 OR SUM(n_neg_g) = 0
+                  THEN NULL
+                  ELSE (10000 * SUM(n_pos_g * (2 * cum_neg_below
+                                               + n_neg_g)))
+                       // (2 * SUM(n_pos_g) * SUM(n_neg_g)) END
+                  AS BIGINT) AS metric_pct4
+      FROM c GROUP BY 1, 2
+    )
+    SELECT * FROM conf
+    UNION ALL SELECT * FROM calib
+    UNION ALL SELECT * FROM auc
+    """,
+    doc="The FUSED production eval report: ONE train+score subplan "
+    "feeding the confusion, calibration, and AUC rollups in a single "
+    "Catalyst plan — the shape a scheduler actually runs nightly "
+    "(score the corpus once, roll it up N ways), where the three "
+    "standalone parents (quality_classifier_confusion/_calibration/"
+    "_auc, which stay registered as the per-rollup oracles) each "
+    "re-pay the full subplan when run alone. The scored frame is "
+    "persisted (the in-sandbox stand-in for the scored TABLE a "
+    "production pipeline materializes), so train+score executes "
+    "exactly once and each rollup reads the cache — pinned by "
+    "tests/test_plan_shapes.py::test_eval_report_single_train_subplan. "
+    "Long format: section in ('confusion','calibration','auc'), grp "
+    "= source (confusion/auc) or the unit logit bin (calibration); "
+    "n_a..n_d = (tp,fp,fn,tn) / (n_docs,n_label_keep,-,-) / "
+    "(n_pos,n_neg,-,-); metric_pct4 = exact basis-point accuracy / "
+    "keep rate / tie-corrected AUC. All arithmetic identical to the "
+    "parents: DECIMAL logits, integer counts, floor division — "
+    "hash-matches the DuckDB oracle computing the same three "
+    "rollups off one scores CTE. At 100 TB: one corpus scan + one "
+    "doc-granularity score agg, then three tiny rollups (source / "
+    "logit-bin / per-source histogram grain) over the materialized "
+    "scores — the marginal cost of each extra rollup is its rollup, "
+    "not a re-train.",
+)
+def quality_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = _scores_frame(d, extra=("source",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pred = F.col("logit_dec") > 0
+    label = F.col("weak_label") == 1
+    null_l = F.lit(None).cast("long")
+
+    conf = (
+        s.groupBy("source")
+        .agg(
+            F.sum(F.when(pred & label, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(pred & ~label, 1).otherwise(0)).alias("n_b"),
+            F.sum(F.when(~pred & label, 1).otherwise(0)).alias("n_c"),
+            F.sum(F.when(~pred & ~label, 1).otherwise(0)).alias("n_d"),
+            F.expr(
+                "CAST((10000 * sum(CASE WHEN (logit_dec > 0) = "
+                "(weak_label = 1) THEN 1 ELSE 0 END)) div count(*) "
+                "AS BIGINT)"
+            ).alias("metric_pct4"),
+        )
+        .select(
+            F.lit("confusion").alias("section"),
+            F.col("source").alias("grp"),
+            "n_a",
+            "n_b",
+            "n_c",
+            "n_d",
+            "metric_pct4",
+        )
+    )
+
+    calib = (
+        s.select(
+            F.floor(F.col("logit_dec")).cast("long").alias("bin"),
+            F.col("weak_label").alias("y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_a"),
+            F.sum("y").alias("n_b"),
+            F.expr(
+                "CAST((10000 * sum(y)) div count(*) AS BIGINT)"
+            ).alias("metric_pct4"),
+        )
+        .select(
+            F.lit("calibration").alias("section"),
+            F.col("bin").cast("string").alias("grp"),
+            "n_a",
+            "n_b",
+            null_l.alias("n_c"),
+            null_l.alias("n_d"),
+            "metric_pct4",
+        )
+    )
+
+    g = s.groupBy("source", "logit_dec").agg(
+        F.sum("weak_label").alias("n_pos_g"),
+        F.sum(F.lit(1) - F.col("weak_label")).alias("n_neg_g"),
+    )
+    w_below = (
+        Window.partitionBy("source")
+        .orderBy("logit_dec")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = g.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("n_neg_g").over(w_below), F.lit(0))
+    )
+    n_pos, n_neg = F.sum("n_pos_g"), F.sum("n_neg_g")
+    auc = (
+        c.groupBy("source")
+        .agg(
+            n_pos.alias("n_a"),
+            n_neg.alias("n_b"),
+            F.when((n_pos == 0) | (n_neg == 0), F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    "(10000 * sum(n_pos_g * (2 * cum_neg_below "
+                    "+ n_neg_g))) div (2 * sum(n_pos_g) "
+                    "* sum(n_neg_g))"
+                )
+            )
+            .alias("metric_pct4"),
+        )
+        .select(
+            F.lit("auc").alias("section"),
+            F.col("source").alias("grp"),
+            "n_a",
+            "n_b",
+            null_l.alias("n_c"),
+            null_l.alias("n_d"),
+            "metric_pct4",
+        )
+    )
+    return conf.unionByName(calib).unionByName(auc)
+
+
+@register(
+    "quality_selection_approx",
+    oracle=None,
+    doc="The PRODUCTION path of per-source budgeted selection for "
+    "near-unique-logit corpora — the documented fallback of "
+    "quality_selection_per_source, now registered instead of prose: "
+    "when logits rarely collide, the per-source DISTINCT-LOGIT "
+    "histogram degenerates toward one row per document and the "
+    "exact cumulative-window path loses its reduce-then-window "
+    "advantage; this query replaces it with approx_percentile "
+    "(percentile_approx, accuracy 10000 — a bounded-size mergeable "
+    "Greenwald-Khanna sketch) computing each source's 75th-"
+    "percentile logit cutoff in ONE partial-agg pass, then applies "
+    "the cutoff via a broadcast join + filter at scan speed — no "
+    "window, no per-document rank, no doc-granularity sort "
+    "anywhere (pinned by tests/test_plan_shapes.py::"
+    "test_selection_approx_no_window). The sketch result is "
+    "engine-specific (DuckDB's t-digest differs from Spark's GK), "
+    "so there is deliberately NO SQL oracle; correctness is pinned "
+    "by pytest against the exact histogram path "
+    "(quality_selection_per_source IS the oracle twin): identical "
+    "source set, identical n_docs/quota, n_kept within the "
+    "tie-group tolerance of the exact kept count, and a cutoff "
+    "bounded by the exact path's admission threshold "
+    "(tests/test_classifier.py::test_selection_approx_matches_exact"
+    "_within_tolerance). Output schema matches the exact path "
+    "column-for-column so a pipeline can swap implementations "
+    "per-corpus. At 100 TB: sketch states are constant-size per "
+    "(source, partition) and merge associatively — the selection "
+    "cost is one corpus scan regardless of logit cardinality.",
+)
+def quality_selection_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = _scores_frame(d, extra=("source",)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sc = s.select(
+        "source", F.col("logit_dec").cast("double").alias("logit")
+    )
+    cut = sc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile_approx("logit", 0.75, 10000).alias("logit_cutoff"),
+    )
+    kept = (
+        sc.join(F.broadcast(cut.select("source", "logit_cutoff")), "source")
+        .filter(F.col("logit") >= F.col("logit_cutoff"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        cut.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(n_docs + 3) div 4").alias("quota"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_kept"),
+            "logit_cutoff",
+        )
+    )

@@ -202,3 +202,39 @@ def assert_plan(
         assert len(cols) <= max_read_columns, (
             f"scans read {len(cols)} columns {sorted(cols)} > {max_read_columns}\n{plan}"
         )
+
+
+def nodes_outside_cache(df: DataFrame, needle: str) -> list[str]:
+    """Plan lines containing ``needle`` that are NOT beneath an
+    InMemoryTableScan ancestor in the plan tree — i.e. work a branch
+    would execute directly instead of reading from a cache.
+
+    The pin for fused multi-rollup plans (quality_eval_report): with
+    the scored frame persisted, every rollup branch's path to the
+    expensive subplan (the raw scan, the bucket-keyed scoring join)
+    passes through the cache, so this returns []. If the persist is
+    dropped, each rollup re-runs the subplan and its nodes show up
+    here. Note explain() PRINTS a cached subtree under every
+    InMemoryTableScan that references it — counting node occurrences
+    is meaningless; ancestry is the invariant. (A query whose only
+    cache is the upstream labeled-tokens persist still shows its
+    scoring join outside any cache — which is exactly how this
+    distinguishes the fused report from a standalone rollup.)"""
+    lines = physical_plan(df, "simple").splitlines()
+
+    def indent(s: str) -> int:
+        return len(s) - len(s.lstrip(" +-:*"))
+
+    imts_depths: list[int] = []
+    bad: list[str] = []
+    for ln in lines:
+        if not ln.strip():
+            continue
+        ind = indent(ln)
+        while imts_depths and ind <= imts_depths[-1]:
+            imts_depths.pop()
+        if needle in ln and not imts_depths:
+            bad.append(ln.strip()[:160])
+        if "InMemoryTableScan" in ln:
+            imts_depths.append(ind)
+    return bad

@@ -342,3 +342,43 @@ def test_per_source_selection_matches_per_doc_recompute(spark, sf_dir):
         assert row.n_kept == n_kept, (src, row)
         assert row.logit_cutoff == boundary, (src, row)
         assert quota <= row.n_kept <= n
+
+
+def test_selection_approx_matches_exact_within_tolerance(spark, sf_dir):
+    """quality_selection_per_source IS the oracle twin of the approx
+    path (SCALE.md round-9): identical source set and n_docs/quota,
+    n_kept within the tie-group tolerance, and a cutoff that is an
+    actual logit of the source (percentile_approx returns a data
+    point, not an interpolation) lying within the source's logit
+    range. With accuracy=10000 and well under 10k docs per source at
+    test SF, the GK sketch is rank-exact, so the only legitimate
+    daylight vs the exact path is the quantile convention at the
+    boundary (ceil(n/4)-th from the top vs index 0.75*(n-1)) plus
+    tie-group admission."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_selection_approx,
+        quality_selection_per_source,
+    )
+
+    spark.catalog.clearCache()
+    exact = {
+        r["source"]: r
+        for r in quality_selection_per_source(spark, str(sf_dir)).collect()
+    }
+    approx = {
+        r["source"]: r
+        for r in quality_selection_approx(spark, str(sf_dir)).collect()
+    }
+    assert set(exact) == set(approx)
+    for src, a in approx.items():
+        e = exact[src]
+        assert a["n_docs"] == e["n_docs"], src
+        assert a["quota"] == e["quota"], src
+        tol = max(2, e["n_docs"] // 20)
+        assert abs(a["n_kept"] - e["n_kept"]) <= tol, (
+            src, a["n_kept"], e["n_kept"])
+        # the cutoff keeps roughly a quarter: never fewer than
+        # quota - tol, never the whole source
+        assert a["n_kept"] >= e["quota"] - tol, src
+        assert a["n_kept"] < a["n_docs"], src
+    spark.catalog.clearCache()

@@ -541,3 +541,65 @@ def test_token_budget_mixture_single_agg_no_explode(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plans.read_schema_columns(df) == {"lang", "text"}
+
+
+def test_eval_report_single_train_subplan(spark, sf_dir):
+    """quality_eval_report's contract: ONE train+score subplan, three
+    rollups. The scored frame is persisted, so every rollup branch's
+    path to the expensive work — the raw documents scan AND the
+    bucket-keyed scoring join — passes through an InMemoryTableScan;
+    nothing expensive executes outside the cache. The standalone
+    confusion rollup (built in a CLEAN cache state) shows its scoring
+    join OUTSIDE any cache — proving the helper discriminates and the
+    fused query's shape is the persist, not an artifact of the
+    upstream labeled-tokens cache. (Cache state matters: Spark's
+    CacheManager substitutes any matching persisted subtree into
+    later plans, so both halves clear the cache first.)"""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_classifier_confusion,
+        quality_eval_report,
+    )
+    from kafka_streams_reorder_timestamp_spark import plans
+
+    spark.catalog.clearCache()
+    standalone = quality_classifier_confusion(spark, str(sf_dir))
+    assert plans.nodes_outside_cache(
+        standalone, "BroadcastHashJoin [bucket"
+    ), "discriminator broken: standalone rollup shows no uncached join"
+
+    spark.catalog.clearCache()
+    df = quality_eval_report(spark, str(sf_dir))
+    plan = plans.physical_plan(df, "simple")
+    assert "Union" in plan, plan
+    assert plans.nodes_outside_cache(df, "Scan parquet") == [], plan
+    assert plans.nodes_outside_cache(df, "BroadcastHashJoin [bucket") == [], (
+        "a rollup branch re-runs the scoring join outside the scores "
+        "cache:\n" + plan
+    )
+    # all three rollup sections present in one plan: two source-keyed
+    # aggs (confusion, auc-histogram), one bin-keyed (calibration)
+    keys = plans.exchange_partition_keys(df)
+    assert any("source" in k for k in keys), keys
+    spark.catalog.clearCache()
+
+
+def test_selection_approx_no_window(spark, sf_dir):
+    """The approx selection path must be sketch-shaped: percentile via
+    a mergeable aggregate (ObjectHashAggregate), cutoffs broadcast
+    back — NO Window, no per-document rank, no single-partition funnel
+    of raw rows. This is the production shape for near-unique-logit
+    corpora; the exact histogram path keeps the Window and serves as
+    its oracle twin."""
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        quality_selection_approx,
+    )
+    from kafka_streams_reorder_timestamp_spark import plans
+
+    spark.catalog.clearCache()
+    df = quality_selection_approx(spark, str(sf_dir))
+    plan = plans.physical_plan(df, "simple")
+    assert "Window" not in plan, plan
+    assert "ObjectHashAggregate" in plan, plan
+    assert "BroadcastHashJoin [source" in plan, plan
+    assert plans.single_partition_scan_funnels(df) == []
+    spark.catalog.clearCache()
