@@ -596,11 +596,11 @@ def shard_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DSIR setup (the target IS drawn from the raw pool).
 DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
 
-
-@register(
-    "dsir_importance_weights",
-    oracle=f"""
-    WITH base AS (
+# The DSIR scoring chain as reusable CTEs (train both hashed-unigram
+# models in one pass, broadcast the log-ratio table, score per doc) —
+# shared by dsir_importance_weights and dsir_resample_draw. Ends in
+# `scored(doc_id, source, n_tokens BIGINT, logw_dec DECIMAL)`.
+_DSIR_CTE = f"""base AS (
       SELECT doc_id, source,
              list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                          t -> t <> '') AS t
@@ -633,12 +633,22 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
              CAST(COUNT(*) AS BIGINT) AS n_tokens,
              SUM(lr) AS logw_dec
       FROM tok JOIN lr USING (bucket) GROUP BY 1
-    )
-    SELECT b.doc_id, b.source,
-           COALESCE(p.n_tokens, 0) AS n_tokens,
-           CAST(COALESCE(p.logw_dec, 0) AS DOUBLE) AS logw,
-           COALESCE(p.logw_dec, 0) > 0 AS dsir_keep
-    FROM base b LEFT JOIN per_doc p USING (doc_id)
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+             COALESCE(p.logw_dec, 0) AS logw_dec
+      FROM base b LEFT JOIN per_doc p USING (doc_id)
+    )"""
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, source, n_tokens,
+           CAST(logw_dec AS DOUBLE) AS logw,
+           logw_dec > 0 AS dsir_keep
+    FROM scored
     """,
     doc="Data Selection via Importance Resampling (Xie et al. 2023, "
     "DSIR): score every raw document by how much more likely its "
@@ -662,6 +672,20 @@ DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
     "cost linear in corpus tokens, no wide shuffle anywhere.",
 )
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsir_logw_frame(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("logw_dec").cast("double").alias("logw"),
+        (F.col("logw_dec") > 0).alias("dsir_keep"),
+    )
+
+
+def _dsir_logw_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_tokens, logw_dec): the DSIR scoring subplan
+    with the per-doc importance log-weight kept as exact DECIMAL —
+    shared by dsir_importance_weights (thresholded stand-in) and
+    dsir_resample_draw (the paper's Gumbel-top-k draw)."""
     from ..functions.texthash import tokens
     from .classifier import _bucket
 
@@ -712,10 +736,96 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
-            F.coalesce(F.col("logw_dec"), zero)
-            .cast("double")
-            .alias("logw"),
-            (F.coalesce(F.col("logw_dec"), zero) > 0).alias("dsir_keep"),
+            F.coalesce(F.col("logw_dec"), zero).alias("logw_dec"),
+        )
+    )
+
+
+# Gumbel-top-k resampling draw: sample size and the denominator of
+# the md5-derived uniform. 13 hex digits = 52 bits, so the hash
+# integer (and hash + 0.5) is EXACTLY representable as a double in
+# both engines — the uniform u = (h + 0.5) / 2^52 enters ln() with
+# identical bits on the Spark and DuckDB side, and u is strictly
+# inside (0, 1) by construction (no ln(0)/ln(1) edge in -ln(-ln(u))).
+DSIR_RESAMPLE_K = 128
+_GUMBEL_DEN = 2**52
+
+
+@register(
+    "dsir_resample_draw",
+    oracle=f"""
+    WITH {_DSIR_CTE}, noise AS (
+      SELECT doc_id, source, n_tokens, logw_dec,
+             CAST(ROUND(-ln(-ln(
+               (('0x' || substring(md5('dsir-draw:'
+                   || CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 0.5)
+               / {_GUMBEL_DEN}.0)), 6) AS DECIMAL(18,6)) AS gumbel_dec
+      FROM scored
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(logw_dec AS DOUBLE) AS logw,
+           CAST(gumbel_dec AS DOUBLE) AS gumbel,
+           CAST(logw_dec + gumbel_dec AS DOUBLE) AS draw_key
+    FROM noise
+    ORDER BY (logw_dec + gumbel_dec) DESC, doc_id
+    LIMIT {DSIR_RESAMPLE_K}
+    """,
+    doc="The RESAMPLING step that completes the DSIR recipe (Xie et "
+    "al. 2023 §2: sample k documents with probability proportional "
+    "to their importance weight, without replacement): the Gumbel-"
+    "top-k identity — draw g_i ~ Gumbel(0,1) per doc and keep the k "
+    "largest logw_i + g_i, which is distributionally exactly the "
+    "sequential weighted draw. The noise is DERANDOMIZED the repo's "
+    "standard way (never rand()): u_i comes from 13 hex digits of "
+    "md5('dsir-draw:' || doc_id) — 52 bits, exactly double-"
+    "representable, strictly inside (0,1) — and g_i = -ln(-ln(u_i)) "
+    "rounded to 6 dp into DECIMAL(18,6), so the kept set is a pure "
+    "function of doc_id, identical across engines/runs/partitionings "
+    "and hash-checkable against DuckDB computing the same draw. "
+    "draw_key = logw + gumbel decides membership; doc_id breaks the "
+    "(measure-zero) tie. Shape for 100 TB: the scoring chain is "
+    "dsir_importance_weights' (one token-keyed agg, broadcast ratio "
+    "table); the draw itself is a per-row projection plus a global "
+    "top-k, which Catalyst executes as TakeOrderedAndProject — "
+    "per-partition k-heaps merged on the driver, k rows moved, "
+    "never a global sort of the corpus.",
+)
+def dsir_resample_draw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dsir_logw_frame(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("dsir-draw:"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(_GUMBEL_DEN))
+    noise = scored.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "logw_dec",
+        F.round(-F.log(-F.log(u)), 6)
+        .cast("decimal(18,6)")
+        .alias("gumbel_dec"),
+    )
+    key = F.col("logw_dec") + F.col("gumbel_dec")
+    return (
+        noise.orderBy(key.desc(), "doc_id")
+        .limit(DSIR_RESAMPLE_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.col("logw_dec").cast("double").alias("logw"),
+            F.col("gumbel_dec").cast("double").alias("gumbel"),
+            key.cast("double").alias("draw_key"),
         )
     )
 

@@ -230,3 +230,39 @@ def test_token_budget_mixture_integer_identities(spark, sf_dir):
         assert r.repeat_bp == (10000 * r.target_tokens + avail - 1) // avail
         assert r.surplus_tokens == r.avail_tokens - r.target_tokens
         assert r.n_docs > 0 and r.avail_tokens > 0
+
+
+def test_dsir_resample_draw_deterministic_biased_and_topk_shaped(
+    spark, sf_dir
+):
+    """The Gumbel-top-k draw must be (a) a pure function of doc_id —
+    identical kept set run to run; (b) actually importance-BIASED —
+    the kept docs' mean logw must exceed the corpus mean (that is the
+    entire point of resampling); (c) exactly min(K, n_docs) rows with
+    draw_key = logw + gumbel decreasing; (d) executed as a distributed
+    top-k (TakeOrderedAndProject), never a global sort of the corpus."""
+    from kafka_streams_reorder_timestamp_spark import plans
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        DSIR_RESAMPLE_K,
+        dsir_resample_draw,
+        dsir_importance_weights,
+    )
+
+    a = dsir_resample_draw(spark, sf_dir).collect()
+    b = dsir_resample_draw(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+    all_w = dsir_importance_weights(spark, sf_dir).collect()
+    n_docs = len(all_w)
+    assert len(a) == min(DSIR_RESAMPLE_K, n_docs)
+    if n_docs > DSIR_RESAMPLE_K:
+        corpus_mean = sum(r.logw for r in all_w) / n_docs
+        kept_mean = sum(r.logw for r in a) / len(a)
+        assert kept_mean > corpus_mean, (kept_mean, corpus_mean)
+    for r in a:
+        assert abs((r.logw + r.gumbel) - r.draw_key) < 1e-9
+
+    df = dsir_resample_draw(spark, sf_dir)
+    p = plans.physical_plan(df, "simple")
+    assert "TakeOrderedAndProject" in p, p
+    assert plans.single_partition_scan_funnels(df) == []
