@@ -168,12 +168,56 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64, stride: int = 4) -> D
 
 @register(
     "media_feature_stats",
-    oracle=None,  # binary feature extraction is not SQL-expressible in
-    # DuckDB; pytest verifies the numpy features against a
-    # pure-Python recomputation.
+    # Byte features ARE SQL-expressible after all (round 9, closing the
+    # no_oracle residue): DuckDB reaches individual payload bytes via
+    # hex(encode(text)) + 2-char substring parsed as INT. The per-doc
+    # math is integer-exact until the final divisions (byte sums and
+    # histogram counts are integers; mean = exact_sum / n and
+    # p = c / n are single correctly-rounded double divisions in both
+    # engines), so the rollup hash-matches the numpy mapInPandas path
+    # bit-for-bit. Empty payloads stay NULL-featured through the LEFT
+    # joins exactly as the Arrow path emits them.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio'
+                             ELSE 'video' END AS kind,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL
+    ), bytes AS (
+      SELECT doc_id, n,
+             ('0x' || substring(h, CAST(i AS INT) * 2 + 1, 2))::INT AS b
+      FROM (SELECT doc_id, n, h, unnest(range(n)) AS i FROM m)
+    ), mean_f AS (
+      SELECT doc_id, SUM(b) * 1.0 / MAX(n) AS mean_byte
+      FROM bytes GROUP BY 1
+    ), hist AS (
+      SELECT doc_id, n, b // 16 AS bin, COUNT(*) AS c
+      FROM bytes GROUP BY 1, 2, 3
+    ), ent AS (
+      SELECT doc_id,
+             -SUM((c * 1.0 / n) * log2(c * 1.0 / n)) AS byte_entropy
+      FROM hist GROUP BY 1
+    )
+    SELECT m.kind,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(m.n) AS BIGINT) AS total_bytes,
+           ROUND(AVG(f.mean_byte), 4) AS avg_mean_byte,
+           ROUND(AVG(e.byte_entropy), 4) AS avg_entropy
+    FROM m LEFT JOIN mean_f f USING (doc_id)
+           LEFT JOIN ent e USING (doc_id)
+    GROUP BY 1
+    """,
     doc="Multimodal pipeline: documents → binary payload synthesis → "
     "mapInPandas byte features → per-kind rollup. Blobs stay columnar "
-    "until features shrink them; only feature rows shuffle.",
+    "until features shrink them; only feature rows shuffle. The "
+    "DuckDB oracle recomputes the byte features relationally "
+    "(hex-sliced bytes, integer histogram, closed-form entropy), so "
+    "the whole Arrow/numpy path is value-hash-checked — "
+    "tests/test_llm_pipeline.py's pure-Python pin stays as the "
+    "independent third implementation.",
 )
 def media_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
