@@ -354,10 +354,74 @@ def phash64(payload_col: str = "payload"):
 
 @register(
     "media_phash_neardup",
-    oracle=None,  # signature family is implementation-specific (same
-    # contract as dedup_simhash); pytest pins planted perturbed copies
-    # pairing with their source within the Hamming budget and
-    # unrelated media staying apart.
+    # Round 9: the dHash IS exactly SQL-expressible, so the former
+    # pytest-only contract gains a full DuckDB oracle. Keys to
+    # exactness: (a) payload bytes via hex slicing (as
+    # media_feature_stats); (b) the pooled-cell comparison
+    # mean_a > mean_b is computed as the INTEGER cross-multiplication
+    # s_a*c_b > s_b*c_a — equivalent to numpy's double compare because
+    # distinct cell means differ by >= 1/(c_a*c_b) (~1e-3) while
+    # division rounding error is ~1e-14, and exact ties are False in
+    # both forms; (c) the 64-bit signature accumulates in HUGEINT and
+    # wraps to signed BIGINT exactly as the numpy path does; (d) the
+    # pigeonhole banding is candidate generation only — the RESULT
+    # set equals brute-force all-pairs at Hamming <= 3, which the
+    # oracle computes directly (sf-bounded oracle-side cost only).
+    oracle="""
+    WITH m0 AS (
+      SELECT doc_id AS media_id,
+             hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+      WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
+    ), raw_bytes AS (
+      SELECT media_id, n,
+             CAST(i AS BIGINT) AS pos,
+             ('0x' || substring(h, CAST(i AS INT) * 2 + 1, 2))::BIGINT AS b
+      FROM (SELECT media_id, n, h, unnest(range(n)) AS i FROM m0)
+    ), all_bytes AS (
+      SELECT media_id, n, pos, b FROM raw_bytes
+      UNION ALL
+      SELECT media_id + 5000000000 AS media_id, n, pos,
+             (b + 1) % 256 AS b
+      FROM raw_bytes WHERE media_id < 15
+    ), padded AS (
+      SELECT media_id, GREATEST(n, 72) AS np, pos, b FROM all_bytes
+      UNION ALL
+      SELECT a.media_id, 72 AS np, CAST(p.i AS BIGINT) AS pos, 0 AS b
+      FROM (SELECT DISTINCT media_id, n FROM all_bytes WHERE n < 72) a,
+           unnest(range(72)) AS p(i)
+      WHERE p.i >= a.n
+    ), cells AS (
+      SELECT media_id,
+             (72 * (pos + 1) + np - 1) // np - 1 AS cell,
+             SUM(b) AS s, COUNT(*) AS c
+      FROM padded GROUP BY 1, 2
+    ), bits AS (
+      SELECT l.media_id,
+             (l.cell // 9) * 8 + (l.cell % 9) AS k,
+             CAST(l.s * r.c > r.s * l.c AS INT) AS bit
+      FROM cells l JOIN cells r
+        ON l.media_id = r.media_id AND r.cell = l.cell + 1
+      WHERE l.cell % 9 < 8
+    ), sigs AS (
+      SELECT media_id,
+             SUM(CASE WHEN bit = 1
+                 THEN CAST(1 AS HUGEINT) << CAST(63 - k AS INT)
+                 ELSE 0 END) AS v
+      FROM bits GROUP BY 1
+    ), sig64 AS (
+      SELECT media_id,
+             CAST(CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+                  THEN v - (CAST(1 AS HUGEINT) << 64) ELSE v END
+                  AS BIGINT) AS sig
+      FROM sigs
+    )
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig64 a JOIN sig64 b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     doc="Perceptual-hash near-dup over the media corpus plus "
     "deterministic perturbed copies (payloads of media 0-14 with "
     "every byte shifted +1 — the uniform 'brightness change' that "
@@ -368,7 +432,11 @@ def phash64(payload_col: str = "payload"):
     "bands; text-derived grids are correlated, so wider budgets fatten "
     "band buckets quadratically for little recall — measured) — "
     "multimodal dedup without decoding, sharing one verified LSH "
-    "code path across text and media. Shape for 100 TB: signatures "
+    "code path across text and media. The DuckDB oracle recomputes "
+    "the dHash relationally (integer cross-multiplied cell compares, "
+    "HUGEINT bit assembly) and brute-forces the Hamming-<=3 pairs, "
+    "value-hash-checking both the signature math and the banding's "
+    "pigeonhole completeness. Shape for 100 TB: signatures "
     "reduce each blob to 8 bytes BEFORE any shuffle (blobs never "
     "cross an exchange); banding bounds candidate fan-out by bucket "
     "size; verification is bit_count(xor), JVM-side.",
