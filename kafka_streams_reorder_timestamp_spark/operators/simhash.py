@@ -14,7 +14,7 @@ candidate join is bounded by bucket size; verification is JVM-side
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pandas as pd
@@ -27,23 +27,31 @@ from ..sources.catalog import load_table
 from .registry import register
 
 _WS = None
+# Worker-persistent token -> hash cache: real corpora follow Zipf, so
+# the distinct-token count is orders of magnitude below the token
+# count and almost every lookup hits. Bounded (cleared at 2^20
+# entries) so a pathological vocabulary can't grow executor memory.
+_HASH_CACHE: dict[str, int] = {}
 
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Vectorized splitmix64 avalanche finalizer. Required: crc32 is
-    GF(2)-LINEAR, so crc values of similar short tokens are strongly
-    correlated and the per-bit vote margins degenerate (one removed
-    token flipped ~20/64 signature bits instead of the ~4 independent
-    hashing predicts). The finalizer destroys that linearity."""
-    x = x + np.uint64(0x9E3779B97F4A7C15)
-    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return x ^ (x >> np.uint64(31))
+def _md5_64(t: str) -> int:
+    """The first 8 md5 digest bytes read big-endian — an avalanche
+    hash (an earlier crc32 variant needed a splitmix64 finalizer
+    because crc is GF(2)-linear and correlated similar tokens' bits;
+    md5 does not), and, crucially, the exact integer DuckDB computes
+    as ('0x' || substring(md5(t),1,16))::UBIGINT, which is what makes
+    the dedup_simhash oracle exact."""
+    h = _HASH_CACHE.get(t)
+    if h is None:
+        if len(_HASH_CACHE) >= 1 << 20:
+            _HASH_CACHE.clear()
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        _HASH_CACHE[t] = h
+    return h
 
 
 def _token_hashes64(txt: str) -> np.ndarray | None:
-    """Per-token 64-bit hashes: two crc32s (token, salted token) packed
-    into one uint64, then avalanche-mixed — C-speed, deterministic."""
+    """Per-token 64-bit md5-prefix hashes (`_md5_64`), cache-backed."""
     global _WS
     if _WS is None:
         import re
@@ -52,15 +60,9 @@ def _token_hashes64(txt: str) -> np.ndarray | None:
     if txt is None or not txt.strip():
         return None
     tok = _WS.split(txt.strip().lower())
-    hi = np.fromiter(
-        (zlib.crc32(t.encode()) for t in tok), dtype=np.uint64, count=len(tok)
+    return np.fromiter(
+        (_md5_64(t) for t in tok), dtype=np.uint64, count=len(tok)
     )
-    lo = np.fromiter(
-        (zlib.crc32((t + "\x01").encode()) for t in tok),
-        dtype=np.uint64,
-        count=len(tok),
-    )
-    return _splitmix64((hi << np.uint64(32)) | lo)
 
 
 def simhash64(text: Column) -> Column:
@@ -176,13 +178,69 @@ def hamming_band_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+# The full SimHash is exactly SQL-expressible once the token hash is
+# the md5-prefix integer both engines can compute: per-token UBIGINT
+# hashes, 64 per-bit vote sums in one GROUP BY, majority threshold
+# (2*ones > n, exact ties -> 0 on both sides), HUGEINT bit assembly
+# wrapped to signed BIGINT — the same recipe as media_phash_neardup.
+# The pigeonhole banding is candidate generation only, so the oracle
+# brute-forces all pairs at Hamming <= 3 (sf-bounded oracle-side cost).
+_VOTE_COLS = ",\n             ".join(
+    f"SUM(CAST((h >> {b}) & 1 AS BIGINT)) AS o{b}" for b in range(64)
+)
+_SIG_TERMS = "\n           + ".join(
+    f"CASE WHEN 2 * o{b} > n THEN CAST(1 AS HUGEINT) << {b} "
+    "ELSE CAST(0 AS HUGEINT) END"
+    for b in range(64)
+)
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # signature family is implementation-specific; pytest
-    # verifies planted near-identical pairs and the Hamming bound.
+    oracle=f"""
+    WITH base_toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents WHERE text IS NOT NULL
+    ), corpus_toks AS (
+      SELECT doc_id, toks FROM base_toks WHERE len(toks) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000 AS doc_id,
+             toks[1:GREATEST(len(toks) - 1, 1)] AS toks
+      FROM base_toks WHERE doc_id < 20 AND len(toks) > 0
+    ), th AS (
+      SELECT doc_id, ('0x' || substring(md5(t), 1, 16))::UBIGINT AS h
+      FROM (SELECT doc_id, unnest(toks) AS t FROM corpus_toks)
+    ), votes AS (
+      SELECT doc_id, COUNT(*) AS n,
+             {_VOTE_COLS}
+      FROM th GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id,
+             {_SIG_TERMS} AS v
+      FROM votes
+    ), sig64 AS (
+      SELECT doc_id,
+             CAST(CASE WHEN v >= CAST(1 AS HUGEINT) << 63
+                  THEN v - (CAST(1 AS HUGEINT) << 64) ELSE v END
+                  AS BIGINT) AS sig
+      FROM sigs
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sig64 a JOIN sig64 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """,
     doc="SimHash near-dup over documents plus a deterministic perturbed "
     "sample (20 docs, one token dropped): 64-bit signatures, "
-    "pigeonhole banding, bit_count(xor) verification.",
+    "pigeonhole banding, bit_count(xor) verification. Round 9: the "
+    "former pytest-only contract gains a full DuckDB oracle — the "
+    "token hash is the md5-prefix integer both engines compute "
+    "exactly, so the oracle recomputes signatures relationally "
+    "(64 integer vote sums, HUGEINT bit assembly) and brute-forces "
+    "Hamming <= 3, value-hash-checking both the signature math and "
+    "the banding's pigeonhole completeness.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
