@@ -16,6 +16,7 @@ keeping candidate generation a single shuffle on (band, bucket).
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 
 import numpy as np
@@ -121,19 +122,43 @@ _C2 = np.int64(0x85EBCA77)
 _MASK32 = np.int64(0xFFFFFFFF)
 _WS = None  # compiled lazily (regex import kept local to call sites)
 
+# Worker-persistent token -> 32-bit-hash cache (same rationale as the
+# SimHash cache in operators/simhash.py: Zipf token distribution makes
+# the distinct-token count orders of magnitude below the token count).
+# Bounded so a pathological vocabulary can't grow executor memory.
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _md5_32(t: str) -> int:
+    """The first 4 md5 digest bytes read big-endian — an avalanche
+    token hash, and exactly the integer DuckDB computes as
+    ('0x' || substring(md5(t),1,8))::HUGEINT, which is what makes the
+    dedup_minhash_lsh signature/banding oracle exact (an earlier crc32
+    variant was not DuckDB-expressible)."""
+    h = _MD5_CACHE.get(t)
+    if h is None:
+        if len(_MD5_CACHE) >= 1 << 20:
+            _MD5_CACHE.clear()
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+        _MD5_CACHE[t] = h
+    return h
+
 
 def _shingle_hash_set(txt, shingle_n: int, mask32: bool = True):
     """Distinct shingle hashes of one document (sorted), or None.
 
-    Tokens are crc32-hashed once (C speed, deterministic) and combined
-    into shingle hashes with a rolling numpy expression — the whole
-    shingle set costs one hash per token plus vectorized arithmetic.
-    Hashing the shingle *identity* rather than its string is fine for
-    Jaccard purposes: any deterministic uniform hash estimates set
-    overlap equally. `mask32=True` yields the 32-bit universe the
-    MinHash signatures sign over; `mask32=False` keeps the full 64-bit
-    mix for callers whose Jaccard must be collision-free in practice
-    (birthday bound ~1e-14 at corpus shingle counts).
+    Tokens are md5-prefix-hashed once (`_md5_32`, cache-backed) and
+    combined into shingle hashes with a rolling numpy expression — the
+    whole shingle set costs one hash per DISTINCT token plus vectorized
+    arithmetic. Hashing the shingle *identity* rather than its string
+    is fine for Jaccard purposes: any deterministic uniform hash
+    estimates set overlap equally. `mask32=True` yields the 32-bit
+    universe the MinHash signatures sign over; `mask32=False` keeps the
+    full 64-bit mix for callers whose Jaccard must be collision-free in
+    practice (birthday bound ~1e-14 at corpus shingle counts).
+    Every step (token hash, int64-wrap rolling combine, mask) is
+    integer arithmetic DuckDB reproduces bit-exactly in HUGEINT mod
+    2^64 — see the dedup_minhash_lsh oracle.
     """
     global _WS
     if _WS is None:
@@ -144,7 +169,7 @@ def _shingle_hash_set(txt, shingle_n: int, mask32: bool = True):
         return None
     tok = _WS.split(txt.strip().lower())
     c = np.fromiter(
-        (zlib.crc32(t.encode()) for t in tok), dtype=np.int64, count=len(tok)
+        (_md5_32(t) for t in tok), dtype=np.int64, count=len(tok)
     )
     if len(c) >= shingle_n:
         h = c[: len(c) - shingle_n + 1].copy()

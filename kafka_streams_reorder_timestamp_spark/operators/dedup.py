@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texthash import (
+    _minhash_coeffs,
     minhash_features,
     normalize_text,
     shingle_hashes,
@@ -452,14 +453,127 @@ def _planted_corpus(d: DataFrame) -> DataFrame:
     return d.select("doc_id", "text").unionByName(perturbed)
 
 
+# Round 9: the whole MinHash+LSH pipeline became exactly
+# SQL-expressible once the token hash moved to the md5-prefix integer
+# both engines compute (texthash._md5_32). The oracle recomputes, in
+# DuckDB: (a) the 32-bit shingle universe — md5-prefix token hashes
+# rolled with the same mixing constants in HUGEINT mod 2^64 (numpy's
+# int64 wraparound reinterpreted unsigned), masked to 32 bits;
+# (b) all 128 universal-hash signature minima with the seed-derived
+# coefficients interpolated below; (c) banding as DIRECT band-slice
+# equality (16 bands x 8 rows) — bucket-hash equality on the Spark
+# side is slice equality up to a crc collision, so this also audits
+# bucket-collision false candidates; (d) exact Jaccard verification
+# over the same hashed shingle sets. Brute-force pair join is
+# oracle-side sf-bounded cost only.
+_P64 = 1 << 64
+
+
+def _lsh_sql_blocks(num_hashes: int, bands: int) -> tuple[str, str]:
+    """(signature-min columns, band-fingerprint structs) SQL fragments
+    for the LSH oracles, with the seed-derived universal-hash
+    coefficients interpolated — _minhash_coeffs draws all `a`s then
+    all `b`s, so each (num_hashes) configuration has its own b-vector
+    and the fragments must be generated per configuration."""
+    a, b = _minhash_coeffs(num_hashes)
+    rows = num_hashes // bands
+    sig_cols = ",\n             ".join(
+        f"MIN((hp * {a[j]} + {b[j]}) % 2147483647) AS s{j}"
+        for j in range(num_hashes)
+    )
+    band_structs = ",\n        ".join(
+        "struct_pack(band := {bi}, fp := {fp})".format(
+            bi=bi,
+            fp=" || ',' || ".join(
+                f"s{bi * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for bi in range(bands)
+    )
+    return sig_cols, band_structs
+
+
+# Shingle/signature/banding CTE chain over a `corpus(doc_id, t)` CTE —
+# shared verbatim by the three LSH oracles (pair query 128/16,
+# incremental and clusters 64/8). Expects {sig_cols}/{band_structs}
+# for the configuration.
+_LSH_MACHINERY_SQL = f"""ctoks AS (
+      SELECT doc_id,
+             list_transform(t, x ->
+               ('0x' || substring(md5(x), 1, 8))::BIGINT::HUGEINT) AS c
+      FROM corpus
+    ), shing AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(c) >= 3 THEN
+          list_transform(range(1, len(c) - 1), i ->
+            ((((c[i] * 2654435761 + c[i+1]) % {_P64})
+               * 2654435761 + c[i+2]) % {_P64}) % 4294967296)
+        ELSE [ (list_aggregate(list_transform(c, x -> x * 2247054967),
+                               'sum') % {_P64}) % 4294967296 ]
+        END) AS h32
+      FROM ctoks
+    ), dset AS (
+      SELECT DISTINCT doc_id, CAST(h32 AS BIGINT) AS h
+      FROM shing
+    ), hp AS (
+      SELECT doc_id, h, h % 2147483647 AS hp FROM dset
+    ), sigs AS (
+      SELECT doc_id,
+             {{sig_cols}}
+      FROM hp GROUP BY doc_id
+    ), bandtab AS (
+      SELECT doc_id, b.band AS band, b.fp AS fp
+      FROM sigs, unnest([
+        {{band_structs}}
+      ]) AS u(b)
+    ), sets AS (
+      SELECT doc_id, list(DISTINCT h) AS sh FROM dset GROUP BY doc_id
+    )"""
+
+_LSH_SIG_COLS, _LSH_BAND_STRUCTS = _lsh_sql_blocks(128, 16)
+
+
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # hash-function-specific — driver records rows-only;
-    # pytest verifies detected pairs against exact Jaccard ground truth
-    # (dedup_jaccard_shingles is the oracle-checked exact twin).
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 20 AND len(t) > 0
+    ), {_LSH_MACHINERY_SQL.format(sig_cols=_LSH_SIG_COLS,
+                                  band_structs=_LSH_BAND_STRUCTS)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandtab a JOIN bandtab b
+        ON a.band = b.band AND a.fp = b.fp AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_intersect(sa.sh, sb.sh))
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.doc_a
+    JOIN sets sb ON sb.doc_id = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh))
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.7
+    """,
     doc="MinHash+LSH near-dup over documents plus a deterministic "
     "perturbed sample (20 docs with the last 2 words dropped) so the "
-    "operator provably detects the planted near-duplicates.",
+    "operator provably detects the planted near-duplicates. Round 9: "
+    "the former rows-only contract gains a FULL DuckDB oracle — the "
+    "md5-prefix token hash bridges both engines, so the oracle "
+    "replays shingling (HUGEINT mod-2^64 rolling combine), all 128 "
+    "signature minima, banding (direct band-slice equality), and the "
+    "exact-Jaccard verification, value-hash-checking the entire "
+    "probabilistic pipeline, not just its planted-pair recall.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -1125,11 +1239,58 @@ def minhash_band_rows(
     )
 
 
+# 64-hash fragments for the incremental (16 bands) and clusters
+# (8 bands) oracles — the b-coefficient vector differs from the
+# 128-hash configuration, and the band layout differs per query.
+_LSH64_SIG_COLS, _LSH64_BAND_STRUCTS = _lsh_sql_blocks(64, 8)
+_LSH64_MACHINERY = _LSH_MACHINERY_SQL.format(
+    sig_cols=_LSH64_SIG_COLS, band_structs=_LSH64_BAND_STRUCTS
+)
+_LSH64_16_SIG_COLS, _LSH64_16_BAND_STRUCTS = _lsh_sql_blocks(64, 16)
+_LSH64_16_MACHINERY = _LSH_MACHINERY_SQL.format(
+    sig_cols=_LSH64_16_SIG_COLS, band_structs=_LSH64_16_BAND_STRUCTS
+)
+
+
 @register(
     "dedup_incremental_lsh",
-    oracle=None,  # LSH hash-function-specific — driver records
-    # rows-only; pytest pins recall/precision vs brute-force shingle
-    # Jaccard ground truth (tests/test_llm_pipeline.py).
+    # Round 9: full DuckDB oracle via the shared md5-prefix LSH
+    # machinery (64 hashes / 16 bands). The corpus CTE is the union of
+    # both sides — corpus ids (< 250), fresh-batch ids (>= 250), and
+    # the planted near-dups (+4e9) never collide, so one signature
+    # pass covers the bipartite join; candidates are batch-side x
+    # corpus-side band matches, verified at exact Jaccard >= 0.7 over
+    # the same 32-bit shingle sets the signatures sign.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 4000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 10 AND len(t) > 0
+    ), {_LSH64_16_MACHINERY},
+    cand AS (
+      SELECT DISTINCT bb.doc_id AS batch_doc, cc.doc_id AS corpus_doc
+      FROM bandtab bb JOIN bandtab cc
+        ON bb.band = cc.band AND bb.fp = cc.fp
+      WHERE bb.doc_id >= 250 AND cc.doc_id < 250
+    )
+    SELECT c.batch_doc, c.corpus_doc,
+           ROUND(len(list_intersect(sa.sh, sb.sh))
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.batch_doc
+    JOIN sets sb ON sb.doc_id = c.corpus_doc
+    WHERE len(list_intersect(sa.sh, sb.sh))
+          / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+          >= 0.7
+    """,
     doc="Incremental NEAR-dup at scale: MinHash+LSH banding joins the "
     "FRESH BATCH's band rows against the CORPUS's band rows — in "
     "production the corpus side is a stored signature/band table that "
@@ -1142,7 +1303,15 @@ def minhash_band_rows(
     "near-misses as the exact twin (dedup_incremental_jaccard).",
 )
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    num_hashes, bands, shingle_n, thr = 64, 8, 3, 0.7
+    # 64 hashes / 16 bands -> r=4: knee at (1/16)^(1/4) = 0.5, catch
+    # probability ~0.99 even at j = 0.7 and ~1.0 at j >= 0.8. The
+    # incremental shape affords the loose knee: candidates are
+    # BIPARTITE (daily batch x corpus bucket), so extra sub-threshold
+    # candidates cost verification on the small batch side only —
+    # unlike the all-pairs query (128/16, r=8) where a loose knee
+    # fattens every bucket quadratically. (r=8 here missed a planted
+    # j=0.85 pair on hash-luck; recall floor is pinned in pytest.)
+    num_hashes, bands, shingle_n, thr = 64, 16, 3, 0.7
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     corpus, batch = _incremental_split(d)
 

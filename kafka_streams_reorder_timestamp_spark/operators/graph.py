@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import dedup_jaccard_pairs
+from .dedup import _LSH64_MACHINERY, dedup_jaccard_pairs
 from .registry import register
 
 
@@ -170,9 +170,55 @@ def _clusters_from_pairs(pairs: DataFrame) -> DataFrame:
 
 @register(
     "dedup_clusters_lsh",
-    oracle=None,  # LSH hash-function-specific — driver records rows-only;
-    # pytest pins co-clustering of every planted near-dup plus >= 0.95
-    # pair-recall against the exact-edge clusters (test_graph.py).
+    # Round 9: full DuckDB oracle — the md5-prefix LSH machinery
+    # (shared fragment from dedup.py, 64 hashes / 8 bands over the
+    # same planted corpus as dedup_minhash_lsh) produces the exact
+    # candidate pairs the Spark plan generates; Jaccard >= 0.7
+    # verification keeps the same edges; the recursive CTE computes
+    # the identical min-id connected components as dedup_clusters'
+    # oracle. An ITERATIVE probabilistic pipeline, value-hash-checked
+    # end to end.
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 20 AND len(t) > 0
+    ), {_LSH64_MACHINERY},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandtab a JOIN bandtab b
+        ON a.band = b.band AND a.fp = b.fp AND a.doc_id < b.doc_id
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.7
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ), labels AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+    FROM labels
+    """,
     doc="THE 100 TB duplicate-clustering path: connected components over "
     "MinHash+LSH candidate pairs instead of the blocked exact-Jaccard "
     "self-join. Candidate generation cost is banding (linear scans + "
