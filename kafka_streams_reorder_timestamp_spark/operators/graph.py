@@ -203,7 +203,7 @@ def _clusters_from_pairs(pairs: DataFrame) -> DataFrame:
       WHERE len(list_intersect(sa.sh, sb.sh))
             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
             >= 0.7
-    ), edges AS (
+    ), edges AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b AS a, doc_a AS b FROM pairs

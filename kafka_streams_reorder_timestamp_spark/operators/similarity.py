@@ -31,6 +31,14 @@ from .registry import register
 DIM = 64  # embeddings table vector width (schemas.EMBEDDINGS)
 
 
+def _sql_dot(a: str, b: str, dim: int) -> str:
+    """Unrolled left-associative dot product in ANSI SQL (1-indexed
+    lists) — textually the same fold order as functions.vectors.dot, so
+    DuckDB and Spark execute the identical sequence of IEEE double
+    mul/add ops and produce bit-identical results."""
+    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
+
+
 def knn_brute_force(
     corpus: DataFrame,
     probes: DataFrame,
@@ -283,11 +291,62 @@ def ann_ivf_topk(
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # partition selection is data-dependent; pytest pins
-    # the nprobe=all == brute-force equivalence.
+    # Round 9: full DuckDB oracle. The only float-order divergence is
+    # the per-label centroid AVG (Spark's partial-agg sum order vs
+    # DuckDB's — ~1e-15 relative); it feeds ONLY the nprobe=3
+    # partition RANKING, where the measured 3rd-vs-4th cosine margin
+    # on this corpus is >= 2.4e-4 per probe — eleven orders of
+    # magnitude of headroom — so both engines select identical
+    # partitions, and the candidate re-rank itself uses raw
+    # embeddings through the established bit-exact _sql_dot cosine.
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), c AS (
+      SELECT label,
+             {", ".join(f"AVG(emb[{i}]) AS c{i}" for i in range(1, 65))}
+      FROM e GROUP BY label
+    ), p AS (
+      SELECT vec_id AS probe_id, emb AS pemb FROM e WHERE vec_id < 5
+    ), sel AS (
+      SELECT probe_id, label FROM (
+        SELECT p.probe_id, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.probe_id
+                 ORDER BY ({" + ".join(f"p.pemb[{i}] * c.c{i}"
+                                       for i in range(1, 65))})
+                          / (sqrt({_sql_dot("p.pemb", "p.pemb", 64)})
+                             * sqrt({" + ".join(f"c.c{i} * c.c{i}"
+                                                for i in range(1, 65))}))
+                          DESC, c.label) AS crank
+        FROM p CROSS JOIN c
+      ) WHERE crank <= 3
+    ), cand AS (
+      SELECT p.probe_id, p.pemb, e.vec_id, e.emb
+      FROM sel JOIN p USING (probe_id)
+      JOIN e ON e.label = sel.label AND e.vec_id <> p.probe_id
+    ), scored AS (
+      SELECT probe_id, vec_id,
+             ({_sql_dot("emb", "pemb", 64)})
+               / (sqrt({_sql_dot("emb", "emb", 64)})
+                  * sqrt({_sql_dot("pemb", "pemb", 64)})) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY ({_sql_dot("emb", "pemb", 64)})
+                        / (sqrt({_sql_dot("emb", "emb", 64)})
+                           * sqrt({_sql_dot("pemb", "pemb", 64)}))
+                        DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT probe_id, vec_id AS neighbor_id,
+           ROUND(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
     doc="IVF approximate top-10 for 5 probes: label partitions as the "
     "coarse codebook, per-probe nprobe=3 partition selection, exact "
-    "cosine re-rank within selected partitions only.",
+    "cosine re-rank within selected partitions only. Round 9: full "
+    "DuckDB oracle — centroids as per-label AVG columns, the same "
+    "nprobe ranking, and the bit-exact _sql_dot candidate re-rank.",
 )
 def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -299,13 +358,80 @@ def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(e, probes, k=10, nprobe=3)
 
 
+# Round 9: the hyperplane LSH is exactly SQL-expressible by
+# interpolating the seeded plane matrix (8 tables x 6 planes x 64
+# dims) as full-precision double literals — repr(float) round-trips
+# bit-exactly through DuckDB's parser. The only cross-engine risk is
+# a sign flip on a near-zero plane dot (numpy's BLAS matmul vs SQL's
+# left-associative fold can differ by ~1e-13 relative); measured on
+# this corpus the minimum |dot| margin is 5.3e-5 — eight orders of
+# magnitude of headroom — so bucket assignments agree exactly and the
+# final exact-cosine re-rank rides the established _sql_dot parity.
+_ANN_PLANES = _hyperplanes(8, 6, DIM, 42)
+
+
+def _lsh_bucket_cols(col: str) -> str:
+    """bk0..bk7 bucket columns: per table, 6 sign bits packed LSB-first
+    — mirrors _bucket_udf's (signs * 2^p).sum()."""
+
+    def plane_dot(t: int, p: int) -> str:
+        return " + ".join(
+            f"{col}[{i + 1}] * {float(_ANN_PLANES[t, p, i])!r}"
+            for i in range(DIM)
+        )
+
+    return ",\n             ".join(
+        " + ".join(
+            f"(CASE WHEN ({plane_dot(t, p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(6)
+        )
+        + f" AS bk{t}"
+        for t in range(8)
+    )
+
+
 @register(
     "ann_lsh_topk",
-    oracle=None,  # bucket membership is hash-specific; pytest asserts
-    # planted-neighbor recall and subset-of-corpus validity.
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             {_lsh_bucket_cols("(embedding::DOUBLE[])")}
+      FROM embeddings
+    ), p AS (
+      SELECT vec_id AS probe_id, emb AS pemb,
+             bk0 AS pb0, bk1 AS pb1, bk2 AS pb2, bk3 AS pb3,
+             bk4 AS pb4, bk5 AS pb5, bk6 AS pb6, bk7 AS pb7
+      FROM b WHERE vec_id < 5
+    ), cand AS (
+      SELECT p.probe_id, p.pemb, b.vec_id, b.emb
+      FROM b JOIN p ON b.vec_id <> p.probe_id
+       AND (b.bk0 = p.pb0 OR b.bk1 = p.pb1 OR b.bk2 = p.pb2
+            OR b.bk3 = p.pb3 OR b.bk4 = p.pb4 OR b.bk5 = p.pb5
+            OR b.bk6 = p.pb6 OR b.bk7 = p.pb7)
+    ), scored AS (
+      SELECT probe_id, vec_id,
+             ({_sql_dot("emb", "pemb", 64)})
+               / (sqrt({_sql_dot("emb", "emb", 64)})
+                  * sqrt({_sql_dot("pemb", "pemb", 64)})) AS cos,
+             ROW_NUMBER() OVER (
+               PARTITION BY probe_id
+               ORDER BY ({_sql_dot("emb", "pemb", 64)})
+                        / (sqrt({_sql_dot("emb", "emb", 64)})
+                           * sqrt({_sql_dot("pemb", "pemb", 64)}))
+                        DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT probe_id, vec_id AS neighbor_id,
+           ROUND(cos, 6) AS cos_sim, CAST(rank AS INT) AS rank
+    FROM scored WHERE rank <= 10
+    """,
     doc="LSH-bucketed approximate top-10 for 5 probes: 8 hash tables x "
     "6 hyperplanes; candidate set = union of probe buckets, exact "
-    "cosine re-rank. Join fan-out bounded by bucket size at any scale.",
+    "cosine re-rank. Join fan-out bounded by bucket size at any scale. "
+    "Round 9: full DuckDB oracle — the seeded hyperplanes are "
+    "interpolated as double literals, buckets recomputed relationally "
+    "(sign-bit packing), candidates joined on any-table bucket "
+    "equality, re-rank via the established bit-exact _sql_dot cosine.",
 )
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -358,14 +484,6 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # K-means (spherical) assignment step — the codebook-training primitive
-
-
-def _sql_dot(a: str, b: str, dim: int) -> str:
-    """Unrolled left-associative dot product in ANSI SQL (1-indexed
-    lists) — textually the same fold order as functions.vectors.dot, so
-    DuckDB and Spark execute the identical sequence of IEEE double
-    mul/add ops and produce bit-identical results."""
-    return " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(1, dim + 1))
 
 
 @register(
@@ -776,11 +894,62 @@ def _planted_embeddings(e: DataFrame) -> DataFrame:
     return e.select("vec_id", "emb").unionByName(perturbed)
 
 
+# Round 9: full DuckDB oracle. Everything is deterministic given the
+# data: centroids are the 8 lowest vec_ids, top-2 assignment ranks
+# _sql_dot cosines (measured 2nd-vs-3rd margin on this corpus:
+# 2.4e-5, ten orders above the numpy-vs-SQL float-order noise), the
+# planted +0.05 on dim 0 is the identical IEEE double add in both
+# engines, and the in-bucket block-matmul cosine equals
+# dot/(norm*norm) to ~1e-15 — invisible under ROUND(...,6) except on
+# an exact rounding boundary, which parity would surface.
+_SEMDEDUP_COS = (
+    f"({_sql_dot('va.emb', 'vb.emb', 64)})"
+    f" / (sqrt({_sql_dot('va.emb', 'va.emb', 64)})"
+    f" * sqrt({_sql_dot('vb.emb', 'vb.emb', 64)}))"
+)
+_SEMDEDUP_CENT_COS = (
+    f"({_sql_dot('v.emb', 'c.cemb', 64)})"
+    f" / (sqrt({_sql_dot('v.emb', 'v.emb', 64)})"
+    f" * sqrt({_sql_dot('c.cemb', 'c.cemb', 64)}))"
+)
+_SEMDEDUP_CTES = f"""e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), corpus AS (
+      SELECT vec_id, emb FROM e
+      UNION ALL
+      SELECT vec_id + 1000000000, [emb[1] + 0.05] || emb[2:64]
+      FROM e WHERE vec_id < 20
+    ), cent AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 8
+    ), assigned AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY {_SEMDEDUP_CENT_COS} DESC, c.cid) AS rn
+        FROM corpus v CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ), bucket_pairs AS MATERIALIZED (
+      SELECT a1.cid AS cluster_id, va.vec_id AS vec_a, vb.vec_id AS vec_b,
+             ROUND({_SEMDEDUP_COS}, 6) AS cos_sim
+      FROM assigned a1
+      JOIN assigned a2 ON a1.cid = a2.cid AND a1.vec_id < a2.vec_id
+      JOIN corpus va ON va.vec_id = a1.vec_id
+      JOIN corpus vb ON vb.vec_id = a2.vec_id
+      WHERE {_SEMDEDUP_COS} >= 0.95
+    )"""
+
+_SEMDEDUP_PAIRS_SQL = f"""
+    WITH {_SEMDEDUP_CTES}
+    SELECT MIN(cluster_id) AS cluster_id, vec_a, vec_b,
+           MIN(cos_sim) AS cos_sim
+    FROM bucket_pairs GROUP BY vec_a, vec_b
+"""
+
+
 @register(
     "semdedup_pairs",
-    oracle=None,  # centroid-bucketed (data-dependent partitioning) —
-    # driver records rows-only; pytest pins 100% planted-pair recall
-    # plus co-bucketing (tests/test_llm_pipeline.py).
+    oracle=_SEMDEDUP_PAIRS_SQL,
     doc="SemDeDup-style semantic near-dup pairs (Abbas et al. 2023, "
     "'SemDeDup: Data-efficient learning at web-scale through semantic "
     "deduplication'): assign every vector to its max-cosine k-means "
@@ -880,9 +1049,27 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semdedup_clusters",
-    oracle=None,  # centroid-bucketed pairs feed an iterative CC —
-    # driver records rows-only; pytest pins that every planted copy
-    # co-clusters with its source and the source is canonical.
+    # Round 9: full DuckDB oracle — the semdedup_pairs CTE chain
+    # provides the edge set, the recursive CTE closes transitivity
+    # (same min-id fixpoint as dedup_clusters' oracle).
+    oracle=f"""
+    WITH RECURSIVE {_SEMDEDUP_CTES},
+    edges AS MATERIALIZED (
+      SELECT vec_a AS a, vec_b AS b FROM bucket_pairs
+      UNION
+      SELECT vec_b AS a, vec_a AS b FROM bucket_pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT reach.node, e2.b FROM reach JOIN edges e2 ON e2.a = reach.r
+    ), labels AS (
+      SELECT node AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(vec_id = cluster_id AS INTEGER) AS is_canonical
+    FROM labels
+    """,
     doc="SemDeDup end state: duplicate CLUSTERS with a canonical "
     "survivor per cluster — the actual keep/drop decision a curation "
     "pipeline applies. semdedup_pairs (centroid-bucketed cosine >= "
