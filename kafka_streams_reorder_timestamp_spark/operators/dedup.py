@@ -765,6 +765,123 @@ def dedup_jaccard_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_jaccard_pairs(_planted_corpus(d), "text", "doc_id", threshold=0.7)
 
 
+# The string-shingle exact-truth CTE chain shared with the audit below
+# (identical text to the dedup_jaccard_shingles oracle).
+_EXACT_TRUTH_CTES = """tbase AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), tcorpus AS (
+      SELECT doc_id, t FROM tbase WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM tbase WHERE doc_id < 20 AND len(t) > 0
+    ), tsh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(range(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             ELSE [array_to_string(t, ' ')] END AS s
+      FROM tcorpus
+    ), truth AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM tsh a JOIN tsh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.7
+    )"""
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    # Both sides of this audit became exactly oracled this round, so
+    # the approximation-error MONITORING itself is now a single
+    # hash-checked row: the exact AllPairs truth (string shingles) vs
+    # the MinHash+LSH pair set (md5-prefix machinery), full-outer
+    # joined and reduced to integer basis-point recall/precision.
+    # n_extra isolates 32-bit shingle-hash collision artifacts (the
+    # LSH verify stage uses hashed sets; truth uses strings).
+    oracle=f"""
+    WITH {_EXACT_TRUTH_CTES},
+    base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 20 AND len(t) > 0
+    ), {_LSH_MACHINERY_SQL.format(sig_cols=_LSH_SIG_COLS,
+                                  band_structs=_LSH_BAND_STRUCTS)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandtab a JOIN bandtab b
+        ON a.band = b.band AND a.fp = b.fp AND a.doc_id < b.doc_id
+    ), found AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.7
+    ), joined AS (
+      SELECT COALESCE(t.doc_a, f.doc_a) AS doc_a,
+             (t.doc_a IS NOT NULL) AS in_t,
+             (f.doc_a IS NOT NULL) AS in_f
+      FROM truth t FULL OUTER JOIN found f
+        ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+    )
+    SELECT COUNT(*) FILTER (in_t) AS n_true,
+           COUNT(*) FILTER (in_f) AS n_found,
+           COUNT(*) FILTER (in_t AND in_f) AS n_hit,
+           COUNT(*) FILTER (in_t AND NOT in_f) AS n_missed,
+           COUNT(*) FILTER (in_f AND NOT in_t) AS n_extra,
+           (COUNT(*) FILTER (in_t AND in_f)) * 10000
+             // (COUNT(*) FILTER (in_t)) AS recall_bp,
+           (COUNT(*) FILTER (in_t AND in_f)) * 10000
+             // (COUNT(*) FILTER (in_f)) AS precision_bp
+    FROM joined
+    """,
+    doc="LSH approximation-error audit as ONE monitored row: exact "
+    "AllPairs 3-shingle Jaccard >= 0.7 truth vs the MinHash+LSH "
+    "(128/16) pair set over the same planted corpus, full-outer "
+    "joined; integer basis-point recall/precision (exact div, no "
+    "floats). The production monitoring loop for any approximate "
+    "dedup: run the exact twin on an sf-bounded sample, join, alert "
+    "on recall_bp below floor. Both inputs are themselves hash-green "
+    "registry queries, so the audit is exactly oracled end to end. "
+    "At 100 TB the truth side is the sampled/sf-bounded leg by "
+    "design; the LSH leg is the production path.",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    corpus = _planted_corpus(d)
+    truth = shingle_jaccard_pairs(corpus, "text", "doc_id", threshold=0.7).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
+    )
+    found = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.7).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_f")
+    )
+    j = truth.join(found, ["doc_a", "doc_b"], "full_outer")
+    hit = F.when(F.col("in_t").isNotNull() & F.col("in_f").isNotNull(), 1)
+    return j.agg(
+        F.count("in_t").alias("n_true"),
+        F.count("in_f").alias("n_found"),
+        F.count(hit).alias("n_hit"),
+        F.count(F.when(F.col("in_f").isNull(), 1)).alias("n_missed"),
+        F.count(F.when(F.col("in_t").isNull(), 1)).alias("n_extra"),
+        F.expr("count(if(in_t is not null and in_f is not null, 1, null))"
+               " * 10000 div count(in_t)").alias("recall_bp"),
+        F.expr("count(if(in_t is not null and in_f is not null, 1, null))"
+               " * 10000 div count(in_f)").alias("precision_bp"),
+    )
+
+
 @register(
     "dedup_threshold_sweep",
     oracle="""

@@ -1157,3 +1157,26 @@ def test_threshold_sweep_reconciles_with_exact_twin(spark, sf_dir):
     for r in rows.values():
         # each pair touches exactly 2 docs; distinct docs never exceed
         assert 2 <= r["n_docs"] <= 2 * r["n_pairs"]
+
+
+def test_lsh_recall_audit_row_shape_and_floor(spark, sf_dir):
+    """The registered audit row must agree with its two parent queries
+    (truth/found counts) and clear the same >= 0.95 recall floor the
+    pairwise test pins — the audit IS that monitoring, in-engine."""
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    row = (
+        REGISTRY["dedup_lsh_recall_audit"].builder(spark, sf_dir).collect()[0]
+    )
+    n_true = REGISTRY["dedup_jaccard_shingles"].builder(spark, sf_dir).count()
+    n_found = REGISTRY["dedup_minhash_lsh"].builder(spark, sf_dir).count()
+    assert row.n_true == n_true and row.n_found == n_found
+    assert row.n_hit == row.n_true - row.n_missed
+    assert row.n_found == row.n_hit + row.n_extra
+    assert row.n_true > 0
+    assert row.recall_bp >= 9500, row
+    # the LSH verify stage is exact over its hashed universe; extras
+    # can only be 32-bit collision artifacts — zero on this corpus
+    assert row.n_extra == 0 and row.precision_bp == 10000, row

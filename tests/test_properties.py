@@ -479,3 +479,45 @@ def test_containment_prefix_filter_lossless(spark, texts):
         ).collect()
     }
     assert got == _brute_containment(docs, 0.9)
+
+
+# --------------------------------------------------------------------------
+# Cross-engine hash bridge: eight oracles (SimHash, MinHash LSH x3,
+# and transitively every signature built on _md5_32/_md5_64) depend on
+# the Python md5-prefix integers equalling DuckDB's hex-slice cast.
+# Property-pin the contract itself so an innocent refactor of either
+# side can't silently fork the engines.
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            min_size=0,
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_md5_prefix_bridge_matches_duckdb(tokens_sample):
+    import duckdb
+
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import (
+        _md5_32,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.simhash import (
+        _md5_64,
+    )
+
+    con = duckdb.connect()
+    for t in tokens_sample:
+        row = con.execute(
+            "SELECT ('0x' || substring(md5(?), 1, 8))::BIGINT,"
+            "       ('0x' || substring(md5(?), 1, 16))::UBIGINT",
+            [t, t],
+        ).fetchone()
+        assert _md5_32(t) == row[0], t
+        assert _md5_64(t) == row[1], t
