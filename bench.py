@@ -567,7 +567,7 @@ def ab_main() -> int:
         "min_combined_sec": MIN_T,
         "noisy_spread_threshold": NOISY_SPREAD,
         "n_queries": len(per_query),
-        "median_ratio": ratios[len(ratios) // 2] if ratios else None,
+        "median_ratio": round(statistics.median(ratios), 4) if ratios else None,
         "total_a": round(sum(r["a_med"] for r in per_query.values()), 3),
         "total_b": round(sum(r["b_med"] for r in per_query.values()), 3),
         "suspects": suspects,

@@ -134,6 +134,17 @@ def _split_top_level(s: str) -> list[str]:
     return parts
 
 
+def _plan_indent(s: str) -> int:
+    """Tree depth of a physical-plan line, in characters of connector
+    prefix. The whole-stage-codegen "*(n) " marker is dropped BEFORE
+    measuring: it sits between the tree connectors and the node name,
+    so lstrip-ing "*" together with the connectors would count it as
+    extra depth and a codegen'd same-depth sibling (e.g. after an
+    InMemoryTableScan) would wrongly classify as a child."""
+    s = re.sub(r"\*\(\d+\) ", "", s)
+    return len(s) - len(s.lstrip(" +-:"))
+
+
 def single_partition_scan_funnels(df: DataFrame) -> list[str]:
     """Detect the global-sort scale killer: an `Exchange SinglePartition`
     whose subtree reaches a file Scan WITHOUT passing through an
@@ -145,9 +156,7 @@ def single_partition_scan_funnels(df: DataFrame) -> list[str]:
     Returns the offending `Exchange SinglePartition` subtree snippets
     (empty list = clean plan)."""
     lines = physical_plan(df, "simple").splitlines()
-
-    def indent(s: str) -> int:
-        return len(s) - len(s.lstrip(" +-:*"))
+    indent = _plan_indent
 
     bad: list[str] = []
     for i, ln in enumerate(lines):
@@ -221,9 +230,7 @@ def nodes_outside_cache(df: DataFrame, needle: str) -> list[str]:
     scoring join outside any cache — which is exactly how this
     distinguishes the fused report from a standalone rollup.)"""
     lines = physical_plan(df, "simple").splitlines()
-
-    def indent(s: str) -> int:
-        return len(s) - len(s.lstrip(" +-:*"))
+    indent = _plan_indent
 
     imts_depths: list[int] = []
     bad: list[str] = []

@@ -65,6 +65,17 @@ def main() -> int:
     from kafka_streams_reorder_timestamp_spark.session import get_spark
     from kafka_streams_reorder_timestamp_spark.sources.catalog import TABLES
 
+    if only is not None:
+        unknown = only - set(registry.REGISTRY)
+        if unknown:
+            # Fail fast: a typo'd --only would otherwise run zero
+            # queries and exit 0, masquerading as a passing check.
+            print(
+                f"parity: unknown query names in --only: {sorted(unknown)}",
+                file=sys.stderr,
+            )
+            return 1
+
     spark = get_spark(app_name="parity")
     con = duckdb.connect()
     for t in TABLES:

@@ -51,6 +51,50 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
         assert r.jaccard > 0.85
 
 
+def test_lsh_short_doc_branch_oracle_parity(spark):
+    """The <3-token shingle branch (one fallback hash = sum of token
+    hashes * _C2) must produce the SAME 32-bit shingle in Python/Arrow
+    and in the DuckDB oracle machinery — the production corpora never
+    exercise it (min doc length 10 tokens), so this fixture pins the
+    branch directly with 1- and 2-token documents, plus an end-to-end
+    check that identical short docs pair up through the full LSH path."""
+    import duckdb
+
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import (
+        _shingle_hash_set,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators import dedup
+
+    docs = [
+        (1, "alpha"),  # 1 token -> short branch
+        (2, "alpha beta"),  # 2 tokens -> short branch
+        (3, "alpha beta"),  # identical short doc -> planted pair
+        (4, "alpha beta gamma delta epsilon"),  # >=3 tokens -> rolling branch
+    ]
+    values = ", ".join(
+        "({}, [{}])".format(i, ", ".join(f"'{w}'" for w in t.split()))
+        for i, t in docs
+    )
+    sig_cols, band_structs = dedup._lsh_sql_blocks(128, 16)
+    sql = (
+        f"WITH corpus AS (SELECT doc_id, t FROM (VALUES {values}) "
+        "AS v(doc_id, t)), "
+        + dedup._LSH_MACHINERY_SQL.format(
+            sig_cols=sig_cols, band_structs=band_structs
+        )
+        + " SELECT doc_id, list_sort(list(h)) AS hs FROM dset"
+        " GROUP BY doc_id ORDER BY doc_id"
+    )
+    got = {int(r[0]): [int(x) for x in r[1]] for r in duckdb.sql(sql).fetchall()}
+    for i, t in docs:
+        exp = [int(x) for x in _shingle_hash_set(t, 3)]
+        assert got[i] == exp, f"doc {i}: oracle {got[i]} vs python {exp}"
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", threshold=0.7).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(2, 3)}
+
+
 def test_minhash_registry_query_detects_planted(spark, sf_dir):
     out = dedup_minhash_lsh(spark, sf_dir)
     rows = out.collect()
