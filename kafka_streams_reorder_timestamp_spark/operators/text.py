@@ -781,6 +781,61 @@ def _bpe_driver_vocab_max() -> int:
     )
 
 
+# Round 10: the BPE merge loop became DuckDB-expressible by UNROLLING
+# it — n_merges is a fixed 8, so "iterative" is really 8 chained CTE
+# rounds of (pair-count -> deterministic argmax -> rewrite), the same
+# move that cracked the LSH signature family in round 9. The rewrite
+# is the only non-obvious step: each word's symbol list is encoded as
+# a DOUBLE-space-separated string with leading/trailing double spaces
+# ('  a  b  c  '), so the left-to-right non-overlapping BPE merge of
+# pair (a, b) is exactly one replace(' a  b ' -> ' ab '): every match
+# must start and end at a symbol boundary (killing substring false
+# positives like pair (a,b) inside [a, bc]), the pattern consumes only
+# ONE space of each outer double boundary so back-to-back occurrences
+# ([a,b,a,b]) still both match — DuckDB's replace scans left-to-right
+# and resumes after each match, which IS the BPE greedy rule. Argmax
+# tie-break (count desc, pair asc) agrees across engines because both
+# order strings by UTF-8 binary = code-point order. Verified bit-exact
+# against bpe_merges_local before registration.
+
+
+def _bpe_oracle_rounds(n_merges: int) -> str:
+    """The n unrolled merge-round CTEs (p{r} pair counts, m{r} argmax,
+    v{r} rewrite), chained from a `v0(word, wcount, ss)` CTE."""
+    parts = []
+    for r in range(1, n_merges + 1):
+        parts.append(f"""p{r} AS (
+      SELECT u.pr.a AS a, u.pr.b AS b, SUM(t.wcount)::BIGINT AS c
+      FROM (SELECT wcount,
+              list_filter(string_split(ss, ' '), x -> x <> '') AS s
+            FROM v{r - 1}) t,
+           unnest(list_transform(range(1, len(t.s)),
+                  i -> struct_pack(a := t.s[i], b := t.s[i + 1]))) AS u(pr)
+      GROUP BY 1, 2
+    ), m{r} AS MATERIALIZED (
+      SELECT {r} AS merge_rank, a, b, c FROM p{r}
+      ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    ), v{r} AS MATERIALIZED (
+      SELECT word, wcount,
+             replace(ss,
+                     ' ' || (SELECT a FROM m{r}) || '  '
+                         || (SELECT b FROM m{r}) || ' ',
+                     ' ' || (SELECT a FROM m{r})
+                         || (SELECT b FROM m{r}) || ' ') AS ss
+      FROM v{r - 1}
+    )""")
+    return ", ".join(parts)
+
+
+# Initial vocabulary state shared by both BPE oracles: one row per
+# distinct word with its corpus count and the double-space-separated
+# character decomposition (regexp '.' = one code point, matching
+# Python's list(word)).
+_BPE_V0_SS = (
+    "'  ' || array_to_string(regexp_extract_all(word, '.'), '  ') || '  '"
+)
+
+
 def bpe_learn_merges(
     words: "DataFrame", n_merges: int = 8, return_final: bool = False
 ):
@@ -901,10 +956,24 @@ def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
 
 @register(
     "bpe_train_merges",
-    oracle=None,  # iterative argmax + sequential left-to-right merge
-    # rewriting is not SQL-expressible; pytest pins the full merge
-    # sequence against a pure-Python reference BPE on the same
-    # vocabulary (tests/test_llm_pipeline.py).
+    # Round 10: the former no_oracle ("iterative loop is not
+    # SQL-expressible") fell to unrolling — 8 fixed merge rounds as 8
+    # chained CTE triples; see _bpe_oracle_rounds. The pytest pin
+    # against the pure-Python reference BPE stays as a second witness.
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    w -> w <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ), v0 AS MATERIALIZED (
+      SELECT word, COUNT(*)::BIGINT AS wcount, {_BPE_V0_SS} AS ss
+      FROM toks GROUP BY word
+    ), {_bpe_oracle_rounds(8)}
+    SELECT merge_rank::INTEGER AS merge_rank, a AS "left", b AS "right",
+           c::BIGINT AS pair_count
+    FROM ({' UNION ALL '.join(f'SELECT * FROM m{r}' for r in range(1, 9))})
+    """,
     doc="BPE tokenizer training: the first 8 merges learned from the "
     "corpus word-frequency table (Sennrich et al. 2016), with "
     "deterministic argmax tie-breaking (count desc, pair asc). The "
@@ -969,10 +1038,45 @@ def bpe_apply_merges_local(
 
 @register(
     "bpe_tokenize_corpus",
-    oracle=None,  # the merge table comes from an iterative argmax loop
-    # (not SQL-expressible); pytest pins per-source token totals equal
-    # to a direct pure-Python per-document tokenizer on the same merges
-    # (tests/test_llm_pipeline.py).
+    # Round 10: oracled by the same unrolled-merge machinery as
+    # bpe_train_merges — after round 8's rewrite, each word's BPE
+    # token count is simply the length of its v8 symbol list, and the
+    # per-source totals are one join + rollup. The pytest pin against
+    # the pure-Python per-document tokenizer stays as a second witness.
+    oracle=f"""
+    WITH src_toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    w -> w <> '')) AS word
+      FROM documents WHERE text IS NOT NULL
+    ), src_wc AS MATERIALIZED (
+      SELECT source, word, COUNT(*)::BIGINT AS wcount
+      FROM src_toks GROUP BY 1, 2
+    ), v0 AS MATERIALIZED (
+      SELECT word, SUM(wcount)::BIGINT AS wcount, {_BPE_V0_SS} AS ss
+      FROM src_wc GROUP BY word
+    ), {_bpe_oracle_rounds(8)},
+    vocab AS (
+      SELECT word,
+             len(list_filter(string_split(ss, ' '), x -> x <> '')) AS n_bpe
+      FROM v8
+    ), per_doc AS (
+      SELECT source, COUNT(*)::BIGINT AS n_docs
+      FROM documents WHERE text IS NOT NULL GROUP BY source
+    ), word_totals AS (
+      SELECT sw.source,
+             SUM(sw.wcount)::BIGINT AS total_words,
+             SUM(sw.wcount * COALESCE(v.n_bpe, length(sw.word)))::BIGINT
+               AS total_bpe_tokens
+      FROM src_wc sw LEFT JOIN vocab v USING (word)
+      GROUP BY sw.source
+    )
+    SELECT d.source, d.n_docs,
+           COALESCE(t.total_words, 0)::BIGINT AS total_words,
+           COALESCE(t.total_bpe_tokens, 0)::BIGINT AS total_bpe_tokens
+    FROM per_doc d LEFT JOIN word_totals t USING (source)
+    """,
     doc="The PRODUCTION step bpe_train_merges feeds: tokenize the "
     "whole corpus with the LEARNED merge table and account BPE "
     "tokens per source — the number a training-budget planner "
