@@ -1166,10 +1166,13 @@ def pca_fit(
 
 @register(
     "embedding_pca_project",
-    oracle=None,  # eigendecomposition is not SQL-expressible; driver
-    # records rows-only. pytest pins the projection against numpy's
-    # full PCA on the same data (values, variance order,
-    # orthogonality) at tests/test_llm_pipeline.py.
+    oracle=None,  # the eigendecomposition is LAPACK-bound (not
+    # SQL-expressible); driver records rows-only. The moment
+    # accumulation feeding it IS oracled — embedding_pca_moments is
+    # the exact registered twin (round 10) — so the family's
+    # unverified trust surface is numpy.linalg.eigh alone, pinned by
+    # pytest against numpy's full PCA on the same data (values,
+    # variance order, orthogonality) at tests/test_llm_pipeline.py.
     doc="PCA projection of the embeddings table onto its top-4 "
     "principal components — the dimensionality-reduction front end "
     "for visualization, whitening, or cheap pre-ANN pruning. Fit: "
@@ -1203,6 +1206,102 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         *[p[i].alias(f"pc{i + 1}") for i in range(comps.shape[0])],
+    )
+
+
+@register(
+    "embedding_pca_moments",
+    oracle=f"""
+    WITH comp AS (
+      SELECT vec_id, d.dim AS dim,
+             CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE embedding IS NOT NULL),
+           (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
+    )
+    SELECT 0 AS dim_i, 0 AS dim_j,
+           (SELECT COUNT(*) FROM embeddings
+            WHERE embedding IS NOT NULL)::DECIMAL(38,0)::VARCHAR AS moment
+    UNION ALL
+    SELECT dim AS dim_i, 0 AS dim_j,
+           SUM(v)::DECIMAL(38,0)::VARCHAR AS moment
+    FROM comp GROUP BY dim
+    UNION ALL
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           SUM(CAST(a.v AS DECIMAL(19,0))
+               * CAST(b.v AS DECIMAL(19,0)))::DECIMAL(38,0)::VARCHAR
+             AS moment
+    FROM comp a JOIN comp b
+      ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+    """,
+    doc="The exact registered twin of embedding_pca_project's fit "
+    "stage (round 10, VERDICT r9 task 3): the PCA sufficient "
+    "statistics — row count, per-dimension component sums, and the "
+    "upper-triangle Gram matrix X^T X — accumulated on integer "
+    "micro-unit quantized components (the repo's micros convention, "
+    "embedding_centroid_drift) so every add is order-independent "
+    "integer arithmetic both engines replay bit-exactly: DECIMAL"
+    "(19,0) factors multiply into exact DECIMAL(38,0) terms (per-"
+    "batch int64 partials stay under 10k rows x (2e5)^2 = 4e14 << "
+    "2^63; corpus-level sums need the decimal widening at 1e9+ "
+    "rows). This shrinks the PCA family's unverified trust surface "
+    "to numpy.linalg.eigh alone: moments are DuckDB-hash-checked "
+    "here, the eigensolve + projection stay pinned by pytest "
+    "against full-matrix numpy PCA. Shape is pca_fit's own moment "
+    "pass — ONE Arrow pass emits per-batch integer partial Grams "
+    "(1 + {DIM} + {DIM}*({DIM}+1)/2 = 2145 rows per batch), one "
+    "2145-key shuffle folds them; no row ever leaves its "
+    "partition, which is exactly why this PCA scales to 100 TB.",
+)
+def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    # Quantize with the SAME Column expression the drift family uses
+    # (F.round half-up == DuckDB ROUND, proven hash-green) — numpy
+    # rint rounds half-to-even and would fork the engines on exact
+    # .5 micros.
+    q = e.select(
+        F.transform(
+            as_double("embedding"),
+            lambda x: F.round(x * 1_000_000, 0).cast("long"),
+        ).alias("v")
+    )
+
+    def _gram(it):
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(a, dtype=np.int64) for a in pdf["v"]])
+            G = V.T @ V  # int64-exact within a batch (see docstring)
+            iu, ju = np.triu_indices(DIM)
+            di = np.concatenate(([0], np.arange(1, DIM + 1), iu + 1))
+            dj = np.concatenate(
+                (np.zeros(1 + DIM, dtype=np.int64), ju + 1)
+            )
+            part = np.concatenate(
+                ([len(V)], V.sum(axis=0), G[iu, ju])
+            )
+            yield pd.DataFrame(
+                {
+                    "dim_i": di.astype("int32"),
+                    "dim_j": dj.astype("int32"),
+                    "part": part.astype("int64"),
+                }
+            )
+
+    parts = q.mapInPandas(_gram, schema="dim_i int, dim_j int, part long")
+    # Exact DECIMAL(38,0) internally; the OUTPUT column is the
+    # canonical decimal string — a value that can exceed int64 at
+    # corpus scale has no lossless cross-engine numeric fetch type
+    # (DuckDB hands DECIMAL(38,0) to pandas as float64), and scale-0
+    # decimal-to-string is identical in both engines.
+    return parts.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("part").cast("decimal(19,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("moment")
     )
 
 

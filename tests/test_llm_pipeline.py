@@ -822,6 +822,40 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     assert np.allclose(got, want, atol=2e-4)
 
 
+def test_pca_moments_twin_reconstructs_fit_covariance(spark, sf_dir):
+    """embedding_pca_moments (the DuckDB-hash-checked exact twin of the
+    fit stage) must reconstruct pca_fit's covariance within the
+    micro-unit quantization bound — closing the loop moments -> oracle
+    while the eigensolve stays pinned by
+    test_pca_projection_matches_numpy. Quantization error per
+    component is <= 0.5e-6, so covariance entries agree to ~1e-6."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        DIM,
+        embedding_pca_moments,
+    )
+
+    rows = embedding_pca_moments(spark, str(sf_dir)).collect()
+    mom = {(r["dim_i"], r["dim_j"]): int(r["moment"]) for r in rows}
+    assert len(mom) == 1 + DIM + DIM * (DIM + 1) // 2
+    n = mom[(0, 0)]
+    s = np.array([mom[(i, 0)] for i in range(1, DIM + 1)], dtype=np.float64)
+    G = np.zeros((DIM, DIM))
+    for i in range(1, DIM + 1):
+        for j in range(i, DIM + 1):
+            G[i - 1, j - 1] = G[j - 1, i - 1] = mom[(i, j)]
+    mean_q = s / n / 1e6
+    cov_q = G / n / 1e12 - np.outer(mean_q, mean_q)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    X = np.asarray(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in e.collect()]
+    )
+    assert n == len(X)
+    cov = np.cov((X - X.mean(axis=0)).T, bias=True)
+    assert np.allclose(mean_q, X.mean(axis=0), atol=1e-6)
+    assert np.allclose(cov_q, cov, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # BPE merge learning
 
