@@ -856,18 +856,79 @@ _EXACT_TRUTH_CTES = """tbase AS (
     "dedup: run the exact twin on an sf-bounded sample, join, alert "
     "on recall_bp below floor. Both inputs are themselves hash-green "
     "registry queries, so the audit is exactly oracled end to end. "
-    "At 100 TB the truth side is the sampled/sf-bounded leg by "
-    "design; the LSH leg is the production path.",
+    "At 100 TB the truth side is the sampled leg BY PARAMETER "
+    "(round 10): lsh_recall_audit(sample_frac=..., id_bound=...) "
+    "bounds the truth universe deterministically and filters the "
+    "production LSH pair set to the same sub-universe — production "
+    "recipe in DEPLOY.md, monitoring. This registered query audits "
+    "the full sf-bounded corpus (defaults).",
 )
 def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    corpus = _planted_corpus(d)
-    truth = shingle_jaccard_pairs(corpus, "text", "doc_id", threshold=0.7).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_t")
-    )
-    found = minhash_lsh_pairs(corpus, "text", "doc_id", threshold=0.7).select(
+    return lsh_recall_audit(_planted_corpus(d), "text", "doc_id", threshold=0.7)
+
+
+def _audit_sample_pred(id_col, sample_frac: float, id_bound):
+    """Deterministic doc-membership predicate for the audit's truth
+    universe, or None for the full corpus. `id_bound` keeps ids below a
+    cutoff (the cheapest pushed-down scan filter when ids are dense);
+    `sample_frac` keeps an md5-derived pseudo-uniform bucket of ids —
+    the repo's md5 bridge, so a future oracle can replay the same
+    sample in DuckDB as ('0x' || substring(md5(id::VARCHAR), 1, 8))
+    ::BIGINT % 10000."""
+    preds = []
+    if id_bound is not None:
+        preds.append(F.col(id_col) < F.lit(id_bound))
+    if sample_frac < 1.0:
+        bp = int(round(sample_frac * 10000))
+        bucket = F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("long") % 10000
+        preds.append(bucket < F.lit(bp))
+    if not preds:
+        return None
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.7,
+    sample_frac: float = 1.0,
+    id_bound: int | None = None,
+) -> DataFrame:
+    """The LSH approximation-error audit as one row — exact AllPairs
+    truth vs the MinHash+LSH pair set, full-outer joined into integer
+    basis-point recall/precision.
+
+    The 100 TB knob (round 10, VERDICT r9 task 4): `sample_frac` /
+    `id_bound` bound the TRUTH universe — the exact AllPairs leg runs
+    only on the deterministically-sampled docs, and the production LSH
+    pair set is filtered to pairs with BOTH endpoints in the sample
+    (a scan-speed predicate on the pair ids, no join), so recall and
+    precision are measured over the same sub-universe and stay
+    unbiased estimates of the corpus-wide rates. Pair retention under
+    doc sampling is ~sample_frac^2 — size the fraction so the expected
+    surviving true-pair count keeps the basis-point estimate stable
+    (see DEPLOY.md, monitoring). Defaults audit the full corpus (the
+    registered sf-bounded query)."""
+    pred = _audit_sample_pred(id_col, sample_frac, id_bound)
+    truth_docs = df.filter(pred) if pred is not None else df
+    truth = shingle_jaccard_pairs(
+        truth_docs, text_col, id_col, threshold=threshold
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
+    found = minhash_lsh_pairs(df, text_col, id_col, threshold=threshold).select(
         "doc_a", "doc_b", F.lit(1).alias("in_f")
     )
+    if pred is not None:
+        found = found.filter(
+            _audit_sample_pred("doc_a", sample_frac, id_bound)
+            & _audit_sample_pred("doc_b", sample_frac, id_bound)
+        )
     j = truth.join(found, ["doc_a", "doc_b"], "full_outer")
     hit = F.when(F.col("in_t").isNotNull() & F.col("in_f").isNotNull(), 1)
     return j.agg(

@@ -1258,3 +1258,50 @@ def test_lsh_recall_audit_row_shape_and_floor(spark, sf_dir):
     # the LSH verify stage is exact over its hashed universe; extras
     # can only be 32-bit collision artifacts — zero on this corpus
     assert row.n_extra == 0 and row.precision_bp == 10000, row
+
+
+def test_lsh_recall_audit_sampled_truth_leg(spark, sf_dir):
+    """The 100 TB knob: with sample_frac / id_bound the truth leg runs
+    on a deterministic doc sample and the production LSH pair set is
+    filtered to the same sub-universe, so the audit stays a fair
+    recall/precision estimate over fewer pairs. Pins: determinism,
+    sub-universe containment (sampled truth <= full truth), identical
+    quality on this corpus (every planted pair that survives sampling
+    is still found), and that defaults reproduce the registered row."""
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        _planted_corpus,
+        lsh_recall_audit,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import (
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    corpus = _planted_corpus(d)
+    full = lsh_recall_audit(corpus, "text", "doc_id").collect()[0]
+    reg = (
+        REGISTRY["dedup_lsh_recall_audit"].builder(spark, sf_dir).collect()[0]
+    )
+    assert full.asDict() == reg.asDict()
+
+    s1 = lsh_recall_audit(corpus, "text", "doc_id", sample_frac=0.5)
+    s2 = lsh_recall_audit(corpus, "text", "doc_id", sample_frac=0.5)
+    r1, r2 = s1.collect()[0], s2.collect()[0]
+    assert r1.asDict() == r2.asDict()  # md5 sampling is deterministic
+    assert 0 < r1.n_true < full.n_true  # genuinely sub-universe
+    assert r1.n_found == r1.n_hit + r1.n_extra
+    # on this corpus LSH finds every true pair, sampled or not
+    assert r1.recall_bp == 10000 and r1.precision_bp == 10000, r1
+
+    b = lsh_recall_audit(
+        corpus, "text", "doc_id", id_bound=1_000_000_000
+    ).collect()[0]
+    # id_bound excludes the planted perturbed copies (ids offset 1e9),
+    # so only same-universe true pairs remain
+    assert b.n_true < full.n_true
+    assert b.n_hit <= b.n_true and b.n_found == b.n_hit + b.n_extra
