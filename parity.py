@@ -6,15 +6,45 @@ Writes PARITY_FULL.json next to this script: one row per query with
 rows/schema/hash match flags (driver format). Queries without an
 oracle record spark_rows and err="no_oracle".
 
-Usage:  python parity.py [--only name1,name2,...]
+Usage:  python parity.py [--only name1,name2,...] [--heavy]
         [env: SPARK_GRAFT_SF_DIR, default sf0.01]
 
 --only restricts the run to the named queries (comma-separated) for
 fast iteration; PARITY_FULL.json is NOT written in that mode so a
 partial run can never masquerade as a full-registry result.
+--heavy is shorthand for --only over HEAVY_ORACLES (below).
+
+DuckDB memory envelope (round 10, VERDICT r9 task 8): the oracles in
+HEAVY_ORACLES are the ones whose DuckDB side is closest to the
+engine's memory ceiling at sf0.01 — recursive-CTE connected
+components over pair sets and multi-referenced signature CTEs. Each
+already carries `AS MATERIALIZED` hints on its multi-referenced CTEs
+(without them DuckDB re-inlines the subplan inside the recursion;
+semdedup_clusters OOM'd that way in round 9 with the 384-term cosine
+join re-evaluated per recursion step). If a future testdata bump
+flips any of these from green to crashed, run `python parity.py
+--heavy` first: a crash here is a DuckDB-side cost problem (add
+MATERIALIZED hints / bound the oracle corpus), NOT a Spark
+correctness regression.
 """
 
 from __future__ import annotations
+
+# Oracles nearest DuckDB's memory envelope at sf0.01 (see module
+# docstring): recursive-CTE clustering + multi-referenced
+# MATERIALIZED signature machinery.
+HEAVY_ORACLES = [
+    "dedup_clusters",
+    "dedup_clusters_lsh",
+    "semdedup_clusters",
+    "semdedup_pairs",
+    "ann_pq_adc_topk",
+    "dedup_minhash_lsh",
+    "dedup_lsh_recall_audit",
+    "dedup_jaccard_shingles",
+    "bpe_train_merges",
+    "bpe_tokenize_corpus",
+]
 
 import datetime as dt
 import json
@@ -60,6 +90,8 @@ def main() -> int:
     only: set[str] | None = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    if "--heavy" in sys.argv:
+        only = (only or set()) | set(HEAVY_ORACLES)
 
     from kafka_streams_reorder_timestamp_spark.operators import registry
     from kafka_streams_reorder_timestamp_spark.session import get_spark
