@@ -229,15 +229,18 @@ def nodes_outside_cache(df: DataFrame, needle: str) -> list[str]:
     cache is the upstream labeled-tokens persist still shows its
     scoring join outside any cache — which is exactly how this
     distinguishes the fused report from a standalone rollup.)"""
-    lines = physical_plan(df, "simple").splitlines()
-    indent = _plan_indent
+    return _nodes_outside_cache_lines(
+        physical_plan(df, "simple").splitlines(), needle
+    )
 
+
+def _nodes_outside_cache_lines(lines: list[str], needle: str) -> list[str]:
     imts_depths: list[int] = []
     bad: list[str] = []
     for ln in lines:
         if not ln.strip():
             continue
-        ind = indent(ln)
+        ind = _plan_indent(ln)
         while imts_depths and ind <= imts_depths[-1]:
             imts_depths.pop()
         if needle in ln and not imts_depths:

@@ -603,3 +603,29 @@ def test_selection_approx_no_window(spark, sf_dir):
     assert "BroadcastHashJoin [source" in plan, plan
     assert plans.single_partition_scan_funnels(df) == []
     spark.catalog.clearCache()
+
+
+def test_plan_indent_codegen_sibling_not_excused():
+    """A '*(n) '-prefixed (whole-stage-codegen) node printed as a
+    SAME-depth sibling after an InMemoryTableScan must not be
+    classified as beneath the cache: lstrip-ing '*' with the tree
+    connectors counted the codegen marker as extra depth, so the
+    ancestry stack failed to pop and a re-executed scan was silently
+    excused (round-10 ADVICE fix)."""
+    from kafka_streams_reorder_timestamp_spark.plans import (
+        _nodes_outside_cache_lines,
+        _plan_indent,
+    )
+
+    lines = [
+        "Union",
+        ":- InMemoryTableScan [x#1]",
+        ":     +- Scan parquet cached_side",
+        "+- *(1) Scan parquet uncached_side",
+    ]
+    # the codegen sibling sits at the SAME depth as the cache node
+    assert _plan_indent(lines[3]) == _plan_indent(lines[1])
+    bad = _nodes_outside_cache_lines(lines, "Scan parquet")
+    assert bad == ["+- *(1) Scan parquet uncached_side"]
+    # and a scan genuinely beneath the cache stays excused
+    assert _nodes_outside_cache_lines(lines[:3], "Scan parquet") == []

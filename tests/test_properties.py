@@ -521,3 +521,45 @@ def test_md5_prefix_bridge_matches_duckdb(tokens_sample):
         ).fetchone()
         assert _md5_32(t) == row[0], t
         assert _md5_64(t) == row[1], t
+
+
+# --------------------------------------------------------------------------
+# BPE oracle machinery: the double-space replace() encoding must equal
+# the sequential left-to-right merge for EVERY vocabulary, not just the
+# corpus the registered queries see. Tiny alphabets force the
+# adversarial shapes: back-to-back overlaps ([a,a,a,a]), tie-broken
+# argmaxes, merged symbols that are substrings of other symbols.
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="ab¢d", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=25, deadline=None)
+def test_bpe_oracle_unroll_matches_reference(word_counts):
+    import duckdb
+
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        _BPE_V0_SS,
+        _bpe_oracle_rounds,
+        bpe_merges_local,
+    )
+
+    ref = bpe_merges_local(word_counts, n_merges=8)
+    placeholders = ", ".join("(?, ?)" for _ in word_counts)
+    params = [x for w, c in word_counts.items() for x in (w, c)]
+    sql = f"""
+    WITH v0 AS MATERIALIZED (
+      SELECT word, wcount::BIGINT AS wcount, {_BPE_V0_SS} AS ss
+      FROM (VALUES {placeholders}) v(word, wcount)
+    ), {_bpe_oracle_rounds(8)}
+    SELECT merge_rank, a, b, c
+    FROM ({' UNION ALL '.join(f'SELECT * FROM m{r}' for r in range(1, 9))})
+    ORDER BY merge_rank
+    """
+    got = [tuple(r) for r in duckdb.execute(sql, params).fetchall()]
+    assert got == [tuple(m) for m in ref], word_counts
