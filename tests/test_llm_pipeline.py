@@ -1305,3 +1305,33 @@ def test_lsh_recall_audit_sampled_truth_leg(spark, sf_dir):
     # so only same-universe true pairs remain
     assert b.n_true < full.n_true
     assert b.n_hit <= b.n_true and b.n_found == b.n_hit + b.n_extra
+
+
+def test_audit_sample_pred_matches_md5_bucket(spark):
+    """The Spark expression inside _audit_sample_pred (conv of the md5
+    hex prefix) must equal the documented bucket function
+    int(md5(str(id))[:8], 16) % 10000 — the same integer DuckDB
+    computes (pinned cross-engine by the property test in
+    test_properties.py), so a future sampled-audit oracle can replay
+    the sample exactly."""
+    import hashlib
+
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        _audit_sample_pred,
+    )
+
+    ids = [0, 1, 19, 1_000_000_000, 1_000_000_019, -7, 2**41 + 3]
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    kept = {
+        r.doc_id
+        for r in df.filter(
+            _audit_sample_pred("doc_id", 0.5, None)
+        ).collect()
+    }
+    want = {
+        i
+        for i in ids
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        < 5000
+    }
+    assert kept == want

@@ -563,3 +563,33 @@ def test_bpe_oracle_unroll_matches_reference(word_counts):
     """
     got = [tuple(r) for r in duckdb.execute(sql, params).fetchall()]
     assert got == [tuple(m) for m in ref], word_counts
+
+
+# --------------------------------------------------------------------------
+# The recall audit's sampling predicate claims DuckDB replayability in
+# its docstring (('0x' || substring(md5(id::VARCHAR), 1, 8))::BIGINT %
+# 10000) — pin the bucket function itself so a future oracle for the
+# sampled audit can rely on it.
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_audit_sample_bucket_matches_duckdb(ids):
+    import duckdb
+    import hashlib
+
+    for i in ids:
+        py = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        duck = duckdb.execute(
+            "SELECT ('0x' || substring(md5(?::VARCHAR), 1, 8))"
+            "::BIGINT % 10000",
+            [i],
+        ).fetchone()[0]
+        assert py == duck, i
