@@ -868,6 +868,100 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_recall_audit(_planted_corpus(d), "text", "doc_id", threshold=0.7)
 
 
+# DuckDB replay of _audit_sample_pred's md5 bucket (cross-engine
+# equality property-pinned in tests/test_properties.py).
+def _audit_bucket_sql(col: str, sample_frac: float) -> str:
+    bp = int(round(sample_frac * 10000))
+    return (
+        f"('0x' || substring(md5({col}::VARCHAR), 1, 8))::BIGINT"
+        f" % 10000 < {bp}"
+    )
+
+
+@register(
+    "dedup_lsh_recall_audit_sampled",
+    # The PRODUCTION monitoring shape (sample_frac=0.5), itself
+    # hash-checked: filtering both legs' pair sets to
+    # both-endpoints-sampled is set-identical to running the truth
+    # AllPairs on the sampled docs and restricting the LSH pair set
+    # the way lsh_recall_audit does, so the oracle reuses the full-leg
+    # CTEs and applies the md5 bucket at the pair level.
+    oracle=f"""
+    WITH {_EXACT_TRUTH_CTES},
+    base AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents WHERE text IS NOT NULL
+    ), corpus AS (
+      SELECT doc_id, t FROM base WHERE len(t) > 0
+      UNION ALL
+      SELECT doc_id + 1000000000,
+             list_slice(t, 1, greatest(len(t) - 2, 1))
+      FROM base WHERE doc_id < 20 AND len(t) > 0
+    ), {_LSH_MACHINERY_SQL.format(sig_cols=_LSH_SIG_COLS,
+                                  band_structs=_LSH_BAND_STRUCTS)},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandtab a JOIN bandtab b
+        ON a.band = b.band AND a.fp = b.fp AND a.doc_id < b.doc_id
+    ), found AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.7
+    ), truth_s AS (
+      SELECT * FROM truth
+      WHERE {_audit_bucket_sql('doc_a', 0.5)}
+        AND {_audit_bucket_sql('doc_b', 0.5)}
+    ), found_s AS (
+      SELECT * FROM found
+      WHERE {_audit_bucket_sql('doc_a', 0.5)}
+        AND {_audit_bucket_sql('doc_b', 0.5)}
+    ), joined AS (
+      SELECT COALESCE(t.doc_a, f.doc_a) AS doc_a,
+             (t.doc_a IS NOT NULL) AS in_t,
+             (f.doc_a IS NOT NULL) AS in_f
+      FROM truth_s t FULL OUTER JOIN found_s f
+        ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b
+    )
+    SELECT COUNT(*) FILTER (in_t) AS n_true,
+           COUNT(*) FILTER (in_f) AS n_found,
+           COUNT(*) FILTER (in_t AND in_f) AS n_hit,
+           COUNT(*) FILTER (in_t AND NOT in_f) AS n_missed,
+           COUNT(*) FILTER (in_f AND NOT in_t) AS n_extra,
+           (COUNT(*) FILTER (in_t AND in_f)) * 10000
+             // (COUNT(*) FILTER (in_t)) AS recall_bp,
+           (COUNT(*) FILTER (in_t AND in_f)) * 10000
+             // (COUNT(*) FILTER (in_f)) AS precision_bp
+    FROM joined
+    """,
+    doc="The SAMPLED recall audit — the actual 100 TB production "
+    "monitoring shape (DEPLOY.md): truth universe = deterministic "
+    "md5-bucket half of the doc ids, exact AllPairs only on that "
+    "sample, production LSH pair set filtered to the same "
+    "sub-universe by a scan-speed endpoint predicate. Registered "
+    "alongside the full-corpus audit so BOTH points of the "
+    "audit-cost/estimate-variance tradeoff are hash-checked: the "
+    "oracle replays the md5 bucket (property-pinned cross-engine), "
+    "the full truth/found machinery, and the pair-level filter that "
+    "is set-identical to sampling the docs first. At sf0.01 the "
+    "planted pairs surviving ~f^2 sampling keep n_true > 0, so the "
+    "integer basis-point division is well-defined at every driver "
+    "SF (pinned by the sampled-leg pytest).",
+)
+def dedup_lsh_recall_audit_sampled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return lsh_recall_audit(
+        _planted_corpus(d), "text", "doc_id", threshold=0.7, sample_frac=0.5
+    )
+
+
 def _audit_sample_pred(id_col, sample_frac: float, id_bound):
     """Deterministic doc-membership predicate for the audit's truth
     universe, or None for the full corpus. `id_bound` keeps ids below a

@@ -44,6 +44,7 @@ HEAVY_ORACLES = [
     "ann_pq_adc_topk",
     "dedup_minhash_lsh",
     "dedup_lsh_recall_audit",
+    "dedup_lsh_recall_audit_sampled",
     "dedup_jaccard_shingles",
     "bpe_train_merges",
     "bpe_tokenize_corpus",
