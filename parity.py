@@ -37,10 +37,24 @@ SF; the only two divergences are `events_weekly_users_hll` and
 the exact twin valid while the sketch is in its exact regime
 (HLL coupon mode / collision-free CMS counters), which holds at
 sf0.01 but not at sf0.1 (~1,400 weekly users puts HLL in estimation
-mode, ~0.3% error — the sketch WORKING as specified; the pytest
-error-bound pins govern there). If the driver's oracle SF ever
-rises, expect exactly these two to flip hash-red first, and read
-that as the regime boundary, not a bug.
+mode, ~0.3% error — the sketch WORKING as specified). If the
+driver's oracle SF ever rises, expect exactly these two to flip
+hash-red first, and read that as the regime boundary, not a bug.
+
+Approx-regime verification (round 10): instead of leaving those two
+as bare hash-reds above the exact regime, APPROX_GUARANTEES maps
+each sketch query to a numeric checker that verifies the sketch's
+PUBLISHED guarantee against the exact-oracle values row by row —
+HLL estimates within 3 relative standard errors (RSE = 1.04 /
+sqrt(2^lgConfigK), Datasketches default lgConfigK=12), Count-Min
+estimates never below the exact count and overshooting by at most
+(e / width) * N. A hash mismatch on one of these queries therefore
+resolves to `approx_verified` (counted separately, exit 0) when the
+bound holds, and stays a hard failure when it does not — so the
+sweep distinguishes "the sketch is estimating as specified" from
+"the sketch is broken" mechanically, not by prose. Exact-by-
+construction companion columns (merge counts, key columns) must
+still match bit-for-bit inside the checker.
 """
 
 from __future__ import annotations
@@ -71,6 +85,82 @@ import traceback
 
 import duckdb
 import pandas as pd
+
+
+def _check_hll_weekly(sdf: pd.DataFrame, odf: pd.DataFrame, con) -> dict:
+    """Guarantee check for events_weekly_users_hll beyond the exact
+    regime: Datasketches HLL with the default lgConfigK=12 has
+    relative standard error 1.04/sqrt(2^12) ~= 1.625%; require every
+    weekly estimate within 3 RSE of the exact COUNT(DISTINCT), and
+    the exact-by-construction n_days_merged column bit-equal."""
+    keys = ["event_type", "week_us"]
+    m = sdf.merge(odf, on=keys, suffixes=("_s", "_o"))
+    if not (len(m) == len(sdf) == len(odf)):
+        return {"within_bound": False, "reason": "key sets differ"}
+    if not (
+        m["n_days_merged_s"].astype("int64")
+        == m["n_days_merged_o"].astype("int64")
+    ).all():
+        return {
+            "within_bound": False,
+            "reason": "exact column n_days_merged differs",
+        }
+    exact = m["approx_weekly_users_o"].astype("float64")
+    est = m["approx_weekly_users_s"].astype("float64")
+    rel = ((est - exact).abs() / exact.clip(lower=1.0)).max()
+    bound = 3 * 1.04 / math.sqrt(2**12)
+    return {
+        "within_bound": bool(rel <= bound),
+        "guarantee": "HLL lgConfigK=12: |est-exact|/exact <= 3*RSE",
+        "max_rel_err": round(float(rel), 6),
+        "bound": round(bound, 6),
+    }
+
+
+def _check_cms_counts(sdf: pd.DataFrame, odf: pd.DataFrame, con) -> dict:
+    """Guarantee check for events_cms_user_counts beyond the
+    collision-free regime: Count-Min never undercounts, and each
+    estimate overshoots the exact count by at most (e/width)*N with
+    high probability, N = rows sketched (non-null user_id events).
+    Width imported from the single source of truth, not retyped
+    (the ADVICE r9 lesson on forked constants)."""
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        CMS_WIDTH,
+    )
+
+    m = sdf.merge(odf, on=["user_id"], suffixes=("_s", "_o"))
+    if not (len(m) == len(sdf) == len(odf)):
+        return {"within_bound": False, "reason": "probe key sets differ"}
+    n_total = con.execute(
+        "SELECT COUNT(*) FROM events WHERE user_id IS NOT NULL"
+    ).fetchone()[0]
+    over = m["est_count_s"].astype("int64") - m["est_count_o"].astype(
+        "int64"
+    )
+    cap = math.e / CMS_WIDTH * n_total
+    ok = bool((over >= 0).all() and (over <= cap).all())
+    return {
+        "within_bound": ok,
+        "guarantee": "CMS: exact <= est <= exact + (e/width)*N",
+        "max_overshoot": int(over.max()),
+        "overshoot_cap": round(cap, 2),
+        "n_sketched": int(n_total),
+    }
+
+
+# Sketch queries whose registered oracle is the EXACT twin, valid
+# only inside the sketch's exact regime (sparse/coupon HLL,
+# collision-free CMS counters — see each query's @register comment).
+# Above that regime the hash mismatch is the sketch estimating as
+# specified; the checker verifies the published bound numerically.
+# The Theta set-op queries (events_audience_theta_setops,
+# audience_overlap_matrix_theta) stay hash-exact through sf0.1
+# (nominal entries 4096 > the user universe); add checkers here the
+# day a testdata bump pushes them into estimation mode.
+APPROX_GUARANTEES = {
+    "events_weekly_users_hll": _check_hll_weekly,
+    "events_cms_user_counts": _check_cms_counts,
+}
 
 
 def _cell(v):
@@ -108,6 +198,9 @@ def main() -> int:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     if "--heavy" in sys.argv:
         only = (only or set()) | set(HEAVY_ORACLES)
+    out_name = "PARITY_FULL.json"
+    if "--out" in sys.argv:
+        out_name = os.path.basename(sys.argv[sys.argv.index("--out") + 1])
 
     from kafka_streams_reorder_timestamp_spark.operators import registry
     from kafka_streams_reorder_timestamp_spark.session import get_spark
@@ -132,7 +225,7 @@ def main() -> int:
         )
 
     results: dict[str, dict] = {}
-    n_green = n_no_oracle = n_bad = 0
+    n_green = n_no_oracle = n_bad = n_approx = 0
     for name, spec in registry.REGISTRY.items():
         if only is not None and name not in only:
             continue
@@ -163,6 +256,14 @@ def main() -> int:
                 )
                 if row["hash_match"]:
                     n_green += 1
+                elif name in APPROX_GUARANTEES:
+                    check = APPROX_GUARANTEES[name](sdf, odf, con)
+                    row["approx"] = check
+                    if check.get("within_bound"):
+                        row["err"] = "approx_regime"
+                        n_approx += 1
+                    else:
+                        n_bad += 1
                 else:
                     n_bad += 1
         except Exception as e:
@@ -173,46 +274,36 @@ def main() -> int:
         tag = (
             "OK"
             if row["hash_match"]
-            else ("no_oracle" if row["err"] == "no_oracle" else "FAIL")
+            else (
+                "no_oracle"
+                if row["err"] == "no_oracle"
+                else (
+                    "approx_verified"
+                    if row["err"] == "approx_regime"
+                    else "FAIL"
+                )
+            )
         )
         print(f"parity: {name}: {tag}", file=sys.stderr)
 
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    summary = {
+        "n_queries": len(results),
+        "n_hash_green": n_green,
+        "n_approx_verified": n_approx,
+        "n_no_oracle": n_no_oracle,
+        "n_failed": n_bad,
+    }
     if only is not None:
-        print(
-            json.dumps(
-                {
-                    "n_queries": len(results),
-                    "n_hash_green": n_green,
-                    "n_no_oracle": n_no_oracle,
-                    "n_failed": n_bad,
-                }
-            )
-        )
+        print(json.dumps(summary))
         return 0 if n_bad == 0 else 1
-    with open(os.path.join(repo_root, "PARITY_FULL.json"), "w") as f:
+    with open(os.path.join(repo_root, out_name), "w") as f:
         json.dump(
-            {
-                "sf_dir": sf_dir,
-                "n_queries": len(results),
-                "n_hash_green": n_green,
-                "n_no_oracle": n_no_oracle,
-                "n_failed": n_bad,
-                "queries": results,
-            },
+            {"sf_dir": sf_dir, **summary, "queries": results},
             f,
             indent=1,
         )
-    print(
-        json.dumps(
-            {
-                "n_queries": len(results),
-                "n_hash_green": n_green,
-                "n_no_oracle": n_no_oracle,
-                "n_failed": n_bad,
-            }
-        )
-    )
+    print(json.dumps(summary))
     return 0 if n_bad == 0 else 1
 
 
