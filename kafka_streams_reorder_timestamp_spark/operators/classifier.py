@@ -1127,6 +1127,46 @@ def quality_eval_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "quality_selection_approx",
     oracle=None,
+    # Exact twin for parity.py's APPROX_GUARANTEES checker (never
+    # exported to the driver): per source, the exact logit values at
+    # ranks bracketing the 0.75 quantile by the GK guarantee
+    # (accuracy=10000 -> rank error <= n/10000, widened by one rank
+    # each side for the floor/ceil convention gap between engines),
+    # plus the EXACT kept counts at both bracket cutoffs — since
+    # count(logit >= c) is monotone in c, Spark's n_kept must land
+    # inside [n_kept_min, n_kept_max] whenever its cutoff is inside
+    # [lo_cut, hi_cut]. n_docs/quota are exact and must bit-match.
+    approx_oracle=f"""
+    WITH {_ORACLE_MODEL}, sc AS (
+      SELECT d.source, CAST(s.logit_dec AS DOUBLE) AS logit
+      FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    ), ranked AS (
+      SELECT source, logit,
+             row_number() OVER (PARTITION BY source ORDER BY logit)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM sc
+    ), bounds AS (
+      SELECT source, MAX(n) AS n,
+             MAX(CASE WHEN rk = GREATEST(1, CAST(
+                   FLOOR(0.75 * n) - CEIL(0.0001 * n) - 1 AS BIGINT))
+                 THEN logit END) AS lo_cut,
+             MAX(CASE WHEN rk = LEAST(n, CAST(
+                   CEIL(0.75 * n) + CEIL(0.0001 * n) + 1 AS BIGINT))
+                 THEN logit END) AS hi_cut
+      FROM ranked GROUP BY source
+    )
+    SELECT b.source,
+           CAST(b.n AS BIGINT) AS n_docs,
+           CAST((b.n + 3) // 4 AS BIGINT) AS quota,
+           b.lo_cut, b.hi_cut,
+           CAST(COUNT(*) FILTER (sc.logit >= b.hi_cut) AS BIGINT)
+             AS n_kept_min,
+           CAST(COUNT(*) FILTER (sc.logit >= b.lo_cut) AS BIGINT)
+             AS n_kept_max
+    FROM bounds b JOIN sc ON sc.source = b.source
+    GROUP BY 1, 2, 3, 4, 5
+    """,
     doc="The PRODUCTION path of per-source budgeted selection for "
     "near-unique-logit corpora — the documented fallback of "
     "quality_selection_per_source, now registered instead of prose: "

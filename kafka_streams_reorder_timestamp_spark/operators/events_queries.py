@@ -267,8 +267,28 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_approx_sketches",
     oracle=None,  # sketch outputs are implementation-specific (Spark
-    # HLL++ / KLL vs DuckDB's sketches would never hash-match); pytest
-    # pins each estimate within its documented error bound vs exact.
+    # HLL++ / KLL vs DuckDB's sketches would never hash-match — HLL++
+    # at rsd=0.01 already estimates 151 for an exact 150 at sf0.01),
+    # so the driver keeps a rows-only check; the exact twin below
+    # feeds parity.py's guarantee checker instead.
+    # Exact twin for the APPROX_GUARANTEES checker: exact distincts
+    # plus the value bounds at rank q +/- 1/accuracy — the GK
+    # guarantee says each approx_percentile(accuracy=10000) estimate
+    # must land between them. quantile_disc returns an element of the
+    # column (as Spark's estimate is), so the bound comparison never
+    # interpolates.
+    approx_oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           quantile_disc(value, 0.4999) AS lo_p50,
+           quantile_disc(value, 0.5001) AS hi_p50,
+           quantile_disc(value, 0.9499) AS lo_p95,
+           quantile_disc(value, 0.9501) AS hi_p95,
+           quantile_disc(value, 0.9899) AS lo_p99,
+           quantile_disc(value, 0.9901) AS hi_p99,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+    """,
     doc="Sketch aggregations per event_type: HyperLogLog++ distinct "
     "users (rsd=0.01) and quantile sketch of value (p50/p95/p99). The "
     "100 TB answer to COUNT(DISTINCT)/percentile: mergeable, bounded-"

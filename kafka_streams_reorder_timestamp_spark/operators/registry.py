@@ -38,16 +38,36 @@ class QuerySpec:
     builder: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB, or None (rows-only check)
     doc: str = ""
+    # Exact-twin SQL for queries whose output is engine-specific by
+    # nature (Spark-internal sketches) and can therefore NEVER
+    # hash-match an oracle at any SF. Consumed ONLY by parity.py's
+    # APPROX_GUARANTEES checkers, which verify the sketch's published
+    # error bound against these exact values; intentionally NOT
+    # exported through ``all_oracles()``/``oracle_sql()`` — the
+    # driver's bit-hash comparison would mis-read bounded estimation
+    # error as failure, so the driver keeps its rows-only check.
+    approx_oracle: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    approx_oracle: str | None = None,
+):
     """Decorator: add a query builder to the registry."""
 
     def wrap(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(
+            name=name,
+            builder=fn,
+            oracle=oracle,
+            doc=doc,
+            approx_oracle=approx_oracle,
+        )
         return fn
 
     return wrap

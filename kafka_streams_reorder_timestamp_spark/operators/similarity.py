@@ -1164,6 +1164,37 @@ def pca_fit(
     return comps, mean, evals[order]
 
 
+# Exact micro-unit PCA sufficient statistics (n, component sums,
+# upper-triangle Gram) — the oracle of embedding_pca_moments AND the
+# approx_oracle of embedding_pca_project (parity.py reconstructs the
+# covariance spectrum from these exact values and verifies the
+# projection's variance structure against it).
+_PCA_MOMENTS_ORACLE_SQL = f"""
+    WITH comp AS (
+      SELECT vec_id, d.dim AS dim,
+             CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE embedding IS NOT NULL),
+           (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
+    )
+    SELECT 0 AS dim_i, 0 AS dim_j,
+           (SELECT COUNT(*) FROM embeddings
+            WHERE embedding IS NOT NULL)::DECIMAL(38,0)::VARCHAR AS moment
+    UNION ALL
+    SELECT dim AS dim_i, 0 AS dim_j,
+           SUM(v)::DECIMAL(38,0)::VARCHAR AS moment
+    FROM comp GROUP BY dim
+    UNION ALL
+    SELECT a.dim AS dim_i, b.dim AS dim_j,
+           SUM(CAST(a.v AS DECIMAL(19,0))
+               * CAST(b.v AS DECIMAL(19,0)))::DECIMAL(38,0)::VARCHAR
+             AS moment
+    FROM comp a JOIN comp b
+      ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+    """
+
+
 @register(
     "embedding_pca_project",
     oracle=None,  # the eigendecomposition is LAPACK-bound (not
@@ -1173,6 +1204,14 @@ def pca_fit(
     # unverified trust surface is numpy.linalg.eigh alone, pinned by
     # pytest against numpy's full PCA on the same data (values,
     # variance order, orthogonality) at tests/test_llm_pipeline.py.
+    # The same exact moments feed parity.py's _check_pca_projection:
+    # it eigensolves the DuckDB-verified covariance INDEPENDENTLY and
+    # requires the registered projection's variance structure to
+    # match that spectrum (per-component variance = eigenvalue,
+    # components centered and uncorrelated) — so even the residual
+    # eigh/projection stage is cross-checked against exact SQL
+    # moments every parity sweep.
+    approx_oracle=_PCA_MOMENTS_ORACLE_SQL,
     doc="PCA projection of the embeddings table onto its top-4 "
     "principal components — the dimensionality-reduction front end "
     "for visualization, whitening, or cheap pre-ANN pruning. Fit: "
@@ -1211,30 +1250,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_pca_moments",
-    oracle=f"""
-    WITH comp AS (
-      SELECT vec_id, d.dim AS dim,
-             CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
-      FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-            WHERE embedding IS NOT NULL),
-           (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
-    )
-    SELECT 0 AS dim_i, 0 AS dim_j,
-           (SELECT COUNT(*) FROM embeddings
-            WHERE embedding IS NOT NULL)::DECIMAL(38,0)::VARCHAR AS moment
-    UNION ALL
-    SELECT dim AS dim_i, 0 AS dim_j,
-           SUM(v)::DECIMAL(38,0)::VARCHAR AS moment
-    FROM comp GROUP BY dim
-    UNION ALL
-    SELECT a.dim AS dim_i, b.dim AS dim_j,
-           SUM(CAST(a.v AS DECIMAL(19,0))
-               * CAST(b.v AS DECIMAL(19,0)))::DECIMAL(38,0)::VARCHAR
-             AS moment
-    FROM comp a JOIN comp b
-      ON a.vec_id = b.vec_id AND a.dim <= b.dim
-    GROUP BY 1, 2
-    """,
+    oracle=_PCA_MOMENTS_ORACLE_SQL,
     doc="The exact registered twin of embedding_pca_project's fit "
     "stage (round 10, VERDICT r9 task 3): the PCA sufficient "
     "statistics — row count, per-dimension component sums, and the "

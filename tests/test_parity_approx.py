@@ -22,8 +22,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from parity import (  # noqa: E402
     APPROX_GUARANTEES,
+    _check_approx_sketches,
     _check_cms_counts,
     _check_hll_weekly,
+    _check_pca_projection,
+    _check_selection_approx,
 )
 
 
@@ -123,13 +126,217 @@ def test_cms_checker_rejects_overshoot_beyond_cap():
     )
 
 
+def _sketch_frames(approx_users, p50s):
+    oracle = pd.DataFrame(
+        {
+            "event_type": ["click", "view"],
+            "exact_users": [1000, 2000],
+            "lo_p50": [10.0, 20.0],
+            "hi_p50": [11.0, 21.0],
+            "lo_p95": [90.0, 95.0],
+            "hi_p95": [91.0, 96.0],
+            "lo_p99": [99.0, 100.0],
+            "hi_p99": [99.5, 101.0],
+            "n_events": [5000, 9000],
+        }
+    )
+    spark = pd.DataFrame(
+        {
+            "event_type": ["click", "view"],
+            "approx_users": approx_users,
+            "p50": p50s,
+            "p95": [90.5, 95.5],
+            "p99": [99.2, 100.5],
+            "n_events": [5000, 9000],
+        }
+    )
+    return spark, oracle
+
+
+def test_sketch_checker_accepts_in_bound_estimates():
+    # HLL++ off by 2% (under the 3*rsd = 3% bound at rsd=0.01), and
+    # every percentile inside its rank-bound bracket.
+    spark, oracle = _sketch_frames([1020, 2040], [10.5, 20.5])
+    out = _check_approx_sketches(spark, oracle, con=None)
+    assert out["within_bound"] is True
+    assert out["max_hll_rel_err"] <= out["hll_bound"]
+
+
+def test_sketch_checker_rejects_hll_out_of_bound():
+    spark, oracle = _sketch_frames([1050, 2000], [10.5, 20.5])  # +5% > 3%
+    assert (
+        _check_approx_sketches(spark, oracle, con=None)["within_bound"]
+        is False
+    )
+
+
+def test_sketch_checker_rejects_percentile_outside_rank_bounds():
+    spark, oracle = _sketch_frames([1000, 2000], [12.0, 20.5])  # p50 > hi
+    out = _check_approx_sketches(spark, oracle, con=None)
+    assert out["within_bound"] is False
+    assert out["percentiles_in_rank_bounds"] is False
+
+
+def test_sketch_checker_rejects_exact_count_drift():
+    spark, oracle = _sketch_frames([1000, 2000], [10.5, 20.5])
+    spark["n_events"] = [5000, 9001]
+    out = _check_approx_sketches(spark, oracle, con=None)
+    assert out["within_bound"] is False
+    assert "n_events" in out["reason"]
+
+
+def _selection_frames(cutoffs, n_kept):
+    oracle = pd.DataFrame(
+        {
+            "source": ["web", "wiki"],
+            "n_docs": [400, 800],
+            "quota": [100, 200],
+            "lo_cut": [1.0, 2.0],
+            "hi_cut": [1.5, 2.5],
+            "n_kept_min": [98, 198],
+            "n_kept_max": [104, 206],
+        }
+    )
+    spark = pd.DataFrame(
+        {
+            "source": ["web", "wiki"],
+            "n_docs": [400, 800],
+            "quota": [100, 200],
+            "n_kept": n_kept,
+            "logit_cutoff": cutoffs,
+        }
+    )
+    return spark, oracle
+
+
+def test_selection_checker_accepts_in_bracket():
+    spark, oracle = _selection_frames([1.2, 2.3], [101, 202])
+    out = _check_selection_approx(spark, oracle, con=None)
+    assert out["within_bound"] is True
+
+
+def test_selection_checker_rejects_cutoff_outside_rank_bounds():
+    spark, oracle = _selection_frames([0.9, 2.3], [101, 202])
+    out = _check_selection_approx(spark, oracle, con=None)
+    assert out["within_bound"] is False
+    assert out["cutoff_in_rank_bounds"] is False
+
+
+def test_selection_checker_rejects_kept_outside_bracket():
+    spark, oracle = _selection_frames([1.2, 2.3], [90, 202])
+    out = _check_selection_approx(spark, oracle, con=None)
+    assert out["within_bound"] is False
+    assert out["kept_in_bracket"] is False
+
+
+def test_selection_checker_rejects_exact_column_drift():
+    spark, oracle = _selection_frames([1.2, 2.3], [101, 202])
+    spark["quota"] = [100, 201]
+    out = _check_selection_approx(spark, oracle, con=None)
+    assert out["within_bound"] is False
+    assert "quota" in out["reason"]
+
+
+def _pca_fixture(scale_pc1=1.0, shift=0.0):
+    """Synthetic embeddings -> exact micro-unit moments frame (the
+    approx_oracle shape) + the true top-4 projection frame, optionally
+    corrupted."""
+    import numpy as np
+
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        DIM,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 300
+    x = np.round(rng.normal(size=(n, DIM)), 6)
+    v = np.round(x * 1_000_000).astype(np.int64)
+    rows = [(0, 0, str(n))]
+    rows += [(i + 1, 0, str(int(v[:, i].sum()))) for i in range(DIM)]
+    g = v.T @ v
+    rows += [
+        (i + 1, j + 1, str(int(g[i, j])))
+        for i in range(DIM)
+        for j in range(i, DIM)
+    ]
+    odf = pd.DataFrame(rows, columns=["dim_i", "dim_j", "moment"])
+    mean = x.mean(axis=0)
+    cov = (x - mean).T @ (x - mean) / n
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, np.argsort(evals)[::-1][:4]].T
+    p = np.round((x - mean + shift) @ comps.T, 4)
+    p[:, 0] *= scale_pc1
+    sdf = pd.DataFrame(p, columns=["pc1", "pc2", "pc3", "pc4"])
+    sdf.insert(0, "vec_id", range(n))
+    return sdf, odf
+
+
+def test_pca_checker_accepts_true_projection():
+    sdf, odf = _pca_fixture()
+    out = _check_pca_projection(sdf, odf, con=None)
+    assert out["within_bound"] is True
+    assert out["max_rel_var_err"] <= out["tol"]
+
+
+def test_pca_checker_rejects_wrong_scaling():
+    # An unnormalized eigenvector (pc1 scaled 1.1x) breaks the
+    # variance-equals-eigenvalue identity by ~21%.
+    sdf, odf = _pca_fixture(scale_pc1=1.1)
+    assert _check_pca_projection(sdf, odf, con=None)["within_bound"] is False
+
+
+def test_pca_checker_rejects_missing_centering():
+    sdf, odf = _pca_fixture(shift=0.5)
+    assert _check_pca_projection(sdf, odf, con=None)["within_bound"] is False
+
+
+def test_pca_checker_rejects_row_count_drift():
+    sdf, odf = _pca_fixture()
+    assert (
+        _check_pca_projection(sdf.iloc[:-1], odf, con=None)["within_bound"]
+        is False
+    )
+
+
 def test_approx_registry_covers_exactly_the_regime_bounded_oracles():
-    # The set is intentionally minimal: exactly the two queries whose
-    # exact-twin oracles leave validity at sf0.1 (PARITY_SF0.1.json).
-    # Growing it requires the same measured justification.
+    # The set is intentionally minimal: the two queries whose
+    # exact-twin oracles leave validity at sf0.1 (PARITY_SF0.1.json)
+    # plus the three with no exact regime at all (engine-specific
+    # sketch/eigensolve output, twins riding QuerySpec.approx_oracle;
+    # the driver keeps rows-only checks for those). Growing the set
+    # requires the same measured justification.
     assert set(APPROX_GUARANTEES) == {
         "events_weekly_users_hll",
         "events_cms_user_counts",
+        "events_approx_sketches",
+        "quality_selection_approx",
+        "embedding_pca_project",
     }
     assert APPROX_GUARANTEES["events_weekly_users_hll"] is _check_hll_weekly
     assert APPROX_GUARANTEES["events_cms_user_counts"] is _check_cms_counts
+    assert (
+        APPROX_GUARANTEES["events_approx_sketches"] is _check_approx_sketches
+    )
+    assert (
+        APPROX_GUARANTEES["quality_selection_approx"]
+        is _check_selection_approx
+    )
+    assert (
+        APPROX_GUARANTEES["embedding_pca_project"] is _check_pca_projection
+    )
+
+
+def test_approx_oracle_never_exported_to_the_driver():
+    # The driver hash-compares oracle_sql() bit-for-bit; an
+    # approx_oracle leaking there would turn bounded estimation error
+    # into recorded failures. It must stay parity-internal.
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+
+    for name in (
+        "events_approx_sketches",
+        "quality_selection_approx",
+        "embedding_pca_project",
+    ):
+        assert registry.REGISTRY[name].approx_oracle is not None, name
+        assert registry.REGISTRY[name].oracle is None, name
+        assert name not in registry.all_oracles(), name
