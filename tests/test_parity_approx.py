@@ -326,6 +326,42 @@ def test_approx_registry_covers_exactly_the_regime_bounded_oracles():
     )
 
 
+def test_approx_guarantees_hold_end_to_end_at_oracle_sf(
+    spark, oracle_sf_dir
+):
+    """Run the REAL approx-oracle SQL + checker for every
+    APPROX_GUARANTEES query whose twin rides QuerySpec.approx_oracle
+    (the three with no exact regime), at the driver's oracle SF — so
+    a regression in the twin SQL or the checker wiring fails pytest,
+    not just the next parity sweep. The two exact-regime queries
+    (HLL weekly / CMS) are hash-green at this SF and covered by
+    test_oracle_parity; their checkers only engage above it."""
+    import duckdb
+
+    from kafka_streams_reorder_timestamp_spark.operators import registry
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{oracle_sf_dir}/{t}.parquet'"
+        )
+    ran = 0
+    for name, checker in APPROX_GUARANTEES.items():
+        spec = registry.REGISTRY[name]
+        if spec.approx_oracle is None:
+            continue
+        spark.catalog.clearCache()
+        sdf = spec.builder(spark, oracle_sf_dir).toPandas()
+        odf = con.execute(spec.approx_oracle).fetch_df()
+        out = checker(sdf, odf, con)
+        assert out["within_bound"] is True, (name, out)
+        ran += 1
+    spark.catalog.clearCache()
+    assert ran == 3
+
+
 def test_approx_oracle_never_exported_to_the_driver():
     # The driver hash-compares oracle_sql() bit-for-bit; an
     # approx_oracle leaking there would turn bounded estimation error
