@@ -187,8 +187,22 @@ def dedup_cluster_size_histogram(
     "expensive array_intersect runs — result-identical, order-of-"
     "magnitude fewer intersections on real corpora.",
 )
-def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_frac: float = 1.0,
+    id_bound: int | None = None,
+) -> DataFrame:
+    """`sample_frac` / `id_bound` bound the doc universe with the same
+    deterministic md5-bucket predicate as `lsh_recall_audit` — the
+    100 TB audit knob (DEPLOY.md, monitoring): exact pairs over a
+    sample of the corpus, pushed down to the scan, never the full
+    quadratic block work. Defaults = full sf-bounded corpus (the
+    registered oracle twin)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pred = _audit_sample_pred("doc_id", sample_frac, id_bound)
+    if pred is not None:
+        d = d.filter(pred)
     toks = d.select(
         "doc_id",
         "lang",

@@ -742,10 +742,27 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "variant is the sf-bounded ORACLE TWIN: its cost is quadratic in "
     "audience size, so at corpus scale the default is "
     "audience_overlap_matrix_theta, the same matrix from KB-sized "
-    "Theta sketches (error-bound-pinned against this twin in pytest).",
+    "Theta sketches (error-bound-pinned against this twin in pytest); "
+    "the audit of THAT path at 100 TB is the user_sample_frac knob "
+    "on this builder (audience_overlap_sampled registers the knob's "
+    "production point).",
 )
-def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def event_type_audience_overlap(
+    spark: SparkSession, sf_dir: str, user_sample_frac: float = 1.0
+) -> DataFrame:
+    """`user_sample_frac` is the 100 TB audit knob (round 10, mirroring
+    `lsh_recall_audit`): the exact pairwise Jaccard runs on a
+    deterministic md5-bucket sample of the USER universe — uniform
+    user sampling keeps each cell's expected Jaccard (both the
+    intersection and the union shrink by the same factor), so the
+    sampled exact matrix audits audience_overlap_matrix_theta at a
+    scan-bounded cost. Defaults = full sf-bounded universe."""
+    from .dedup import _audit_sample_pred
+
     ev = load_table(spark, sf_dir, "events")
+    pred = _audit_sample_pred("user_id", user_sample_frac, None)
+    if pred is not None:
+        ev = ev.filter(pred)
     tu = ev.select("event_type", "user_id").distinct()
     sizes = tu.groupBy("event_type").agg(F.count(F.lit(1)).alias("sz"))
     a = tu.select(F.col("event_type").alias("type_a"), "user_id")
@@ -778,6 +795,52 @@ def event_type_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "audience_overlap_sampled",
+    # The SAMPLED exact-overlap audit — the production monitoring
+    # shape for audience_overlap_matrix_theta (DEPLOY.md): user
+    # universe = deterministic md5-bucket half of the user ids, exact
+    # pairwise Jaccard only on that sample. Registered alongside the
+    # full twin so BOTH points of the audit-cost/estimate-variance
+    # tradeoff are hash-checked, exactly as round 10 did for the LSH
+    # recall audit and the sampled exact clusters.
+    oracle="""
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events
+      WHERE ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT
+            % 10000 < 5000
+    ), sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM tu GROUP BY 1
+    ), inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, i.n_both,
+           sa.sz AS n_a, sb.sz AS n_b,
+           ROUND(i.n_both * 1.0 / (sa.sz + sb.sz - i.n_both), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc="The SAMPLED exact audience-overlap audit — the 100 TB "
+    "monitoring shape for audience_overlap_matrix_theta (DEPLOY.md): "
+    "exact pairwise Jaccard over a deterministic md5-bucket HALF of "
+    "the USER universe, pushed down to the events scan. Uniform user "
+    "sampling preserves each cell's expected Jaccard (intersection "
+    "and union shrink together), so comparing this sampled exact "
+    "matrix against the sketch matrix is the alert-on-divergence "
+    "loop at a cost bounded by the sample, never the full audience. "
+    "The oracle replays the bucket (property-pinned cross-engine) "
+    "plus the same exact set algebra as the full twin.",
+)
+def audience_overlap_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_type_audience_overlap(spark, sf_dir, user_sample_frac=0.5)
 
 
 @register(

@@ -147,11 +147,87 @@ def connected_components(
     "is still value-hash-checked per round. This exact-edge variant is "
     "the sf-bounded ORACLE TWIN — at corpus scale the default is "
     "dedup_clusters_lsh, whose candidate generation never goes "
-    "quadratic in a hot block.",
+    "quadratic in a hot block; the audit of THAT path at 100 TB is "
+    "the sample_frac/id_bound knob on this builder "
+    "(dedup_clusters_sampled registers the knob's production point).",
 )
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dedup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_frac: float = 1.0,
+    id_bound: int | None = None,
+) -> DataFrame:
+    """`sample_frac` / `id_bound` are the 100 TB audit knob (round 10,
+    mirroring `lsh_recall_audit`): the exact pair generation and the
+    components that follow run on a deterministic md5-bucket sample of
+    the corpus — the induced subgraph — so the exact-clusters audit of
+    `dedup_clusters_lsh` is a scan-bounded sample job, not the full
+    quadratic block work. Defaults = full sf-bounded corpus."""
+    pairs = dedup_jaccard_pairs(
+        spark, sf_dir, sample_frac=sample_frac, id_bound=id_bound
+    ).select("doc_a", "doc_b")
     return _clusters_from_pairs(pairs)
+
+
+# DuckDB replay of the md5 doc-bucket (cross-engine equality is
+# property-pinned in tests/test_properties.py; same fragment as the
+# recall audit's _audit_bucket_sql).
+_DOC_BUCKET_HALF = (
+    "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000"
+)
+
+
+@register(
+    "dedup_clusters_sampled",
+    # The SAMPLED exact-clusters audit — the production monitoring
+    # shape for dedup_clusters_lsh (DEPLOY.md): truth universe =
+    # deterministic md5-bucket half of the doc ids, exact blocked
+    # Jaccard + connected components only on that induced subgraph.
+    # Registered alongside the full twin so BOTH points of the
+    # audit-cost/estimate-variance tradeoff are hash-checked, exactly
+    # as round 10 did for the LSH recall audit.
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents WHERE text IS NOT NULL AND {_DOC_BUCKET_HALF}
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM toks a JOIN toks b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.t, b.t))
+            / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(node, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ), labels AS (
+      SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           CAST(doc_id = cluster_id AS INTEGER) AS is_canonical
+    FROM labels
+    """,
+    doc="The SAMPLED exact-clusters audit — the 100 TB monitoring "
+    "shape for dedup_clusters_lsh (DEPLOY.md): exact blocked-Jaccard "
+    "edges and min-id connected components over a deterministic "
+    "md5-bucket HALF of the doc universe (the induced subgraph), so "
+    "the exact twin's quadratic block work is bounded by the sample, "
+    "and the scan filter is pushed down. The oracle replays the "
+    "bucket (property-pinned cross-engine) plus the same recursive-"
+    "CTE fixpoint as dedup_clusters. Sampling doc ids uniformly "
+    "estimates the cluster-size distribution (a size-k cluster "
+    "survives as its sampled sub-cluster); cross-checking sampled "
+    "exact clusters against the sampled LSH pair set is the "
+    "alert-on-divergence loop.",
+)
+def dedup_clusters_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_clusters(spark, sf_dir, sample_frac=0.5)
 
 
 def _clusters_from_pairs(pairs: DataFrame) -> DataFrame:

@@ -95,3 +95,69 @@ def test_lsh_clusters_match_exact_clusters_on_planted_corpus(spark, sf_dir):
     assert truth, "exact clustering found no co-clustered pairs — vacuous"
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"LSH cluster pair-recall {recall:.3f} < 0.95"
+
+
+def test_sampled_clusters_induced_subgraph(spark, sf_dir):
+    """The 100 TB audit knob on the exact twin (round 10, mirroring
+    lsh_recall_audit): dedup_clusters(sample_frac/id_bound) runs the
+    exact blocked-Jaccard edges + components on a deterministic
+    md5-bucket doc sample. Pins: defaults reproduce the registered
+    full twin, sampling is deterministic and a genuine sub-universe,
+    every sampled doc is in the documented md5 bucket, sampled
+    components REFINE the full components (an induced subgraph can
+    split a component, never merge two), and the registered
+    dedup_clusters_sampled is exactly the sample_frac=0.5 point."""
+    import hashlib
+
+    from kafka_streams_reorder_timestamp_spark.operators.graph import (
+        dedup_clusters,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    full = {
+        r.doc_id: r for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    reg = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_clusters"].builder(spark, sf_dir).collect()
+    }
+    assert {k: v.asDict() for k, v in full.items()} == {
+        k: v.asDict() for k, v in reg.items()
+    }
+
+    s1 = {
+        r.doc_id: r
+        for r in dedup_clusters(spark, sf_dir, sample_frac=0.5).collect()
+    }
+    s2 = {
+        r.doc_id: r
+        for r in REGISTRY["dedup_clusters_sampled"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert {k: v.asDict() for k, v in s1.items()} == {
+        k: v.asDict() for k, v in s2.items()
+    }  # registered query IS the knob's 0.5 point (and determinism)
+    assert 0 < len(s1) < len(full)  # genuinely sub-universe
+
+    for doc in s1:
+        assert (
+            int(hashlib.md5(str(doc).encode()).hexdigest()[:8], 16) % 10000
+            < 5000
+        ), doc
+
+    # refinement: same sampled cluster -> same full cluster (sampling
+    # can only split components by removing bridge docs, never merge)
+    for a in s1.values():
+        for b in s1.values():
+            if a.cluster_id == b.cluster_id and a.doc_id in full:
+                if b.doc_id in full:
+                    assert (
+                        full[a.doc_id].cluster_id == full[b.doc_id].cluster_id
+                    ), (a, b)
+
+    # id_bound composes: every surviving doc id is below the cutoff
+    bounded = dedup_clusters(spark, sf_dir, id_bound=300).collect()
+    assert all(r.doc_id < 300 for r in bounded)

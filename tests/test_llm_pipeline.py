@@ -1335,3 +1335,60 @@ def test_audit_sample_pred_matches_md5_bucket(spark):
         < 5000
     }
     assert kept == want
+
+
+def test_sampled_overlap_estimates_full_matrix(spark, sf_dir):
+    """The 100 TB audit knob on the exact overlap twin (round 10,
+    mirroring lsh_recall_audit): user_sample_frac runs the exact
+    pairwise Jaccard on a deterministic md5-bucket half of the USER
+    universe. Pins: defaults reproduce the registered full twin, the
+    registered audience_overlap_sampled is exactly the 0.5 point,
+    the sampled audiences are genuine sub-universes, every type pair
+    of the full matrix survives on this corpus, and the sampled
+    Jaccard estimates the full one (uniform user sampling preserves
+    the expected cell value)."""
+    from kafka_streams_reorder_timestamp_spark.operators.events_queries import (
+        event_type_audience_overlap,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.registry import (
+        REGISTRY,
+    )
+
+    full = {
+        (r.type_a, r.type_b): r
+        for r in event_type_audience_overlap(spark, sf_dir).collect()
+    }
+    reg = {
+        (r.type_a, r.type_b): r
+        for r in REGISTRY["event_type_audience_overlap"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert {k: v.asDict() for k, v in full.items()} == {
+        k: v.asDict() for k, v in reg.items()
+    }
+
+    s1 = {
+        (r.type_a, r.type_b): r
+        for r in event_type_audience_overlap(
+            spark, sf_dir, user_sample_frac=0.5
+        ).collect()
+    }
+    s2 = {
+        (r.type_a, r.type_b): r
+        for r in REGISTRY["audience_overlap_sampled"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert {k: v.asDict() for k, v in s1.items()} == {
+        k: v.asDict() for k, v in s2.items()
+    }  # registered query IS the knob's 0.5 point (and determinism)
+
+    assert set(s1) == set(full)  # every cell survives on this corpus
+    for k, r in s1.items():
+        f = full[k]
+        assert 0 < r.n_a < f.n_a and 0 < r.n_b < f.n_b, k
+        assert r.n_both <= f.n_both
+        # unbiased-estimator sanity: the sampled cell tracks the full
+        # one well inside sampling noise at this audience size
+        assert abs(r.jaccard - f.jaccard) <= 0.1, (k, r.jaccard, f.jaccard)
