@@ -78,6 +78,7 @@ from __future__ import annotations
 # MATERIALIZED signature machinery.
 HEAVY_ORACLES = [
     "dedup_clusters",
+    "dedup_clusters_sampled",
     "dedup_clusters_lsh",
     "semdedup_clusters",
     "semdedup_pairs",
