@@ -31,7 +31,7 @@ python parity.py --heavy`, ~25 min) — one full decade above the
 sf0.01 the driver checks at, so a same-order testdata bump is safe.
 
 SF-scoped sketch oracles (round 10, full sf0.1 sweep —
-PARITY_SF0.1.json): 192/197 hash-green a decade above the driver's
+PARITY_SF0.1.json): 194/199 hash-green a decade above the driver's
 SF; the only two divergences are `events_weekly_users_hll` and
 `events_cms_user_counts`, BY THEIR DOCUMENTED DESIGN — each oracle is
 the exact twin valid while the sketch is in its exact regime
