@@ -25,9 +25,10 @@ join re-evaluated per recursion step). If a future testdata bump
 flips any of these from green to crashed, run `python parity.py
 --heavy` first: a crash here is a DuckDB-side cost problem (add
 MATERIALIZED hints / bound the oracle corpus), NOT a Spark
-correctness regression. Measured headroom (round 10): all 10 ran
-hash-green at sf0.1 too (`SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
-python parity.py --heavy`, ~25 min) — one full decade above the
+correctness regression. Measured headroom (round 10): all 11 ran
+hash-green at sf0.1 too (the full-registry sf0.1 sweep covers the
+whole list, including dedup_clusters_sampled's recursive CTE over
+the induced half-corpus subgraph) — one full decade above the
 sf0.01 the driver checks at, so a same-order testdata bump is safe.
 
 SF-scoped sketch oracles (round 10, full sf0.1 sweep —
