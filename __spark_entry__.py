@@ -48,5 +48,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query; ops without an entry
-    (non-SQL-expressible) get the driver's weaker rows-only check."""
+    (non-SQL-expressible) get the driver's weaker rows-only check.
+
+    Three queries intentionally have no entry here and will always show
+    as rows-only in CORRECTNESS_r*.json: ``events_approx_sketches``,
+    ``embedding_pca_project`` and ``quality_selection_approx``. Their
+    output is engine-specific by nature (Spark HLL++/KLL/GK sketches,
+    LAPACK eigensolve), so a bit-hash against DuckDB would mis-read
+    bounded estimation error as failure. Each is instead verified every
+    parity sweep against an exact DuckDB twin via a published-error-
+    bound guarantee check — see the ``approx.within_bound`` rows in
+    PARITY_FULL.json / PARITY_SF0.1.json and parity.py's
+    APPROX_GUARANTEES (checker-of-the-checker tests in
+    tests/test_parity_approx.py)."""
     return registry.all_oracles()

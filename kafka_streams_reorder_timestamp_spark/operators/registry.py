@@ -73,12 +73,16 @@ def register(
     return wrap
 
 
-def _driver_history() -> tuple[dict[str, int], set[str]]:
+def _driver_history() -> tuple[dict[str, int], set[str], set[str]]:
     """(latest round with any CORRECTNESS_r{N}.json row per query,
-    names whose LATEST row was a failure).
+    names whose LATEST row was a failure,
+    names whose LATEST row was the weaker rows-only check).
 
     A row is a failure when it carries a real error (anything but the
     by-design ``no_oracle``) or any axis explicitly came back False.
+    A ``no_oracle`` row means the driver ran the query but could only
+    count rows — either because the query had no oracle back then, or
+    because it is approx-by-design and never exports one.
 
     The driver's correctness gate checks only the FIRST 50 entries of
     ``queries()``; with 100+ registered queries a fixed order would leave
@@ -119,6 +123,7 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
             if name not in latest_row or rnd > latest_row[name][0]:
                 latest_row[name] = (rnd, row)
     failed = set()
+    rows_only = set()
     for name, (_, row) in latest_row.items():
         err = row.get("err")
         bad_err = err is not None and err != "no_oracle"
@@ -128,7 +133,9 @@ def _driver_history() -> tuple[dict[str, int], set[str]]:
         )
         if bad_err or bad_axis:
             failed.add(name)
-    return seen, failed
+        elif err == "no_oracle":
+            rows_only.add(name)
+    return seen, failed, rows_only
 
 
 _ROTATION_CACHE: tuple[tuple[str, ...], list[str]] | None = None
@@ -136,22 +143,31 @@ _ROTATION_CACHE: tuple[tuple[str, ...], list[str]] | None = None
 
 def _rotated_names() -> list[str]:
     """Registry names, least-recently-driver-verified first (failures
-    first of all). Cached per process — the CORRECTNESS_r*.json scan is
+    first of all). A query whose LATEST driver row was the weaker
+    rows-only check but which NOW exports an exact oracle sorts just
+    after failures: the driver has never hash-confirmed it even though
+    it can, so it must re-enter the 50-query window immediately. The
+    pin is self-expiring — the next hash-green driver row clears the
+    ``no_oracle`` marker and the query rotates normally again; the
+    approx-by-design queries never export an oracle and are therefore
+    never pinned. Cached per process — the CORRECTNESS_r*.json scan is
     file I/O and its result cannot change mid-run; callers therefore
     see one stable, reproducible order for the whole session."""
     global _ROTATION_CACHE
     names = tuple(REGISTRY)
     if _ROTATION_CACHE is not None and _ROTATION_CACHE[0] == names:
         return _ROTATION_CACHE[1]
-    seen, failed = _driver_history()
+    seen, failed, rows_only = _driver_history()
     order = {name: i for i, name in enumerate(REGISTRY)}
-    rotated = sorted(
-        REGISTRY,
-        key=lambda n: (
-            -2 if n in failed else seen.get(n, -1),  # fail ≺ never-seen ≺ old
-            order[n],
-        ),
-    )
+
+    def rank(n: str) -> int:
+        if n in failed:
+            return -3
+        if n in rows_only and REGISTRY[n].oracle is not None:
+            return -2  # oracle landed since the driver's last look
+        return seen.get(n, -1)  # never-seen (-1) ≺ oldest round ≺ newest
+
+    rotated = sorted(REGISTRY, key=lambda n: (rank(n), order[n]))
     _ROTATION_CACHE = (names, rotated)
     return rotated
 
