@@ -857,9 +857,9 @@ _EXACT_TRUTH_CTES = """tbase AS (
            COUNT(*) FILTER (in_t AND NOT in_f) AS n_missed,
            COUNT(*) FILTER (in_f AND NOT in_t) AS n_extra,
            (COUNT(*) FILTER (in_t AND in_f)) * 10000
-             // (COUNT(*) FILTER (in_t)) AS recall_bp,
+             // NULLIF(COUNT(*) FILTER (in_t), 0) AS recall_bp,
            (COUNT(*) FILTER (in_t AND in_f)) * 10000
-             // (COUNT(*) FILTER (in_f)) AS precision_bp
+             // NULLIF(COUNT(*) FILTER (in_f), 0) AS precision_bp
     FROM joined
     """,
     doc="LSH approximation-error audit as ONE monitored row: exact "
@@ -948,9 +948,9 @@ def _audit_bucket_sql(col: str, sample_frac: float) -> str:
            COUNT(*) FILTER (in_t AND NOT in_f) AS n_missed,
            COUNT(*) FILTER (in_f AND NOT in_t) AS n_extra,
            (COUNT(*) FILTER (in_t AND in_f)) * 10000
-             // (COUNT(*) FILTER (in_t)) AS recall_bp,
+             // NULLIF(COUNT(*) FILTER (in_t), 0) AS recall_bp,
            (COUNT(*) FILTER (in_t AND in_f)) * 10000
-             // (COUNT(*) FILTER (in_f)) AS precision_bp
+             // NULLIF(COUNT(*) FILTER (in_f), 0) AS precision_bp
     FROM joined
     """,
     doc="The SAMPLED recall audit — the actual 100 TB production "
@@ -1045,10 +1045,13 @@ def lsh_recall_audit(
         F.count(hit).alias("n_hit"),
         F.count(F.when(F.col("in_f").isNull(), 1)).alias("n_missed"),
         F.count(F.when(F.col("in_t").isNull(), 1)).alias("n_extra"),
+        # nullif: an empty truth/found leg yields NULL bp, not a
+        # DIVIDE_BY_ZERO crash (ANSI div) — degenerate inputs must
+        # fail loudly downstream (NULL alert), not arithmetically.
         F.expr("count(if(in_t is not null and in_f is not null, 1, null))"
-               " * 10000 div count(in_t)").alias("recall_bp"),
+               " * 10000 div nullif(count(in_t), 0)").alias("recall_bp"),
         F.expr("count(if(in_t is not null and in_f is not null, 1, null))"
-               " * 10000 div count(in_f)").alias("precision_bp"),
+               " * 10000 div nullif(count(in_f), 0)").alias("precision_bp"),
     )
 
 

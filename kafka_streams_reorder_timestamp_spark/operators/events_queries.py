@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
+from .dedup import _audit_bucket_sql
 from .registry import register
 from .reorder import reorder_batch
 
@@ -753,10 +754,12 @@ def event_type_audience_overlap(
     """`user_sample_frac` is the 100 TB audit knob (round 10, mirroring
     `lsh_recall_audit`): the exact pairwise Jaccard runs on a
     deterministic md5-bucket sample of the USER universe — uniform
-    user sampling keeps each cell's expected Jaccard (both the
-    intersection and the union shrink by the same factor), so the
-    sampled exact matrix audits audience_overlap_matrix_theta at a
-    scan-bounded cost. Defaults = full sf-bounded universe."""
+    user sampling approximately preserves each cell's Jaccard
+    (intersection and union shrink together, but the ratio is a ratio
+    estimator: consistent, with O(1/n) bias at sampled-audience size
+    n, and conditioned on a non-empty union), so the sampled exact
+    matrix audits audience_overlap_matrix_theta at a scan-bounded
+    cost. Defaults = full sf-bounded universe."""
     from .dedup import _audit_sample_pred
 
     ev = load_table(spark, sf_dir, "events")
@@ -806,11 +809,12 @@ def event_type_audience_overlap(
     # full twin so BOTH points of the audit-cost/estimate-variance
     # tradeoff are hash-checked, exactly as round 10 did for the LSH
     # recall audit and the sampled exact clusters.
-    oracle="""
+    # user bucket generated by dedup._audit_bucket_sql — single source
+    # of truth for the md5 bucket scheme across all sampled audits.
+    oracle=f"""
     WITH tu AS (
       SELECT DISTINCT event_type, user_id FROM events
-      WHERE ('0x' || substring(md5(user_id::VARCHAR), 1, 8))::BIGINT
-            % 10000 < 5000
+      WHERE {_audit_bucket_sql("user_id", 0.5)}
     ), sizes AS (
       SELECT event_type, CAST(COUNT(*) AS BIGINT) AS sz FROM tu GROUP BY 1
     ), inter AS (
@@ -832,8 +836,9 @@ def event_type_audience_overlap(
     "monitoring shape for audience_overlap_matrix_theta (DEPLOY.md): "
     "exact pairwise Jaccard over a deterministic md5-bucket HALF of "
     "the USER universe, pushed down to the events scan. Uniform user "
-    "sampling preserves each cell's expected Jaccard (intersection "
-    "and union shrink together), so comparing this sampled exact "
+    "sampling approximately preserves each cell's Jaccard (a ratio "
+    "estimator: consistent, bias O(1/n) at sampled-audience size n), "
+    "so comparing this sampled exact "
     "matrix against the sketch matrix is the alert-on-divergence "
     "loop at a cost bounded by the sample, never the full audience. "
     "The oracle replays the bucket (property-pinned cross-engine) "

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _LSH64_MACHINERY, dedup_jaccard_pairs
+from .dedup import _LSH64_MACHINERY, _audit_bucket_sql, dedup_jaccard_pairs
 from .registry import register
 
 
@@ -169,12 +169,11 @@ def dedup_clusters(
     return _clusters_from_pairs(pairs)
 
 
-# DuckDB replay of the md5 doc-bucket (cross-engine equality is
-# property-pinned in tests/test_properties.py; same fragment as the
-# recall audit's _audit_bucket_sql).
-_DOC_BUCKET_HALF = (
-    "('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000 < 5000"
-)
+# DuckDB replay of the md5 doc-bucket — generated by the recall
+# audit's _audit_bucket_sql so the bucket definition has one source
+# of truth (cross-engine equality is property-pinned in
+# tests/test_properties.py).
+_DOC_BUCKET_HALF = _audit_bucket_sql("doc_id", 0.5)
 
 
 @register(

@@ -1150,6 +1150,13 @@ def pca_fit(
         .sort_values("i")["v"]
         .to_numpy()
     )
+    if flat.size == 0 or flat[0] == 0:
+        raise ValueError(
+            "pca_fit: no non-null vectors to fit "
+            f"(column {vec_col!r}); PCA over an empty corpus is "
+            "undefined — callers wanting SQL semantics (empty in → "
+            "empty out) must check emptiness and short-circuit"
+        )
     n = flat[0]
     mean = flat[1 : 1 + dim] / n
     gram = flat[1 + dim :].reshape(dim, dim) / n
@@ -1232,7 +1239,22 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
-    comps, mean, _ = pca_fit(e, "emb", k=4, dim=DIM)
+    try:
+        comps, mean, _ = pca_fit(e, "emb", k=4, dim=DIM)
+    except ValueError as err:
+        if "pca_fit: no non-null vectors" not in str(err):
+            raise
+        # SQL semantics for the registered query: projecting an empty
+        # corpus is the empty relation with the projection schema, not
+        # a crash (pca_fit itself stays loud for model-fitting users).
+        return e.select(
+            "vec_id",
+            "label",
+            *[
+                F.lit(None).cast("double").alias(f"pc{i + 1}")
+                for i in range(4)
+            ],
+        ).limit(0)
 
     @pandas_udf(T.ArrayType(T.DoubleType()))
     def _proj(embs: pd.Series) -> pd.Series:

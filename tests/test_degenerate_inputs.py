@@ -1,0 +1,190 @@
+"""Degenerate-input robustness (round-11, VERDICT r10 task 7).
+
+The approx checkers and the integer-bp audit divisions historically
+assumed non-empty legs — at sf0.01 the planted corpus guaranees
+n_true > 0, so a future SF or fixture change could turn a silent
+assumption into a DIVIDE_BY_ZERO mid-pipeline. These tests pin the
+contract for the two degenerate regimes the suite never exercised:
+
+1. **Zero-row tables** — every one of the 199 registered builders must
+   run to completion on a dataset where all ten catalog tables are
+   empty (exact on-disk schemas, zero rows). No crash, no ANSI
+   arithmetic error; audits emit NULL basis-points, not exceptions.
+2. **All-null text** — the documents-reading families must survive a
+   documents table whose every `text` (and `n_chars`) is NULL: the
+   `text IS NOT NULL` guards reduce it to the empty-corpus case.
+
+Cross-engine: the audit rows at zero input are ALSO checked against
+their own DuckDB oracles, so the NULL-bp semantics agree between the
+Spark plan and the oracle SQL (`// NULLIF(..., 0)`).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_streams_reorder_timestamp_spark.operators.registry import REGISTRY
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+SRC = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Modules whose queries read the documents table (directly or through
+# the planted/dedup corpora) — the all-null-text sweep's scope.
+_DOC_MODULES = {
+    "text",
+    "dedup",
+    "simhash",
+    "chunking",
+    "pipeline",
+    "classifier",
+    "sampling",
+    "graph",
+    "multimodal",
+}
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(tmp_path_factory) -> str:
+    """All ten catalog tables with their exact on-disk schemas, 0 rows."""
+    out = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        schema = pq.read_schema(f"{SRC}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def allnull_text_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but every documents.text / n_chars is NULL."""
+    out = tmp_path_factory.mktemp("sf_allnull")
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        if t != "documents":
+            tbl = pq.read_table(src)
+        else:
+            base = pq.read_table(src)
+            n = base.num_rows
+            schema = base.schema
+            tbl = pa.table(
+                {
+                    "doc_id": base["doc_id"],
+                    "text": pa.nulls(n, schema.field("text").type),
+                    "lang": base["lang"],
+                    "source": base["source"],
+                    "n_chars": pa.nulls(n, schema.field("n_chars").type),
+                },
+                schema=pa.schema(
+                    [schema.field(name) for name in
+                     ("doc_id", "text", "lang", "source", "n_chars")]
+                ),
+            )
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_every_query_survives_zero_row_tables(spark, empty_sf_dir, name):
+    """collect() must succeed on fully-empty inputs — 0..n rows is
+    fine, an exception (DIVIDE_BY_ZERO, IndexError, ...) is not."""
+    try:
+        rows = REGISTRY[name].builder(spark, empty_sf_dir).collect()
+    finally:
+        spark.catalog.clearCache()
+    assert isinstance(rows, list)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] in _DOC_MODULES
+    ),
+)
+def test_document_queries_survive_all_null_text(spark, allnull_text_dir, name):
+    """The text IS NOT NULL guards must reduce an all-null corpus to
+    the empty-corpus case everywhere — never a mid-plan crash."""
+    try:
+        rows = REGISTRY[name].builder(spark, allnull_text_dir).collect()
+    finally:
+        spark.catalog.clearCache()
+    assert isinstance(rows, list)
+
+
+@pytest.mark.parametrize(
+    "name", ["dedup_lsh_recall_audit", "dedup_lsh_recall_audit_sampled"]
+)
+def test_audit_bp_null_not_crash_on_empty(spark, empty_sf_dir, name):
+    """Zero true/found pairs → counts 0 and NULL basis-points (the
+    downstream alert sees NULL, a loud signal), and the DuckDB oracle
+    agrees field-for-field on the same empty tables."""
+    row = REGISTRY[name].builder(spark, empty_sf_dir).collect()
+    spark.catalog.clearCache()
+    assert len(row) == 1
+    r = row[0].asDict()
+    assert r["n_true"] == 0 and r["n_found"] == 0 and r["n_hit"] == 0
+    assert r["recall_bp"] is None and r["precision_bp"] is None
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"'{empty_sf_dir}/{t}.parquet'"
+        )
+    cur = con.execute(REGISTRY[name].oracle)
+    cols = [d[0] for d in cur.description]
+    oracle = dict(zip(cols, cur.fetchone()))
+    assert oracle == r
+
+
+def test_pca_fit_raises_loudly_on_empty(spark, empty_sf_dir):
+    """Model fitting on an empty corpus is undefined: a clear
+    ValueError, never an IndexError deep in the moment unpack."""
+    from kafka_streams_reorder_timestamp_spark.functions.vectors import (
+        as_double,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        DIM,
+        pca_fit,
+    )
+    from kafka_streams_reorder_timestamp_spark.sources.catalog import (
+        load_table,
+    )
+
+    e = load_table(spark, empty_sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("emb")
+    )
+    with pytest.raises(ValueError, match="no non-null vectors"):
+        pca_fit(e, "emb", k=4, dim=DIM)
+
+
+def test_pca_project_empty_in_empty_out(spark, empty_sf_dir):
+    """The registered projection keeps SQL semantics: empty corpus →
+    empty relation with the full pc1..pc4 schema."""
+    df = REGISTRY["embedding_pca_project"].builder(spark, empty_sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "vec_id",
+        "label",
+        "pc1",
+        "pc2",
+        "pc3",
+        "pc4",
+    ]
+    assert df.collect() == []

@@ -149,14 +149,15 @@ def test_sampled_clusters_induced_subgraph(spark, sf_dir):
         ), doc
 
     # refinement: same sampled cluster -> same full cluster (sampling
-    # can only split components by removing bridge docs, never merge)
-    for a in s1.values():
-        for b in s1.values():
-            if a.cluster_id == b.cluster_id and a.doc_id in full:
-                if b.doc_id in full:
-                    assert (
-                        full[a.doc_id].cluster_id == full[b.doc_id].cluster_id
-                    ), (a, b)
+    # can only split components by removing bridge docs, never merge).
+    # O(n): group docs by sampled cluster once, then each group must
+    # map into a single full cluster.
+    by_sampled: dict = {}
+    for r in s1.values():
+        by_sampled.setdefault(r.cluster_id, []).append(r.doc_id)
+    for cid, docs in by_sampled.items():
+        full_cids = {full[d].cluster_id for d in docs if d in full}
+        assert len(full_cids) <= 1, (cid, docs, full_cids)
 
     # id_bound composes: every surviving doc id is below the cutoff
     bounded = dedup_clusters(spark, sf_dir, id_bound=300).collect()

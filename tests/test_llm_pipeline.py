@@ -1384,11 +1384,20 @@ def test_sampled_overlap_estimates_full_matrix(spark, sf_dir):
         k: v.asDict() for k, v in s2.items()
     }  # registered query IS the knob's 0.5 point (and determinism)
 
-    assert set(s1) == set(full)  # every cell survives on this corpus
+    # Sampling can only lose cells (a type-pair whose sampled common
+    # users all fall outside the bucket), never invent them — so
+    # subset, not equality, is the testdata-robust invariant; require
+    # most cells to survive so the assertions below retain power.
+    assert set(s1) <= set(full)
+    assert len(s1) >= max(1, len(full) // 2), (len(s1), len(full))
     for k, r in s1.items():
         f = full[k]
         assert 0 < r.n_a < f.n_a and 0 < r.n_b < f.n_b, k
         assert r.n_both <= f.n_both
-        # unbiased-estimator sanity: the sampled cell tracks the full
-        # one well inside sampling noise at this audience size
-        assert abs(r.jaccard - f.jaccard) <= 0.1, (k, r.jaccard, f.jaccard)
+        # ratio-estimator sanity: the sampled cell tracks the full one
+        # inside sampling noise — gate the tolerance on the sampled
+        # union size so a testdata bump that shrinks an audience
+        # doesn't fail without a code regression (se ~ 1/sqrt(n)).
+        n_union = r.n_a + r.n_b - r.n_both
+        tol = max(0.1, 3.0 / (n_union ** 0.5)) if n_union else 1.0
+        assert abs(r.jaccard - f.jaccard) <= tol, (k, r.jaccard, f.jaccard)
