@@ -1201,7 +1201,9 @@ def dedup_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    from .similarity import _embeddings
+
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     return e.groupBy("label").applyInPandas(block, schema=out_schema)

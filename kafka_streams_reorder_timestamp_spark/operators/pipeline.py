@@ -501,9 +501,9 @@ def _sem_decon_dots() -> dict[str, str]:
 )
 def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import as_double, dot, l2_norm
-    from .similarity import DIM
+    from .similarity import DIM, _embeddings
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     bench = e.filter(F.col("vec_id") < 16).select(

@@ -31,6 +31,25 @@ from .registry import register
 DIM = 64  # embeddings table vector width (schemas.EMBEDDINGS)
 
 
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the embeddings table with NULL vectors excluded.
+
+    Contract (round 11, degenerate-input hardening): a NULL embedding
+    is not a point in the vector space — it cannot be hashed, bucketed,
+    normalized, or projected — so every similarity-family operator
+    excludes it at the scan (a pushed-down IS NOT NULL predicate, free
+    at any SF). The numpy paths in the Arrow-batched operators would
+    otherwise crash on np.asarray(None) mid-job. The current testdata
+    carries no NULL vectors, so the registered oracles scan `embeddings`
+    unfiltered and hashes are unchanged; if a future fixture adds NULL
+    vectors, parity fails loudly and the oracles take the same
+    one-line WHERE — tests/test_degenerate_inputs.py pins the engine
+    side of the contract."""
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def _sql_dot(a: str, b: str, dim: int) -> str:
     """Unrolled left-associative dot product in ANSI SQL (1-indexed
     lists) — textually the same fold order as functions.vectors.dot, so
@@ -108,7 +127,7 @@ def knn_brute_force(
     "corpus scan, per-probe top-k window. The brute-force ANN baseline.",
 )
 def knn_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     probes = e.filter(F.col("vec_id") < 5).select(
@@ -349,7 +368,7 @@ def ann_ivf_topk(
     "nprobe ranking, and the bit-exact _sql_dot candidate re-rank.",
 )
 def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     probes = e.filter(F.col("vec_id") < 5).select(
@@ -434,7 +453,7 @@ def _lsh_bucket_cols(col: str) -> str:
     "equality, re-rank via the established bit-exact _sql_dot cosine.",
 )
 def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     probes = e.filter(F.col("vec_id") < 5).select(
@@ -462,7 +481,7 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle of (label) groups.",
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "label", as_double("embedding").alias("emb")
     )
     return (
@@ -522,7 +541,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and ROW_NUMBER can never flip.",
 )
 def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     corpus = e.withColumn("_n", l2_norm("emb", dim=DIM))
@@ -584,7 +603,7 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the final label-grain partial agg.",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", "label", as_double("embedding").alias("e")
     )
     lo = F.array_min("e")
@@ -671,7 +690,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "label-grain rollups — the corpus is scanned exactly once.",
 )
 def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "label", as_double("embedding").alias("emb")
     )
     # Every embeddings ROW emits exactly DIM (dim, component) rows —
@@ -816,7 +835,7 @@ def _pq_oracle() -> str:
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import functools
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("e")
     )
     m_axis = F.explode(
@@ -1001,7 +1020,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     corpus = _planted_embeddings(e).withColumn("_n", l2_norm("emb", dim=DIM))
@@ -1236,7 +1255,7 @@ _PCA_MOMENTS_ORACLE_SQL = f"""
 def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", "label", as_double("embedding").alias("emb")
     )
     try:
@@ -1293,9 +1312,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition, which is exactly why this PCA scales to 100 TB.",
 )
 def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings").filter(
-        F.col("embedding").isNotNull()
-    )
+    e = _embeddings(spark, sf_dir)
     # Quantize with the SAME Column expression the drift family uses
     # (F.round half-up == DuckDB ROUND, proven hash-green) — numpy
     # rint rounds half-to-even and would fork the engines on exact
@@ -1425,7 +1442,7 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rs")
     )
-    e = load_table(spark, sf_dir, "embeddings").select(
+    e = _embeddings(spark, sf_dir).select(
         "vec_id", as_double("embedding").alias("emb")
     )
     probe = e.filter(F.col("vec_id") == 0).select(

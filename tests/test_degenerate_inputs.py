@@ -110,6 +110,55 @@ def test_every_query_survives_zero_row_tables(spark, empty_sf_dir, name):
     assert isinstance(rows, list)
 
 
+@pytest.fixture(scope="module")
+def allnull_emb_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but every embeddings.embedding vector is NULL."""
+    out = tmp_path_factory.mktemp("sf_nullemb")
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        tbl = pq.read_table(src)
+        if t == "embeddings":
+            schema = tbl.schema
+            cols = {
+                f.name: (
+                    pa.nulls(tbl.num_rows, f.type)
+                    if f.name == "embedding"
+                    else tbl[f.name]
+                )
+                for f in schema
+            }
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+# Every query that scans the embeddings table (the similarity module
+# plus the two cross-module consumers of similarity._embeddings).
+_EMB_QUERIES = sorted(
+    {
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] == "similarity"
+    }
+    | {"dedup_embedding_pairs", "decontaminate_semantic"}
+)
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_embedding_queries_survive_all_null_vectors(
+    spark, allnull_emb_dir, name
+):
+    """A NULL embedding is not a point in the vector space — the
+    similarity family excludes it at the scan (similarity._embeddings)
+    so the Arrow/numpy paths never see np.asarray(None). All-null
+    vectors must therefore reduce to the empty-corpus case."""
+    try:
+        rows = REGISTRY[name].builder(spark, allnull_emb_dir).collect()
+    finally:
+        spark.catalog.clearCache()
+    assert isinstance(rows, list)
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
