@@ -132,6 +132,53 @@ def allnull_emb_dir(tmp_path_factory) -> str:
     return str(out)
 
 
+@pytest.fixture(scope="module")
+def allnull_events_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but events.ts / value / props are all NULL —
+    the corrupt-ingest shape (ids survive, payload fields don't)."""
+    out = tmp_path_factory.mktemp("sf_nullev")
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        tbl = pq.read_table(src)
+        if t == "events":
+            schema = tbl.schema
+            cols = {
+                f.name: (
+                    pa.nulls(tbl.num_rows, f.type)
+                    if f.name in ("ts", "value", "props")
+                    else tbl[f.name]
+                )
+                for f in schema
+            }
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+_EVENT_MODULES = {"events_queries", "timeseries", "breadth", "graph"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] in _EVENT_MODULES
+    ),
+)
+def test_event_queries_survive_all_null_payload(
+    spark, allnull_events_dir, name
+):
+    """NULL event time / value / props must flow through the event
+    family (windows, sketches, sessionization, reorder) as SQL NULLs —
+    dropped or grouped per NULL semantics, never a crash."""
+    try:
+        rows = REGISTRY[name].builder(spark, allnull_events_dir).collect()
+    finally:
+        spark.catalog.clearCache()
+    assert isinstance(rows, list)
+
+
 # Every query that scans the embeddings table (the similarity module
 # plus the two cross-module consumers of similarity._embeddings).
 _EMB_QUERIES = sorted(
