@@ -49,8 +49,12 @@ def reorder_batch(
         duplicate survives, e.g. exact duplicates).
     drop_duplicate_timestamps:
         Set False to keep all rows (pure re-sort, no dedup).
+
+    Rows with a NULL event time are dropped (they cannot be sequenced
+    on the event-time axis) — matching both the streaming form and the
+    reference's skip-on-unextractable-timestamp behavior.
     """
-    out = df
+    out = df.filter(F.col(ts_col).isNotNull())
     if drop_duplicate_timestamps:
         if arrival_col is not None:
             w = Window.partitionBy(ts_col).orderBy(F.col(arrival_col).asc())

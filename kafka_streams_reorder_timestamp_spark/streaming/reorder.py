@@ -169,7 +169,15 @@ def reorder_stream(
         return
         yield  # pragma: no cover — makes `handle` a generator
 
-    stream = df.withWatermark(ts_col, watermark_delay)
+    # A NULL event time cannot be placed on the event-time axis (no
+    # watermark comparison, no buffer sort key) — drop the record, the
+    # analog of Kafka Streams skipping records whose timestamp cannot
+    # be extracted (LogAndSkipOnInvalidTimestamp; the reference's
+    # extractor reads the Avro `time` field). Pinned by
+    # tests/test_reorder_stream.py::test_all_null_event_time_rows_are_dropped.
+    stream = df.filter(F.col(ts_col).isNotNull()).withWatermark(
+        ts_col, watermark_delay
+    )
     if key_cols:
         grouped = stream.groupBy(*key_cols)
     else:

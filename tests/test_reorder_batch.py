@@ -90,6 +90,23 @@ def test_reorder_without_dedup_keeps_all(spark):
     assert out.count() == 2
 
 
+def test_null_event_time_rows_dropped_batch(spark):
+    """Batch twin of the streaming NULL-event-time contract: a row
+    whose event time is NULL cannot be sequenced and is dropped —
+    never emitted first by NULLS FIRST sort order."""
+    from pyspark.sql import functions as F
+
+    df = make_orders_df(spark, GOLDEN_INPUT).withColumn(
+        "time_ts",
+        F.when(
+            F.col("order_id") != "3", F.timestamp_millis(F.col("time"))
+        ),
+    )
+    out = reorder_batch(df, ts_col="time_ts", arrival_col=None)
+    got = [r.order_id for r in out.collect()]
+    assert got == [i for i in EXPECTED_ORDER_IDS if i != "3"]
+
+
 def test_reorder_events_table(spark, sf_dir):
     """The driver's events table through the same operator: output must
     be ascending in ts with unique timestamps."""

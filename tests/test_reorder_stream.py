@@ -371,6 +371,46 @@ def test_null_payload_columns_survive_flush(spark, tmp_path):
     assert pd.Timestamp(a["seen_at"]).value // 1_000_000 == base
 
 
+def test_empty_stream_terminates_cleanly(spark, tmp_path):
+    """A source that delivers zero rows (schema-only parquet) must run
+    one no-data micro-batch and terminate — no output rows, no timer
+    crash, checkpoint committed (round-11 degenerate-input gate)."""
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    write_input(spark, [], in_dir, 0)
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    assert len(got) == 0
+    # a second empty run resumes from the checkpoint without error
+    run_once(spark, in_dir, out_dir, ckpt)
+    assert len(read_output(out_dir)) == 0
+
+
+def test_all_null_event_time_rows_are_dropped(spark, tmp_path):
+    """Rows whose event time is NULL cannot be placed on the event-time
+    axis: the watermark machinery never advances past them and the
+    buffer sort has no key. The engine's contract is the SQL one —
+    NULL event-time rows are excluded (dropped at the watermark, as
+    Spark's eviction semantics imply), never a crash."""
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    # `time` is non-nullable in ELECTRONIC_ORDER; the NULL lives in the
+    # extracted event_time column (the shape a bad payload produces
+    # after timestamp extraction fails).
+    null_row = ("14-null-ts", "one", "ghost", 1.0, GOLDEN_INPUT[0][4])
+    rows = GOLDEN_INPUT + [null_row]
+    df = spark.createDataFrame(rows, schema=ELECTRONIC_ORDER).withColumn(
+        "event_time",
+        F.when(
+            F.col("order_id") != "14-null-ts",
+            F.timestamp_millis(F.col("time")),
+        ),
+    )
+    df.coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once(spark, in_dir, out_dir, ckpt)
+    got = read_output(out_dir)
+    assert list(got["order_id"]) == EXPECTED_ORDER_IDS
+    assert "14-null-ts" not in set(got["order_id"])
+
+
 def test_reorder_stream_events_table_volume(spark, tmp_path):
     """The streaming re-sequencer over realistic volume: the sf0.01
     events table (10000 rows) written in a deterministically SHUFFLED
