@@ -246,7 +246,13 @@ def blocked_jaccard_pairs(
     evaluated before the array_intersect.
     """
     blocks = [F.col(c) for c in block_cols]
-    sized = toks.withColumn("sz", F.size(set_col))
+    # A doc with no tokens has nothing to compare: its Jaccard against
+    # anything is 0/0. The oracles agree by construction (DuckDB float
+    # division by zero yields NULL, which fails the >= threshold
+    # filter); excluding the rows here keeps the engines aligned AND
+    # avoids the ANSI DIVIDE_BY_ZERO two empty docs in one block would
+    # otherwise raise (round-11 degenerate-input gate).
+    sized = toks.withColumn("sz", F.size(set_col)).filter(F.col("sz") > 0)
     # Per-block row counts: one tiny agg (distinct blocks only),
     # broadcast back onto the rows to derive each block's salt count.
     counts = sized.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
@@ -1460,13 +1466,15 @@ def dedup_incremental_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         t = F.array_distinct(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)
         )
+        # Zero-token docs have no Jaccard (0/0): drop them, matching
+        # the oracle, where NULL (DuckDB x/0) fails the WHERE filter.
         return df.select(
             F.col("doc_id").alias(f"{prefix}_doc"),
             F.col("lang").alias(f"{prefix}_lang"),
             F.col("source").alias(f"{prefix}_source"),
             t.alias(f"{prefix}_t"),
             F.size(t).alias(f"{prefix}_sz"),
-        )
+        ).filter(F.col(f"{prefix}_sz") > 0)
 
     b, c = uni(batch, "batch"), uni(corpus, "corpus")
     thr = 0.8

@@ -133,6 +133,54 @@ def allnull_emb_dir(tmp_path_factory) -> str:
 
 
 @pytest.fixture(scope="module")
+def emptystr_text_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but every documents.text is the EMPTY STRING —
+    distinct from NULL: it survives IS NOT NULL guards and tokenizes
+    to zero tokens, the classic divide-by-len shape (two zero-token
+    docs in one block → Jaccard 0/0)."""
+    out = tmp_path_factory.mktemp("sf_emptystr")
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        tbl = pq.read_table(src)
+        if t == "documents":
+            schema = tbl.schema
+            n = tbl.num_rows
+            cols = {}
+            for f in schema:
+                if f.name == "text":
+                    cols[f.name] = pa.array([""] * n, type=f.type)
+                elif f.name == "n_chars":
+                    cols[f.name] = pa.array([0] * n, type=f.type)
+                else:
+                    cols[f.name] = tbl[f.name]
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] in _DOC_MODULES
+    ),
+)
+def test_document_queries_survive_empty_string_text(
+    spark, emptystr_text_dir, name
+):
+    """Zero-token (but non-NULL) text must reduce to empty token sets
+    everywhere — the Jaccard engines exclude zero-token docs (their
+    similarity is 0/0, and the oracles' DuckDB x/0 → NULL fails the
+    threshold filter), never raise DIVIDE_BY_ZERO."""
+    try:
+        rows = REGISTRY[name].builder(spark, emptystr_text_dir).collect()
+    finally:
+        spark.catalog.clearCache()
+    assert isinstance(rows, list)
+
+
+@pytest.fixture(scope="module")
 def allnull_events_dir(tmp_path_factory) -> str:
     """sf0.001 tables, but events.ts / value / props are all NULL —
     the corrupt-ingest shape (ids survive, payload fields don't)."""
