@@ -118,7 +118,6 @@ def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
 
 # Rolling-combine mixing constants for token→shingle hashing.
 _C1 = np.int64(0x9E3779B1)
-_C2 = np.int64(0x85EBCA77)
 _MASK32 = np.int64(0xFFFFFFFF)
 _WS = None  # compiled lazily (regex import kept local to call sites)
 
@@ -176,7 +175,18 @@ def _shingle_hash_set(txt, shingle_n: int, mask32: bool = True):
         for j in range(1, shingle_n):
             h = h * _C1 + c[j : len(c) - shingle_n + 1 + j]
     else:
-        h = np.array([(c * _C2).sum()], dtype=np.int64)
+        # Sub-shingle-length document: ONE shingle — the same rolling
+        # h = h*_C1 + c[j] recurrence applied over all tokens as a
+        # single window (exactly the >=n path when len == shingle_n).
+        # Order-SENSITIVE by construction: 'aa bb' and 'bb aa' hash
+        # differently, matching the whole-document string-shingle
+        # convention of the DuckDB oracles and the property-test brute
+        # force. (The previous (c * _C2).sum() was commutative, so any
+        # permutation pair of short docs falsely collided — round-12
+        # fix, pinned by test_short_doc_shingle_order_sensitive.)
+        h = c[:1].copy()
+        for j in range(1, len(c)):
+            h = h * _C1 + c[j : j + 1]
     return np.unique(h & _MASK32 if mask32 else h)
 
 

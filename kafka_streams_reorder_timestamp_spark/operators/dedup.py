@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.texthash import (
-    _C2,
     _minhash_coeffs,
     minhash_features,
     normalize_text,
@@ -529,8 +528,8 @@ _LSH_MACHINERY_SQL = f"""ctoks AS (
           list_transform(range(1, len(c) - 1), i ->
             ((((c[i] * 2654435761 + c[i+1]) % {_P64})
                * 2654435761 + c[i+2]) % {_P64}) % 4294967296)
-        ELSE [ (list_aggregate(list_transform(c, x -> x * {int(_C2)}),
-                               'sum') % {_P64}) % 4294967296 ]
+        ELSE [ list_reduce(c, (h, x) ->
+                 (h * 2654435761 + x) % {_P64}) % 4294967296 ]
         END) AS h32
       FROM ctoks
     ), dset AS (

@@ -52,12 +52,14 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
 
 
 def test_lsh_short_doc_branch_oracle_parity(spark):
-    """The <3-token shingle branch (one fallback hash = sum of token
-    hashes * _C2) must produce the SAME 32-bit shingle in Python/Arrow
-    and in the DuckDB oracle machinery — the production corpora never
-    exercise it (min doc length 10 tokens), so this fixture pins the
-    branch directly with 1- and 2-token documents, plus an end-to-end
-    check that identical short docs pair up through the full LSH path."""
+    """The <3-token shingle branch (one fallback hash = the rolling
+    h*_C1 + c[j] recurrence over ALL tokens as a single window, round
+    12: order-SENSITIVE) must produce the SAME 32-bit shingle in
+    Python/Arrow and in the DuckDB oracle machinery — the production
+    corpora never exercise it (min doc length 10 tokens), so this
+    fixture pins the branch directly with 1- and 2-token documents,
+    plus an end-to-end check that identical short docs pair up through
+    the full LSH path."""
     import duckdb
 
     from kafka_streams_reorder_timestamp_spark.functions.texthash import (

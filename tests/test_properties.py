@@ -481,6 +481,44 @@ def test_containment_prefix_filter_lossless(spark, texts):
     assert got == _brute_containment(docs, 0.9)
 
 
+def test_short_doc_shingle_order_sensitive(spark):
+    """Round-12 regression pin: two sub-shingle-length documents that
+    are PERMUTATIONS of each other ('aa bb' vs 'bb aa') must NOT be
+    reported as containments/duplicates. The pre-r12 short-doc fallback
+    hashed tokens commutatively ((c * _C2).sum()), so permutation pairs
+    collided; the Hypothesis corpus above can draw this, but this pin
+    makes the case deterministic so it can't silently un-trigger."""
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import (
+        _shingle_hash_set,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+        shingle_containment_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    a = _shingle_hash_set("aa bb", 3)
+    b = _shingle_hash_set("bb aa", 3)
+    assert a.tolist() != b.tolist()  # order-sensitive hash
+    docs = {0: "aa bb", 1: "bb aa", 2: "aa bb", 3: "cc"}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    got_c = {
+        (r["doc_contained"], r["doc_container"])
+        for r in shingle_containment_pairs(
+            df, "text", "doc_id", threshold=0.9
+        ).collect()
+    }
+    assert got_c == _brute_containment(docs, 0.9) == {(0, 2), (2, 0)}
+    got_j = {
+        (r["doc_a"], r["doc_b"])
+        for r in shingle_jaccard_pairs(
+            df, "text", "doc_id", threshold=0.7
+        ).collect()
+    }
+    assert got_j == {(0, 2)}
+
+
 # --------------------------------------------------------------------------
 # Cross-engine hash bridge: eight oracles (SimHash, MinHash LSH x3,
 # and transitively every signature built on _md5_32/_md5_64) depend on
