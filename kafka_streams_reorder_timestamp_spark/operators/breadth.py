@@ -76,6 +76,8 @@ def nation_balance_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    HAVING COUNT(*) > 0 -- align empty-input semantics with Spark's
+                        -- Expand-based grouping sets
     """,
     doc="Explicit GROUPING SETS via the engine's SQL entry path (the "
     "DataFrame and SQL APIs build the same Catalyst plan; this "
@@ -728,6 +730,8 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate),
                     month(o_orderdate))
+    HAVING COUNT(*) > 0 -- align empty-input semantics with Spark's
+                        -- Expand-based ROLLUP
     """,
     doc="Time-hierarchy rollup (year > quarter > month): every grain "
     "of the reporting calendar in one pass via ROLLUP — month rows, "

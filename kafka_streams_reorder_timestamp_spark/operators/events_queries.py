@@ -38,6 +38,7 @@ from .reorder import reorder_batch
     oracle="""
     SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
     FROM events
+    WHERE ts IS NOT NULL
     QUALIFY ROW_NUMBER() OVER (PARTITION BY ts ORDER BY event_id) = 1
     ORDER BY ts
     """,
@@ -65,6 +66,7 @@ def reorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     doc="Tumbling 1-hour event-time rollup per event type (the batch "
@@ -184,6 +186,7 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
                AS sum_micros
       FROM events
+      WHERE ts IS NOT NULL
       GROUP BY 1, 2
     )
     SELECT day_us, event_type, n AS n_events,
@@ -937,7 +940,7 @@ def audience_overlap_matrix_theta(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS approx_weekly_users,
            CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
              AS n_days_merged
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
     doc="Mergeable-sketch rollup: DAILY per-type HLL sketches "
     "(Datasketches hll_sketch_agg) are UNIONED up to weekly distinct-"
@@ -949,7 +952,10 @@ def audience_overlap_matrix_theta(spark: SparkSession, sf_dir: str) -> DataFrame
     "then a (type, week) merge of sketch bytes only.",
 )
 def events_weekly_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event time is not on the event-time axis (same contract as
+    # reorder/window queries — F.window drops it implicitly; date_trunc
+    # grouping would keep a NULL-week group, so filter explicitly).
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = ev.groupBy(
         "event_type",
         F.date_trunc("week", "ts").alias("week"),
@@ -1009,16 +1015,21 @@ def events_weekly_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_audience_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    sk = ev.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("sk")
+    # ONE global conditional aggregation builds both audience sketches
+    # in a single scan + partial agg — no per-type groupBy shuffle, no
+    # crossJoin stitching (round 12; previously groupBy→filter×2→
+    # crossJoin). Also fixes degenerate semantics: a global agg emits
+    # exactly one row even over an empty/absent audience (empty theta
+    # sketch ⇒ estimate 0), matching the oracle's COUNT(DISTINCT CASE)
+    # which is 0, never a vanished report row.
+    both = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("sk_a"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("sk_b"),
     )
-    a = sk.filter(F.col("event_type") == "click").select(
-        F.col("sk").alias("sk_a")
-    )
-    b = sk.filter(F.col("event_type") == "purchase").select(
-        F.col("sk").alias("sk_b")
-    )
-    both = a.crossJoin(b)
     return both.select(
         F.theta_sketch_estimate(F.col("sk_a")).alias("click_users"),
         F.theta_sketch_estimate(F.col("sk_b")).alias("purchase_users"),

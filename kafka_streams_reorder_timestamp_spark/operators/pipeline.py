@@ -314,12 +314,14 @@ def cap_docs_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontaminate_docs",
     oracle="""
     WITH probes AS (
-      SELECT doc_id AS probe_id,
-             array_to_string(list_slice(
-               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
-                           t -> t <> ''), 1, 8), ' ') AS probe
-      FROM documents
-      WHERE doc_id < 5 AND text IS NOT NULL
+      SELECT probe_id, probe FROM (
+        SELECT doc_id AS probe_id,
+               array_to_string(list_slice(
+                 list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                             t -> t <> ''), 1, 8), ' ') AS probe
+        FROM documents
+        WHERE doc_id < 5 AND text IS NOT NULL
+      ) WHERE probe <> ''
     )
     SELECT d.doc_id, p.probe_id
     FROM documents d JOIN probes p
@@ -341,10 +343,14 @@ def decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     tok = tokens(F.col("text"))
+    # A zero-token probe document yields probe == '' and
+    # contains(x, '') is TRUE for every x — it would falsely flag the
+    # whole corpus as contaminated (round-12 degenerate gate). An
+    # empty probe carries no n-gram to leak, so exclude it.
     probes = d.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("probe_id"),
         F.array_join(F.slice(tok, 1, 8), " ").alias("probe"),
-    )
+    ).filter(F.col("probe") != "")
     return d.select("doc_id", normalize_text(F.col("text")).alias("norm")).join(
         F.broadcast(probes), F.expr("contains(norm, probe)")
     ).select("doc_id", "probe_id")

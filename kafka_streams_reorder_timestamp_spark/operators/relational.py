@@ -361,6 +361,11 @@ def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- Spark expands ROLLUP via Expand + a grouped agg, so an EMPTY
+    -- relation yields ZERO rows (no grand-total row); standard SQL /
+    -- DuckDB emit the () set's row. Drop it on empty input only —
+    -- every real group has COUNT(*) >= 1 (round-12 degenerate gate).
+    HAVING COUNT(*) > 0
     """,
     doc="Hierarchical aggregate: ROLLUP with subtotals + grand total. "
     "The fact table is aggregated to the finest grouping FIRST and "
@@ -460,6 +465,8 @@ def urgent_not_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    HAVING COUNT(*) > 0 -- align empty-input semantics with Spark's
+                        -- Expand-based CUBE (see rollup_lineitem_status)
     """,
     doc="CUBE: all grouping-set combinations over priority x status, "
     "pre-aggregated to the finest grain before Expand (same "

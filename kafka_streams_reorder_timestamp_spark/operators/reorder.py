@@ -51,8 +51,10 @@ def reorder_batch(
         Set False to keep all rows (pure re-sort, no dedup).
 
     Rows with a NULL event time are dropped (they cannot be sequenced
-    on the event-time axis) — matching both the streaming form and the
-    reference's skip-on-unextractable-timestamp behavior.
+    on the event-time axis) — matching the streaming form and Kafka
+    Streams' generic invalid-timestamp drop semantics
+    (LogAndSkipOnInvalidTimestamp); the reference's own extractor
+    returns a non-nullable Avro long and never produces this edge.
     """
     out = df.filter(F.col(ts_col).isNotNull())
     if drop_duplicate_timestamps:

@@ -110,12 +110,12 @@ def knn_brute_force(
     oracle="""
     WITH probes AS (
       SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_emb
-      FROM embeddings WHERE vec_id < 5
+      FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
     ), scored AS (
       SELECT p.probe_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(e.embedding::DOUBLE[], p.probe_emb) AS c
       FROM embeddings e CROSS JOIN probes p
-      WHERE e.vec_id <> p.probe_id
+      WHERE e.vec_id <> p.probe_id AND e.embedding IS NOT NULL
     )
     SELECT probe_id, neighbor_id, ROUND(c, 6) AS cos_sim,
            CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id)
@@ -321,6 +321,7 @@ def ann_ivf_topk(
     oracle=f"""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
     ), c AS (
       SELECT label,
              {", ".join(f"AVG(emb[{i}]) AS c{i}" for i in range(1, 65))}
@@ -415,7 +416,7 @@ def _lsh_bucket_cols(col: str) -> str:
     WITH b AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {_lsh_bucket_cols("(embedding::DOUBLE[])")}
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), p AS (
       SELECT vec_id AS probe_id, emb AS pemb,
              bk0 AS pb0, bk1 AS pb1, bk2 AS pb2, bk3 AS pb3,
@@ -472,7 +473,7 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS avg_l2_norm,
            ROUND(MAX(list_max(embedding::DOUBLE[])), 6) AS max_component,
            ROUND(MIN(list_min(embedding::DOUBLE[])), 6) AS min_component
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
     GROUP BY label
     """,
     doc="Array-function scalar surface over embeddings: per-label L2 "
@@ -510,9 +511,10 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
     ), cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
-      FROM embeddings WHERE vec_id < 8
+      FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (
@@ -571,7 +573,7 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ), scaled AS (
       SELECT vec_id, label,
              list_min(e) AS lo,
@@ -641,7 +643,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT label, d.dim,
              CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
-      FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+      FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+            WHERE embedding IS NOT NULL),
            (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
     ), lab AS (
       SELECT label, dim, SUM(v) AS s, COUNT(*) AS nv
@@ -783,6 +786,7 @@ def _pq_oracle() -> str:
     return f"""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL
     ), subs AS (
       SELECT vec_id, m,
              list_slice(e, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
@@ -1204,8 +1208,12 @@ _PCA_MOMENTS_ORACLE_SQL = f"""
            (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
     )
     SELECT 0 AS dim_i, 0 AS dim_j,
-           (SELECT COUNT(*) FROM embeddings
-            WHERE embedding IS NOT NULL)::DECIMAL(38,0)::VARCHAR AS moment
+           COUNT(*)::DECIMAL(38,0)::VARCHAR AS moment
+    FROM embeddings WHERE embedding IS NOT NULL
+    -- On an empty/all-NULL corpus the engine's mapInPandas emits no
+    -- partials at all (empty relation out), so the count arm must
+    -- vanish too, not report '0' (round-12 degenerate gate).
+    HAVING COUNT(*) > 0
     UNION ALL
     SELECT dim AS dim_i, 0 AS dim_j,
            SUM(v)::DECIMAL(38,0)::VARCHAR AS moment
@@ -1397,8 +1405,9 @@ def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
                  (SELECT embedding::DOUBLE[] FROM embeddings
-                  WHERE vec_id = 0)), 6) AS c
-        FROM embeddings e WHERE e.vec_id <> 0
+                  WHERE vec_id = 0 AND embedding IS NOT NULL)), 6) AS c
+        FROM embeddings e
+        WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
       ) QUALIFY r <= 50
     ), fused AS (
       SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,

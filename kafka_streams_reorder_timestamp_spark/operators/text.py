@@ -283,16 +283,23 @@ ROLL_BASE = 31
     "text_rolling_fingerprints",
     oracle=f"""
     SELECT doc_id,
-           list_reduce(
-             list_prepend(
-               CAST(0 AS BIGINT),
-               list_transform(
-                 regexp_split_to_array(
-                   regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
-                 c -> CAST(unicode(c) AS BIGINT))),
-             (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})
-             AS rolling_hash
-    FROM documents WHERE text IS NOT NULL
+           -- empty normalized text hashes to 0 by convention on both
+           -- engines (Spark ascii('') is 0 but DuckDB unicode('') is
+           -- -1, so the reduce would fork on zero-length input)
+           CASE WHEN length(norm) = 0 THEN CAST(0 AS BIGINT) ELSE
+             list_reduce(
+               list_prepend(
+                 CAST(0 AS BIGINT),
+                 list_transform(
+                   regexp_split_to_array(norm, ''),
+                   c -> CAST(unicode(c) AS BIGINT))),
+               (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD})
+           END AS rolling_hash
+    FROM (
+      SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents WHERE text IS NOT NULL
+    )
     """,
     doc="Polynomial (Karp-Rabin) rolling-hash fingerprint of the "
     "normalized text, fully JVM-side via F.aggregate over the char "

@@ -171,9 +171,11 @@ def reorder_stream(
 
     # A NULL event time cannot be placed on the event-time axis (no
     # watermark comparison, no buffer sort key) — drop the record, the
-    # analog of Kafka Streams skipping records whose timestamp cannot
-    # be extracted (LogAndSkipOnInvalidTimestamp; the reference's
-    # extractor reads the Avro `time` field). Pinned by
+    # analog of Kafka Streams' GENERIC invalid-timestamp handling
+    # (LogAndSkipOnInvalidTimestamp). The reference itself never hits
+    # this: its extractor (Application.java:99) returns the
+    # non-nullable Avro `time` long directly, so NULL is an edge only
+    # this engine's nullable-column inputs can produce. Pinned by
     # tests/test_reorder_stream.py::test_all_null_event_time_rows_are_dropped.
     stream = df.filter(F.col(ts_col).isNotNull()).withWatermark(
         ts_col, watermark_delay

@@ -17,6 +17,14 @@ contract for the two degenerate regimes the suite never exercised:
 Cross-engine: the audit rows at zero input are ALSO checked against
 their own DuckDB oracles, so the NULL-bp semantics agree between the
 Spark plan and the oracle SQL (`// NULLIF(..., 0)`).
+
+Round 12 (VERDICT r11 task 6 + ADVICE): every sweep now VALUE-checks
+the oracled subset against DuckDB on the same degenerate tables
+(`_oracle_compare`) — a query that silently emits wrong non-empty
+output on degenerate input fails, not just one that crashes — and the
+relational/TPC-H family gains its own corrupt-payload sweep
+(`allnull_relational_dir`: join keys survive, every
+measure/date/flag NULL).
 """
 
 from __future__ import annotations
@@ -99,15 +107,55 @@ def allnull_text_dir(tmp_path_factory) -> str:
     return str(out)
 
 
+def _oracle_compare(sf_dir: str, name, sdf) -> None:
+    """Value-level degenerate check (round 12, ADVICE r11): run the
+    query's DuckDB oracle over the SAME degenerate tables and require
+    the canonical frames to be equal — a query that silently emits
+    wrong non-empty output on degenerate input fails here, not just
+    one that crashes. Reuses the driver-style canonicalization from
+    test_oracle_parity (columns sorted by name, rows sorted,
+    NaN == NULL)."""
+    from test_oracle_parity import _canon
+
+    spec = REGISTRY[name]
+    if spec.oracle is None:
+        return
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        odf = con.execute(spec.oracle).fetch_df()
+    finally:
+        con.close()
+    assert len(sdf) == len(odf), (
+        f"{name}: degenerate rows {len(sdf)} vs oracle {len(odf)}"
+    )
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    if len(sdf) == 0:
+        # Both empty with matching columns — equal by definition.
+        # (pandas .equals also compares dtypes, which differ
+        # meaninglessly between an empty Arrow->pandas frame and an
+        # empty DuckDB fetch_df.)
+        return
+    a, b = _canon(sdf), _canon(odf)
+    assert a.equals(b), f"{name}: degenerate value mismatch\n{a}\nvs\n{b}"
+
+
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_every_query_survives_zero_row_tables(spark, empty_sf_dir, name):
-    """collect() must succeed on fully-empty inputs — 0..n rows is
-    fine, an exception (DIVIDE_BY_ZERO, IndexError, ...) is not."""
+    """The plan must succeed on fully-empty inputs — 0..n rows is
+    fine, an exception (DIVIDE_BY_ZERO, IndexError, ...) is not — and
+    for every oracled query the VALUES must match the DuckDB oracle on
+    the same empty tables (most shapes reduce to zero rows; global
+    aggregates to one all-zero/NULL row; either way both engines must
+    agree by construction, not by luck)."""
     try:
-        rows = REGISTRY[name].builder(spark, empty_sf_dir).collect()
+        sdf = REGISTRY[name].builder(spark, empty_sf_dir).toPandas()
     finally:
         spark.catalog.clearCache()
-    assert isinstance(rows, list)
+    _oracle_compare(empty_sf_dir, name, sdf)
 
 
 @pytest.fixture(scope="module")
@@ -172,12 +220,13 @@ def test_document_queries_survive_empty_string_text(
     """Zero-token (but non-NULL) text must reduce to empty token sets
     everywhere — the Jaccard engines exclude zero-token docs (their
     similarity is 0/0, and the oracles' DuckDB x/0 → NULL fails the
-    threshold filter), never raise DIVIDE_BY_ZERO."""
+    threshold filter), never raise DIVIDE_BY_ZERO — and the oracled
+    subset must value-match DuckDB on the same tables."""
     try:
-        rows = REGISTRY[name].builder(spark, emptystr_text_dir).collect()
+        sdf = REGISTRY[name].builder(spark, emptystr_text_dir).toPandas()
     finally:
         spark.catalog.clearCache()
-    assert isinstance(rows, list)
+    _oracle_compare(emptystr_text_dir, name, sdf)
 
 
 @pytest.fixture(scope="module")
@@ -219,12 +268,15 @@ def test_event_queries_survive_all_null_payload(
 ):
     """NULL event time / value / props must flow through the event
     family (windows, sketches, sessionization, reorder) as SQL NULLs —
-    dropped or grouped per NULL semantics, never a crash."""
+    dropped or grouped per NULL semantics, never a crash — and the
+    oracled subset must value-match DuckDB on the same tables (this is
+    exactly the sweep that pins the reorder_events `ts IS NOT NULL`
+    oracle guard: both engines must drop un-sequenceable rows)."""
     try:
-        rows = REGISTRY[name].builder(spark, allnull_events_dir).collect()
+        sdf = REGISTRY[name].builder(spark, allnull_events_dir).toPandas()
     finally:
         spark.catalog.clearCache()
-    assert isinstance(rows, list)
+    _oracle_compare(allnull_events_dir, name, sdf)
 
 
 # Every query that scans the embeddings table (the similarity module
@@ -246,12 +298,13 @@ def test_embedding_queries_survive_all_null_vectors(
     """A NULL embedding is not a point in the vector space — the
     similarity family excludes it at the scan (similarity._embeddings)
     so the Arrow/numpy paths never see np.asarray(None). All-null
-    vectors must therefore reduce to the empty-corpus case."""
+    vectors must therefore reduce to the empty-corpus case, and the
+    oracled subset must value-match DuckDB on the same tables."""
     try:
-        rows = REGISTRY[name].builder(spark, allnull_emb_dir).collect()
+        sdf = REGISTRY[name].builder(spark, allnull_emb_dir).toPandas()
     finally:
         spark.catalog.clearCache()
-    assert isinstance(rows, list)
+    _oracle_compare(allnull_emb_dir, name, sdf)
 
 
 @pytest.mark.parametrize(
@@ -264,12 +317,77 @@ def test_embedding_queries_survive_all_null_vectors(
 )
 def test_document_queries_survive_all_null_text(spark, allnull_text_dir, name):
     """The text IS NOT NULL guards must reduce an all-null corpus to
-    the empty-corpus case everywhere — never a mid-plan crash."""
+    the empty-corpus case everywhere — never a mid-plan crash — and
+    the oracled subset must value-match DuckDB on the same tables."""
     try:
-        rows = REGISTRY[name].builder(spark, allnull_text_dir).collect()
+        sdf = REGISTRY[name].builder(spark, allnull_text_dir).toPandas()
     finally:
         spark.catalog.clearCache()
-    assert isinstance(rows, list)
+    _oracle_compare(allnull_text_dir, name, sdf)
+
+
+# --------------------------------------------------------------------------
+# Relational / TPC-H family (round 12, VERDICT r11 task 6): the
+# orders/lineitem/customer-reading modules previously saw only the
+# zero-row sweep; this fixture is the corrupt-payload shape for the
+# relational side — join keys survive, every measure/date/flag is NULL
+# (Pareto cutoffs, decile windows, date filters, group-by flags all
+# over NULL input).
+
+_REL_MODULES = {"relational", "subqueries", "breadth", "asof", "timeseries"}
+
+_NULL_PAYLOAD = {
+    "orders": {"o_orderstatus", "o_totalprice", "o_orderdate",
+               "o_orderpriority"},
+    "lineitem": {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"},
+    "customer": {"c_name", "c_acctbal", "c_mktsegment"},
+}
+
+
+@pytest.fixture(scope="module")
+def allnull_relational_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but every non-key orders/lineitem/customer
+    payload column is NULL (keys kept so joins still fan out)."""
+    out = tmp_path_factory.mktemp("sf_nullrel")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        nulled = _NULL_PAYLOAD.get(t)
+        if nulled:
+            schema = tbl.schema
+            cols = {
+                f.name: (
+                    pa.nulls(tbl.num_rows, f.type)
+                    if f.name in nulled
+                    else tbl[f.name]
+                )
+                for f in schema
+            }
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] in _REL_MODULES
+    ),
+)
+def test_relational_queries_survive_all_null_payload(
+    spark, allnull_relational_dir, name
+):
+    """NULL measures/dates/flags must flow through the relational
+    family per SQL NULL semantics (filters drop them, SUMs go NULL,
+    group keys collapse to the NULL group) — never a crash — and the
+    oracled subset must value-match DuckDB on the same tables."""
+    try:
+        sdf = REGISTRY[name].builder(spark, allnull_relational_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    _oracle_compare(allnull_relational_dir, name, sdf)
 
 
 @pytest.mark.parametrize(
