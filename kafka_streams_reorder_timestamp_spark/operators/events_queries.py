@@ -1004,13 +1004,15 @@ def events_weekly_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(c - (c + p - u) AS BIGINT) AS click_only_users
     FROM aud
     """,
-    doc="Sketch set algebra: per-type Theta sketches of user audiences "
+    doc="Sketch set algebra: per-audience Theta sketches of users "
     "support UNION, INTERSECTION and DIFFERENCE estimates — the "
-    "overlap analytics HLL cannot express (HLL only unions). One "
-    "sketch pass over events, then all pairwise set ops run on "
-    "KB-sized sketches: at 100 TB the exact pairwise self-join "
+    "overlap analytics HLL cannot express (HLL only unions). Both "
+    "audience sketches build in ONE conditional global aggregation "
+    "(single scan, single partial agg — no per-type shuffle, no "
+    "crossJoin stitch; round 12), then all set ops run on KB-sized "
+    "sketches: at 100 TB the exact pairwise self-join "
     "(event_type_audience_overlap, the exact twin) is quadratic in "
-    "audience size, while this is O(types^2) sketch merges. Emits "
+    "audience size, while this is O(audiences^2) sketch merges. Emits "
     "click/purchase set-op estimates.",
 )
 def events_audience_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
