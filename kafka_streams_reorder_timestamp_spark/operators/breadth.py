@@ -663,7 +663,14 @@ def segment_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS f,
              CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
                AS m_cents
-      FROM orders GROUP BY 1
+      FROM orders
+      -- a NULL customer key is a failed upstream lookup, not a
+      -- customer: scoring would pool all such orders into one
+      -- pseudo-customer, and the engine's score-reassembly equi-join
+      -- drops NULL keys anyway (round-12 degenerate gate) — exclude
+      -- at the scan on both sides
+      WHERE o_custkey IS NOT NULL
+      GROUP BY 1
     ), n AS (SELECT COUNT(*) AS n FROM cust)
     SELECT o_custkey,
            CAST((4 * (ROW_NUMBER() OVER (ORDER BY r_us DESC, o_custkey) - 1))
@@ -686,7 +693,13 @@ def segment_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     "epoch-us of the last order.",
 )
 def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    # NULL custkey excluded at the scan (pushed-down IsNotNull): it is
+    # not a customer, and the three-way score reassembly join below
+    # would silently drop the NULL-key group while the oracle's
+    # single-pass ranking kept it — see the oracle comment.
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
     # Lazy persist: each of the three rank passes reads the customer
     # aggregate THREE times (bounds agg, per-bucket counts agg, main
     # branch) — chaining the passes compounded that into up to 27

@@ -390,6 +390,112 @@ def test_relational_queries_survive_all_null_payload(
     _oracle_compare(allnull_relational_dir, name, sdf)
 
 
+# Round 12 (second axis extension): corrupt JOIN topology. Two shapes
+# a 100 TB ingest actually produces — NULL foreign keys (failed
+# lookups written as NULL) and all-orphan foreign keys (parent
+# partition lost; every child points at a missing parent). SQL NULL
+# join semantics (NULL never equals NULL) and outer-join NULL
+# propagation must agree cross-engine through every downstream
+# window/percentile/rollup.
+
+_NULL_FKEYS = {
+    "orders": {"o_custkey"},
+    "lineitem": {"l_partkey", "l_suppkey"},
+    "customer": {"c_nationkey"},
+}
+
+
+@pytest.fixture(scope="module")
+def nullkey_relational_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but every relational FOREIGN key is NULL
+    (primary keys and payloads survive — the failed-lookup shape)."""
+    out = tmp_path_factory.mktemp("sf_nullkey")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        nulled = _NULL_FKEYS.get(t)
+        if nulled:
+            schema = tbl.schema
+            cols = {
+                f.name: (
+                    pa.nulls(tbl.num_rows, f.type)
+                    if f.name in nulled
+                    else tbl[f.name]
+                )
+                for f in schema
+            }
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def orphan_relational_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but every relational foreign key is offset by
+    10^9 — all children orphaned, no parent row matches (the
+    lost-parent-partition shape)."""
+    import pyarrow.compute as pc
+
+    out = tmp_path_factory.mktemp("sf_orphan")
+    for t in TABLES:
+        tbl = pq.read_table(f"{SRC}/{t}.parquet")
+        orphaned = _NULL_FKEYS.get(t)
+        if orphaned:
+            schema = tbl.schema
+            cols = {
+                f.name: (
+                    pc.add(tbl[f.name], 1_000_000_000)
+                    if f.name in orphaned
+                    else tbl[f.name]
+                )
+                for f in schema
+            }
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] in _REL_MODULES
+    ),
+)
+def test_relational_queries_survive_all_null_fkeys(
+    spark, nullkey_relational_dir, name
+):
+    """NULL foreign keys never join (NULL <> NULL), so inner joins go
+    empty and outer joins carry NULL-extended rows — both engines must
+    agree on every downstream aggregate/window, never crash."""
+    try:
+        sdf = REGISTRY[name].builder(spark, nullkey_relational_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    _oracle_compare(nullkey_relational_dir, name, sdf)
+
+
+@pytest.mark.parametrize(
+    "name",
+    sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if spec.builder.__module__.split(".")[-1] in _REL_MODULES
+    ),
+)
+def test_relational_queries_survive_all_orphan_fkeys(
+    spark, orphan_relational_dir, name
+):
+    """All-orphan foreign keys: every child row points at a missing
+    parent — inner joins empty, anti joins full, left joins
+    NULL-extended. Cross-engine agreement, value-checked."""
+    try:
+        sdf = REGISTRY[name].builder(spark, orphan_relational_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    _oracle_compare(orphan_relational_dir, name, sdf)
+
+
 @pytest.mark.parametrize(
     "name", ["dedup_lsh_recall_audit", "dedup_lsh_recall_audit_sampled"]
 )
