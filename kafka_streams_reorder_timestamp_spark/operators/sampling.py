@@ -901,18 +901,21 @@ def token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("avail_tokens"),
         )
     )
-    w = F.broadcast(
-        spark.createDataFrame(MIXTURE_TOKEN_BP, ["lang", "weight_bp"])
-    )
+    w = spark.createDataFrame(MIXTURE_TOKEN_BP, ["lang", "weight_bp"])
     target = F.expr(
         f"CAST({TOKEN_BUDGET} AS BIGINT) * weight_bp div 10000"
     )
     # Left join FROM the weights side: a planned language that is
     # absent from the corpus must surface as a full deficit
     # (avail_tokens=0, surplus=-target), never silently vanish from
-    # the mixture report.
+    # the mixture report. The hint must sit on the BUILD side: a
+    # left-outer join can only broadcast-build its right input, so
+    # hinting the preserved weights side is unsatisfiable and Spark
+    # drops it with a HintErrorLogger warning on every run. The
+    # aggregated per-language table is tiny (~tens of rows) at any
+    # scale, so broadcasting it keeps the join exchange-free.
     joined = (
-        w.join(avail, "lang", "left")
+        w.join(F.broadcast(avail), "lang", "left")
         .withColumn(
             "n_docs", F.coalesce(F.col("n_docs"), F.lit(0)).cast("long")
         )

@@ -1408,7 +1408,7 @@ def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHERE vec_id = 0 AND embedding IS NOT NULL)), 6) AS c
         FROM embeddings e
         WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
-      ) QUALIFY r <= 50
+      ) WHERE c IS NOT NULL QUALIFY r <= 50
     ), fused AS (
       SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
              ROUND(COALESCE(1.0 / (60 + s.r), 0)

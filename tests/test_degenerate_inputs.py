@@ -307,6 +307,56 @@ def test_embedding_queries_survive_all_null_vectors(
     _oracle_compare(allnull_emb_dir, name, sdf)
 
 
+@pytest.fixture(scope="module")
+def nullprobe_emb_dir(tmp_path_factory) -> str:
+    """sf0.001 tables, but ONLY vec_id 0's embedding is NULL — the
+    mixed-corruption shape (round 13, ADVICE r12): the corpus is
+    intact, the designated PROBE vector is missing. Distinct from the
+    all-null and zero-row sweeps, both of which empty the outer scan
+    too; here probe-anchored queries (hybrid_rrf_search's dense leg,
+    ann_*_query) must drop their probe-dependent output while
+    corpus-wide queries are untouched."""
+    out = tmp_path_factory.mktemp("sf_nullprobe")
+    for t in TABLES:
+        src = f"{SRC}/{t}.parquet"
+        tbl = pq.read_table(src)
+        if t == "embeddings":
+            schema = tbl.schema
+            vec_ids = tbl["vec_id"].to_pylist()
+            emb = tbl["embedding"].to_pylist()
+            cols = {
+                f.name: (
+                    pa.array(
+                        [None if v == 0 else e for v, e in zip(vec_ids, emb)],
+                        type=f.type,
+                    )
+                    if f.name == "embedding"
+                    else tbl[f.name]
+                )
+                for f in schema
+            }
+            tbl = pa.table(cols, schema=schema)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize("name", _EMB_QUERIES)
+def test_embedding_queries_survive_null_probe_vector(
+    spark, nullprobe_emb_dir, name
+):
+    """A missing PROBE embedding (vec 0 NULL, corpus intact) must make
+    probe-anchored legs vanish on BOTH engines — the engine's probe
+    DataFrame is empty, so the oracle's scalar probe subquery must not
+    leave NULL-scored rows alive through ROW_NUMBER/QUALIFY (the
+    hybrid_rrf_search dense-leg divergence, ADVICE r12) — and the
+    oracled subset must value-match DuckDB on the same tables."""
+    try:
+        sdf = REGISTRY[name].builder(spark, nullprobe_emb_dir).toPandas()
+    finally:
+        spark.catalog.clearCache()
+    _oracle_compare(nullprobe_emb_dir, name, sdf)
+
+
 @pytest.mark.parametrize(
     "name",
     sorted(
