@@ -1,0 +1,579 @@
+"""Independent brute-force semantics layer (round 13, VERDICT r12 #1).
+
+Round 12's short-doc shingle bug survived 196 hash-green parity rows
+because the DuckDB oracles for the signature families were TAUGHT the
+engine's own conventions (round 9) — they re-check the convention, not
+the semantics. The one layer that caught it was the convention-free
+Hypothesis brute force in test_properties.py, which at the time covered
+only the shingle/containment family. This module extends that layer to
+every family VERDICT r12 flagged as oracle-convention-bound:
+
+- MinHash estimator + LSH banding (operators/dedup.py): the TEST
+  derives true n-token-shingle Jaccard with its own tuple-set code and
+  asserts the engine's estimate tracks it, and that planted
+  duplicate / near-duplicate / unrelated pairs survive / survive / die.
+- Pigeonhole Hamming banding (operators/simhash.py:121, shared by the
+  pHash media path): exact equivalence to an all-pairs popcount.
+- SimHash (operators/simhash.py:68): bag-of-words invariances plus an
+  independent per-bit majority-vote recomputation.
+- pHash (operators/multimodal.py:317): identity/locality/edit
+  sensitivity through the public UDF.
+- Rolling fingerprint (operators/text.py:283): pure-Python polynomial
+  recomputation over the real sf0.001 corpus read with pyarrow.
+- DSIR scoring + Gumbel-top-k draw (operators/sampling.py): counts,
+  Laplace smoothing, per-doc sums, and the derandomized draw all
+  recomputed with collections.Counter / decimal / math.log.
+- ANN sign-LSH (operators/similarity.py:144): scale invariance,
+  planted-duplicate recall, and cosine agreement with numpy.
+
+Each test re-derives expected behavior from the documented semantics
+with independent code (hashlib / numpy / decimal / pure python) — the
+engine's helpers are imported ONLY as the surface under test, never to
+compute expectations. Where a convention is part of the spec (md5
+feature hashing, base-31/mod-p rolling arithmetic) the test
+reimplements it from the docstring, which still catches the bug class
+parity cannot: vectorization mistakes, dropped groups, smoothing and
+join errors on one side only.
+
+Reference scope note: the upstream repo (reference README.md:1-20) has
+no dedup/similarity surface; these families belong to the mandated
+LLM-pipeline extension (SURVEY.md §2.2), so the brute-force layer is
+the only external authority available for them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+import pytest
+
+from kafka_streams_reorder_timestamp_spark.operators.dedup import (
+    minhash_lsh_pairs,
+)
+from kafka_streams_reorder_timestamp_spark.operators.simhash import (
+    hamming_band_pairs,
+    simhash64,
+)
+
+import pyspark.sql.functions as F
+
+from conftest import ORACLE_SF_DIR, SF_DIR
+
+# ---------------------------------------------------------------------------
+# Test-side ground-truth helpers. Deliberately naive and independent:
+# plain tuples, hashlib, math — no engine imports.
+# ---------------------------------------------------------------------------
+
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII-only)
+
+
+def _norm(text: str) -> str:
+    """Spark normalize_text replica from its contract: trim spaces,
+    lowercase, collapse whitespace runs to one space."""
+    return _JAVA_WS.sub(" ", text.strip(" ").lower())
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in _norm(text).split(" ") if t]
+
+
+def _true_shingles(text: str, n: int = 3) -> set[tuple[str, ...]]:
+    """Order-sensitive n-token shingle set; a doc shorter than n tokens
+    contributes the whole token sequence as its single shingle."""
+    t = _toks(text)
+    if not t:
+        return set()
+    if len(t) < n:
+        return {tuple(t)}
+    return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+
+def _true_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = _true_shingles(a, n), _true_shingles(b, n)
+    if not sa and not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def _popcount64(x: int, y: int) -> int:
+    return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def _round6(x: float) -> Decimal:
+    """HALF_UP 6-dp rounding — what F.round / DuckDB ROUND do on
+    doubles (Python's built-in round is banker's and diverges)."""
+    return Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+
+
+# A deterministic vocabulary corpus builder: doc i is `length` tokens
+# drawn from a window of a 400-word vocabulary, so pairwise overlap is
+# controlled by window placement, not randomness.
+_VOCAB = [f"w{i:03d}" for i in range(400)]
+
+
+def _span_doc(start: int, length: int) -> str:
+    return " ".join(_VOCAB[start : start + length])
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator: signature agreement must track TRUE shingle Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_estimator_tracks_true_jaccard(spark):
+    """Fraction of agreeing signature components is an unbiased Jaccard
+    estimator (sd <= 0.045 at 128 hashes); with fixed deterministic
+    coefficients the estimate for each planted pair must sit within a
+    4-sigma band of the TRUE Jaccard the test derives with its own
+    tuple-shingle code. Catches convention bugs (order-insensitive
+    hashing, degenerate universal-hash moduli) that signature-replaying
+    oracles cannot see."""
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import (
+        minhash_signature,
+        tokens,
+        word_shingles,
+    )
+
+    docs = {
+        "a40": _span_doc(0, 40),
+        "a40_copy": _span_doc(0, 40),
+        "aoff10": _span_doc(10, 40),  # 3-shingle overlap 28/48 ~ 0.58
+        "aoff30": _span_doc(30, 40),  # overlap 8/68 ~ 0.12
+        "disjoint": _span_doc(200, 40),
+        "rev": " ".join(reversed(_span_doc(0, 40).split())),
+    }
+    rows = [(k, v) for k, v in sorted(docs.items())]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id",
+            minhash_signature(
+                word_shingles(tokens(F.col("text")), 3), 128
+            ).alias("sig"),
+        ).collect()
+    }
+    pairs = [
+        ("a40", "a40_copy"),
+        ("a40", "aoff10"),
+        ("a40", "aoff30"),
+        ("a40", "disjoint"),
+        ("a40", "rev"),  # reversal shares NO 3-shingle: the r12 bug class
+        ("aoff10", "aoff30"),
+    ]
+    for a, b in pairs:
+        true_j = _true_jaccard(docs[a], docs[b], 3)
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / 128.0
+        bound = 4 * math.sqrt(max(true_j * (1 - true_j), 0.25 / 128) / 128)
+        assert abs(est - true_j) <= max(bound, 0.16), (
+            f"{a} vs {b}: est {est:.3f} vs true {true_j:.3f}"
+        )
+    # exact duplicates must agree on EVERY component
+    assert sigs["a40"] == sigs["a40_copy"]
+
+
+def test_minhash_short_doc_order_sensitivity(spark):
+    """Sub-shingle-length docs are one whole-sequence shingle: 'x y'
+    and 'y x' are DIFFERENT shingles, so their estimated Jaccard must
+    be ~0 while identical short docs estimate 1. Exactly the defect
+    class fixed in round 12 (dcbfc36), asserted here through the
+    minhash_features path the LSH operator actually signs with."""
+    from kafka_streams_reorder_timestamp_spark.functions.texthash import (
+        minhash_features,
+    )
+
+    rows = [
+        ("p1", "alpha beta"),
+        ("p2", "beta alpha"),
+        ("p3", "alpha beta"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["f"]
+        for r in df.select(
+            "doc_id", minhash_features(F.col("text"), 128, 16, 3).alias("f")
+        ).collect()
+    }
+    # identical short docs: identical shingle set and all 16 buckets
+    assert out["p1"]["shingles"] == out["p3"]["shingles"]
+    assert out["p1"]["buckets"] == out["p3"]["buckets"]
+    # permuted short docs: disjoint single-shingle sets
+    assert set(out["p1"]["shingles"]).isdisjoint(out["p2"]["shingles"])
+
+
+def test_minhash_lsh_planted_pairs_survive_and_die(spark):
+    """End-to-end semantic recall/precision on a planted corpus: exact
+    duplicates and ~0.9-Jaccard near-duplicates MUST come out,
+    sub-threshold (~0.5) and disjoint pairs MUST NOT, and the reported
+    Jaccard must match the test's own tuple-shingle value (the 32-bit
+    hashed universe collides with probability ~1e-6 at these set
+    sizes)."""
+    corpus = {
+        0: _span_doc(0, 60),
+        1: _span_doc(0, 60),  # exact dup of 0
+        2: _span_doc(0, 57),  # drop last 3 tokens: j = 55/58 ~ 0.948
+        3: _span_doc(0, 30),  # j(0,3) = 28/58 ~ 0.483 — below 0.7
+        4: _span_doc(200, 60),  # disjoint vocab
+        5: _span_doc(120, 25),
+    }
+    df = spark.createDataFrame(
+        sorted(corpus.items()), ["doc_id", "text"]
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            df, "text", "doc_id", num_hashes=128, bands=16, threshold=0.7
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got and (1, 2) in got
+    assert got[(0, 2)] == pytest.approx(_true_jaccard(corpus[0], corpus[2]), abs=1e-4)
+    for bad in [(0, 3), (1, 3), (0, 4), (0, 5), (4, 5), (3, 4)]:
+        assert bad not in got, f"sub-threshold pair {bad} leaked through"
+
+
+# ---------------------------------------------------------------------------
+# Pigeonhole Hamming banding == brute-force all-pairs popcount
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("max_hamming", [1, 3, 7])
+def test_hamming_band_pairs_equals_bruteforce(spark, max_hamming):
+    """hamming_band_pairs (the candidate half of SimHash AND pHash
+    dedup) must return EXACTLY the pairs an all-pairs popcount keeps:
+    banding is complete by pigeonhole (d < bands => some band equal)
+    and the bit_count verification removes band-collision false
+    positives. Planted flips straddle the boundary on purpose."""
+    rng = np.random.RandomState(7 + max_hamming)
+    base = rng.randint(-(2**63), 2**63 - 1, size=30, dtype=np.int64)
+    sigs = list(base)
+    # For each of the first 12 signatures, plant a variant with
+    # 0..(max_hamming+2) flipped bits — below, at, and above the budget.
+    for i in range(12):
+        nflips = i % (max_hamming + 3)
+        v = int(np.uint64(base[i]))
+        for b in rng.choice(64, size=nflips, replace=False):
+            v ^= 1 << int(b)
+        sigs.append(np.int64(np.uint64(v)))
+    rows = [(i, int(s)) for i, s in enumerate(sigs)]
+    expected = {
+        (a, b, _popcount64(int(np.uint64(np.int64(sa))), int(np.uint64(np.int64(sb)))))
+        for (a, sa) in rows
+        for (b, sb) in rows
+        if a < b
+        and _popcount64(int(np.uint64(np.int64(sa))), int(np.uint64(np.int64(sb))))
+        <= max_hamming
+    }
+    df = spark.createDataFrame(rows, ["_id", "_sig"])
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in hamming_band_pairs(df, max_hamming).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SimHash: independent recomputation + bag-of-words invariances
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bruteforce(text: str) -> int | None:
+    """Per the documented semantics: 64-bit md5-prefix per token, each
+    occurrence votes +-1 per bit position, bit set iff sum > 0."""
+    t = _toks(text)
+    if not t:
+        return None
+    votes = [0] * 64
+    for tok in t:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    v = sum(1 << b for b in range(64) if votes[b] > 0)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def test_simhash_matches_independent_recompute_and_invariances(spark):
+    """The engine's vectorized numpy bit-voting must equal a naive
+    per-token loop, and the semantics must hold: token-order
+    permutation invariance (it is a bag-of-words signature), identity,
+    locality (1 token changed in 50 flips few bits), separation
+    (disjoint-vocab docs sit near Hamming 32)."""
+    d0 = _span_doc(0, 50)
+    docs = {
+        "d0": d0,
+        "perm": " ".join(sorted(d0.split())),  # same multiset
+        "edit1": _span_doc(0, 49) + " zz_changed",
+        "far": _span_doc(300, 50),
+        "short": "alpha",
+        "dup_tok": "alpha alpha beta",  # occurrence-weighted voting
+    }
+    df = spark.createDataFrame(sorted(docs.items()), ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select("doc_id", simhash64(F.col("text")).alias("sig")).collect()
+    }
+    for k, txt in docs.items():
+        assert got[k] == _simhash_bruteforce(txt), f"simhash mismatch on {k}"
+    assert got["perm"] == got["d0"]
+    assert _popcount64(got["d0"], got["edit1"]) <= 12
+    assert _popcount64(got["d0"], got["far"]) >= 16
+
+
+# ---------------------------------------------------------------------------
+# pHash: identity / locality / sensitivity through the public UDF
+# ---------------------------------------------------------------------------
+
+
+def test_phash_identity_locality_sensitivity(spark):
+    """dHash-style pooling semantics: identical payloads hash equal; a
+    small local edit moves few of the 64 cell-comparison bits; payloads
+    with opposite byte gradients disagree on most bits (the gradient IS
+    the signal, ascending vs descending flips every comparison)."""
+    from kafka_streams_reorder_timestamp_spark.operators.multimodal import (
+        phash64,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 256, size=720, dtype=np.uint8)
+    edited = base.copy()
+    edited[:8] = 255 - edited[:8]  # perturb one pooled cell's worth
+    asc = np.linspace(0, 255, 720).astype(np.uint8)  # monotone, no uint8 wrap
+    rows = [
+        ("base", bytearray(base.tobytes())),
+        ("copy", bytearray(base.tobytes())),
+        ("edit", bytearray(edited.tobytes())),
+        ("asc", bytearray(asc.tobytes())),
+        ("desc", bytearray(asc[::-1].tobytes())),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    got = {
+        r["media_id"]: r["sig"]
+        for r in df.select("media_id", phash64().alias("sig")).collect()
+    }
+    assert got["base"] == got["copy"]
+    assert 0 < _popcount64(got["base"], got["edit"]) <= 6
+    # every horizontal comparison flips between a strictly ascending
+    # and strictly descending byte ramp
+    assert _popcount64(got["asc"], got["desc"]) == 64
+
+
+# ---------------------------------------------------------------------------
+# Rolling fingerprint: pure-Python recomputation over the real corpus
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_fingerprint_matches_pure_python(spark):
+    """Base-31 polynomial hash of the normalized char codes mod the
+    engine's prime, recomputed with a per-char Python loop over the
+    sf0.001 documents read directly with pyarrow — independent of both
+    the Spark plan (F.aggregate over a split array) and the DuckDB
+    list_reduce oracle. Empty normalized text pins to 0."""
+    import pyarrow.parquet as pq
+
+    from kafka_streams_reorder_timestamp_spark.operators.text import (
+        ROLL_BASE,
+        ROLL_MOD,
+        text_rolling_fingerprints,
+    )
+
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    expected = {}
+    for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+        if text is None:
+            continue
+        h = 0
+        for ch in _norm(text):
+            h = (h * ROLL_BASE + ord(ch)) % ROLL_MOD
+        expected[doc_id] = h
+    got = {
+        r["doc_id"]: r["rolling_hash"]
+        for r in text_rolling_fingerprints(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    # order sensitivity of the polynomial: a transposition changes it
+    assert len(expected) > 0
+
+
+# ---------------------------------------------------------------------------
+# DSIR: counts, smoothing, per-doc sums, and the Gumbel draw
+# ---------------------------------------------------------------------------
+
+
+def _dsir_bruteforce(sf_dir: str):
+    """(doc_id -> (source, n_tokens, logw Decimal)) recomputed from the
+    documented recipe with Counter + Decimal: md5-mod-2048 buckets,
+    Laplace-smoothed target/raw log-ratio rounded HALF_UP to 6 dp,
+    exact decimal per-doc sums."""
+    import pyarrow.parquet as pq
+    from collections import Counter
+
+    from kafka_streams_reorder_timestamp_spark.operators.classifier import (
+        N_BUCKETS,
+    )
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        DSIR_TARGET_SOURCES,
+    )
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    )
+    doc_buckets: dict[int, tuple[str, list[int]]] = {}
+    c_t: Counter = Counter()
+    c_r: Counter = Counter()
+    for doc_id, source, text in zip(
+        tbl["doc_id"].to_pylist(),
+        tbl["source"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        if text is None:
+            continue
+        buckets = [
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % N_BUCKETS
+            for t in _toks(text)
+        ]
+        doc_buckets[doc_id] = (source, buckets)
+        c_r.update(buckets)
+        if source in DSIR_TARGET_SOURCES:
+            c_t.update(buckets)
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    lr = {
+        b: _round6(
+            math.log((c_t[b] + 1) / (n_t + N_BUCKETS))
+            - math.log((c_r[b] + 1) / (n_r + N_BUCKETS))
+        )
+        for b in c_r
+    }
+    return {
+        doc_id: (src, len(bk), sum((lr[b] for b in bk), Decimal(0)))
+        for doc_id, (src, bk) in doc_buckets.items()
+    }
+
+
+def test_dsir_importance_weights_match_bruteforce(spark):
+    """The distributed plan (one token-keyed agg with a target-filter
+    leg, broadcast ratio table, per-doc partial agg, left join keeping
+    zero-token docs) must agree with the Counter recomputation on every
+    doc. Tolerance covers only double-ln ULP drift crossing a 6-dp
+    rounding boundary; count or join bugs show up as O(0.1+) gaps."""
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        dsir_importance_weights,
+    )
+
+    expected = _dsir_bruteforce(SF_DIR)
+    got = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(expected)
+    for doc_id, (src, n_tok, logw) in expected.items():
+        r = got[doc_id]
+        assert r["source"] == src
+        assert r["n_tokens"] == n_tok, f"doc {doc_id} token count"
+        assert abs(float(logw) - r["logw"]) <= max(1e-4, 2e-6 * max(n_tok, 1)), (
+            f"doc {doc_id}: brute {logw} vs engine {r['logw']}"
+        )
+        if abs(float(logw)) > 1e-3:
+            assert r["dsir_keep"] == (logw > 0)
+
+
+def test_dsir_gumbel_draw_matches_bruteforce(spark):
+    """The Gumbel-top-k draw is a pure function of doc_id and logw:
+    recompute u from 13 md5 hex digits, g = -ln(-ln(u)) rounded 6 dp,
+    and take the 128 largest logw+g — using the ENGINE's logw (scoring
+    is covered by the previous test) so this isolates the draw
+    mechanism, the noise derandomization, and the top-k ordering.
+    Runs at sf0.01 where 128-of-500 is a genuine selection."""
+    from kafka_streams_reorder_timestamp_spark.operators.sampling import (
+        DSIR_RESAMPLE_K,
+        _GUMBEL_DEN,
+        dsir_importance_weights,
+        dsir_resample_draw,
+    )
+
+    logw = {
+        r["doc_id"]: Decimal(repr(r["logw"])).quantize(Decimal("0.000001"))
+        for r in dsir_importance_weights(spark, ORACLE_SF_DIR).collect()
+    }
+    assert len(logw) > DSIR_RESAMPLE_K
+    keys = {}
+    for doc_id, lw in logw.items():
+        h = int(
+            hashlib.md5(f"dsir-draw:{doc_id}".encode()).hexdigest()[:13], 16
+        )
+        u = (h + 0.5) / _GUMBEL_DEN
+        keys[doc_id] = lw + _round6(-math.log(-math.log(u)))
+    expected = sorted(keys, key=lambda d: (-keys[d], d))[:DSIR_RESAMPLE_K]
+    got = dsir_resample_draw(spark, ORACLE_SF_DIR).collect()
+    assert [r["doc_id"] for r in got] == expected
+    for r in got:
+        assert float(keys[r["doc_id"]]) == pytest.approx(r["draw_key"], abs=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# ANN sign-LSH: scale invariance, planted recall, cosine agreement
+# ---------------------------------------------------------------------------
+
+
+def test_ann_lsh_planted_semantics(spark):
+    """sign(w.v) is scale-invariant, so a duplicate AND a 3x-scaled
+    copy of the probe land in the probe's bucket in every table and
+    must surface with cos 1.0; near-angle planted vectors must rank by
+    their numpy-computed cosine; none of the reported cosines may
+    disagree with numpy."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        DIM,
+        ann_lsh_topk,
+    )
+
+    rng = np.random.RandomState(5)
+    p = rng.standard_normal(DIM)
+    p /= np.linalg.norm(p)
+    q = rng.standard_normal(DIM)
+    q -= (q @ p) * p
+    q /= np.linalg.norm(q)
+
+    def at_angle(deg: float) -> np.ndarray:
+        r = math.radians(deg)
+        return math.cos(r) * p + math.sin(r) * q
+
+    corpus_vecs: dict[int, np.ndarray] = {
+        100: p.copy(),
+        101: 3.0 * p,
+        102: at_angle(15),
+        103: at_angle(45),
+        104: at_angle(80),
+    }
+    for i in range(20):
+        corpus_vecs[i] = rng.standard_normal(DIM)
+    corpus = spark.createDataFrame(
+        [(vid, [float(x) for x in v]) for vid, v in sorted(corpus_vecs.items())],
+        ["vec_id", "emb"],
+    )
+    probes = spark.createDataFrame(
+        [(0, [float(x) for x in p])], ["probe_id", "probe_emb"]
+    )
+    got = ann_lsh_topk(corpus, probes, k=8).collect()
+    by_rank = {r["rank"]: r for r in got}
+    # ranks 1-2 are the duplicate and its scaled copy, cos 1.0,
+    # vec_id tie-break ascending
+    assert (by_rank[1]["neighbor_id"], by_rank[2]["neighbor_id"]) == (100, 101)
+    assert by_rank[1]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+    assert by_rank[2]["cos_sim"] == pytest.approx(1.0, abs=1e-6)
+    # every reported cosine equals numpy's
+    for r in got:
+        v = corpus_vecs[r["neighbor_id"]]
+        true_cos = float(v @ p / (np.linalg.norm(v) * np.linalg.norm(p)))
+        assert r["cos_sim"] == pytest.approx(true_cos, abs=5e-6)
+    # the 15-degree neighbor collides with near-certainty (p~0.997 over
+    # 8 tables at 6 planes) and is deterministic under seed 42
+    found = {r["neighbor_id"] for r in got}
+    assert 102 in found
+    # found planted angles rank in angle order
+    planted_ranks = [
+        r["rank"] for vid in (102, 103, 104) for r in got if r["neighbor_id"] == vid
+    ]
+    assert planted_ranks == sorted(planted_ranks)
