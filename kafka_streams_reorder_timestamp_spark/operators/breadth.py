@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import finite
 from ..functions.rank import global_rank_buckets
 from ..sources.catalog import load_table
 from .registry import register
@@ -24,12 +25,12 @@ DEC = "decimal(25,6)"
     oracle="""
     WITH c AS (
       SELECT c_nationkey AS nationkey,
-             ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS cust_bal,
+             ROUND(SUM(CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(25,6))), 2)::DOUBLE AS cust_bal,
              COUNT(*) AS n_cust
       FROM customer GROUP BY 1
     ), s AS (
       SELECT s_nationkey AS nationkey,
-             ROUND(SUM(CAST(s_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS supp_bal,
+             ROUND(SUM(CAST(CASE WHEN isfinite(s_acctbal) THEN s_acctbal END AS DECIMAL(25,6))), 2)::DOUBLE AS supp_bal,
              COUNT(*) AS n_supp
       FROM supplier GROUP BY 1
     )
@@ -73,7 +74,7 @@ def nation_balance_fulljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n,
-           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     HAVING COUNT(*) > 0 -- align empty-input semantics with Spark's
@@ -93,7 +94,11 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH base AS (
           SELECT l_returnflag, l_linestatus, COUNT(*) AS n0,
-                 SUM(CAST(l_quantity AS DECIMAL(25,6))) AS s0
+                 -- Spark has no isfinite(); BETWEEN ±DBL_MAX is the
+                 -- same guard (NaN sorts above DBL_MAX, ±Inf outside)
+                 SUM(CAST(CASE WHEN l_quantity BETWEEN -1.7976931348623157E308
+                                                  AND 1.7976931348623157E308
+                               THEN l_quantity END AS DECIMAL(25,6))) AS s0
           FROM lineitem_v GROUP BY 1, 2
         )
         SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
@@ -266,11 +271,18 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_quantity_percentiles",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
-           ROUND(quantile_cont(l_quantity, 0.50), 4) AS p50,
-           ROUND(quantile_cont(l_quantity, 0.90), 4) AS p90,
-           ROUND(quantile_cont(l_quantity, 0.99), 4) AS p99
-    FROM lineitem GROUP BY 1
+           ROUND(quantile_cont(q, 0.25), 4) AS p25,
+           ROUND(quantile_cont(q, 0.50), 4) AS p50,
+           ROUND(quantile_cont(q, 0.90), 4) AS p90,
+           ROUND(quantile_cont(q, 0.99), 4) AS p99
+    -- robust-statistics contract: a NaN/Inf quantity is excluded
+    -- from the order statistic (as NULL) on both engines — the
+    -- engines' interpolation semantics differ once a non-finite
+    -- value enters the sorted run
+    FROM (SELECT l_returnflag,
+                 CASE WHEN isfinite(l_quantity) THEN l_quantity END AS q
+          FROM lineitem)
+    GROUP BY 1
     """,
     doc="Exact interpolated percentiles per group (Spark `percentile` "
     "== DuckDB quantile_cont). Exact percentiles sort within groups; "
@@ -281,7 +293,7 @@ def lineitem_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         *[
-            F.round(F.percentile("l_quantity", F.lit(q)), 4).alias(name)
+            F.round(F.percentile(finite("l_quantity"), F.lit(q)), 4).alias(name)
             for q, name in [(0.25, "p25"), (0.50, "p50"), (0.90, "p90"), (0.99, "p99")]
         ]
     )
@@ -456,7 +468,7 @@ def top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus,
-             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             CAST(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2)) * 100 AS BIGINT)
                AS cents,
              1 AS version
       FROM orders
@@ -563,7 +575,7 @@ def brand_price_rank_kinds(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(LEAD(o_orderdate) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
              IS NULL AS INTEGER) AS is_current,
-           ROUND(CAST(o_totalprice AS DECIMAL(25,6)), 2)::DOUBLE AS amount
+           ROUND(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(25,6)), 2)::DOUBLE AS amount
     FROM orders WHERE o_custkey < 200
     """,
     doc="SCD Type-2 history construction: each customer's orders become "
@@ -598,7 +610,7 @@ def orders_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cust AS (
       SELECT c.c_mktsegment AS seg, o.o_custkey,
-             SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS rev
+             SUM(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(25,6))) AS rev
       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
       GROUP BY 1, 2
     ), ranked AS (
@@ -661,7 +673,9 @@ def segment_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              epoch_us(MAX(o_orderdate)) AS r_us,
              CAST(COUNT(*) AS BIGINT) AS f,
-             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(round(CASE WHEN isfinite(o_totalprice)
+                                      THEN o_totalprice END * 100)
+                           AS BIGINT)) AS BIGINT)
                AS m_cents
       FROM orders
       -- a NULL customer key is a failed upstream lookup, not a
@@ -713,9 +727,9 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "r_us"
             ),
             F.count(F.lit(1)).alias("f"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
-                "m_cents"
-            ),
+            F.sum(
+                F.round(finite("o_totalprice") * 100).cast("bigint")
+            ).alias("m_cents"),
         )
     ).persist()
     scored = None
@@ -739,7 +753,7 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
            CAST(month(o_orderdate) AS BIGINT) AS mon,
            COUNT(*) AS n_orders,
-           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS rev
+           ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(25,6))), 2)::DOUBLE AS rev
     FROM orders
     GROUP BY ROLLUP(year(o_orderdate), quarter(o_orderdate),
                     month(o_orderdate))
@@ -831,7 +845,7 @@ def dq_orders_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH nat AS (
       SELECT n.n_regionkey, n.n_name,
-             ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE
+             ROUND(SUM(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(25,6))), 2)::DOUBLE
                AS nation_rev
       FROM orders o
       JOIN customer c ON c.c_custkey = o.o_custkey
@@ -961,13 +975,13 @@ def brand_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_linestatus,
            ROUND(SUM(CASE WHEN l_returnflag = 'A'
-                 THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2)::DOUBLE
+                 THEN CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6)) END), 2)::DOUBLE
              AS qty_a,
            ROUND(SUM(CASE WHEN l_returnflag = 'N'
-                 THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2)::DOUBLE
+                 THEN CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6)) END), 2)::DOUBLE
              AS qty_n,
            ROUND(SUM(CASE WHEN l_returnflag = 'R'
-                 THEN CAST(l_quantity AS DECIMAL(25,6)) END), 2)::DOUBLE
+                 THEN CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6)) END), 2)::DOUBLE
              AS qty_r
     FROM lineitem
     GROUP BY l_linestatus
@@ -1050,10 +1064,10 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lineitem_measures_unpivot",
     oracle="""
     WITH agg AS (
-      SELECT ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2) AS l_quantity,
-             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2)
+      SELECT ROUND(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6))), 2) AS l_quantity,
+             ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(25,6))), 2)
                AS l_extendedprice,
-             ROUND(SUM(CAST(l_discount AS DECIMAL(25,6))), 2) AS l_discount
+             ROUND(SUM(CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(25,6))), 2) AS l_discount
       FROM lineitem
     )
     SELECT 'l_quantity' AS measure, l_quantity::DOUBLE AS total FROM agg
@@ -1343,18 +1357,18 @@ def docs_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sums AS (
       SELECT p.p_brand,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(CAST(CASE WHEN isfinite(l.l_discount) THEN l.l_discount END AS DECIMAL(18,6))) AS DOUBLE)
                AS sx,
-             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END AS DECIMAL(18,6))) AS DOUBLE)
                AS sy,
-             CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))
-                      * CAST(l.l_discount AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(CAST(CASE WHEN isfinite(l.l_discount) THEN l.l_discount END AS DECIMAL(18,6))
+                      * CAST(CASE WHEN isfinite(l.l_discount) THEN l.l_discount END AS DECIMAL(18,6))) AS DOUBLE)
                AS sxx,
-             CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))
-                      * CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END AS DECIMAL(18,6))
+                      * CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END AS DECIMAL(18,6))) AS DOUBLE)
                AS syy,
-             CAST(SUM(CAST(l.l_discount AS DECIMAL(18,6))
-                      * CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             CAST(SUM(CAST(CASE WHEN isfinite(l.l_discount) THEN l.l_discount END AS DECIMAL(18,6))
+                      * CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END AS DECIMAL(18,6))) AS DOUBLE)
                AS sxy
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       GROUP BY 1
@@ -1422,7 +1436,7 @@ def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey AS custkey,
              CASE WHEN o_orderdate < DATE '1997-01-01' THEN 'p1'
                   ELSE 'p2' END AS period,
-             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+             SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(18,2))) AS s
       FROM orders
       WHERE o_orderdate >= DATE '1996-01-01'
         AND o_orderdate < DATE '1998-01-01'
@@ -1432,7 +1446,10 @@ def brand_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (
                PARTITION BY period ORDER BY s, custkey) AS rn,
              COUNT(*) OVER (PARTITION BY period) AS n
-      FROM spend
+      -- a NULL spend (every order in the period non-finite) is not
+      -- rankable — and the engines disagree on NULL sort position
+      -- (Spark NULLS FIRST asc, DuckDB NULLS LAST) — exclude
+      FROM spend WHERE s IS NOT NULL
     ), bucketed AS (
       SELECT custkey, period,
              CAST((10 * (rn - 1)) // n + 1 AS INT) AS decile
@@ -1471,6 +1488,7 @@ def customer_decile_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("o_custkey").alias("custkey"), "period")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s"))
+        .filter(F.col("s").isNotNull())
         .withColumn("sd", F.col("s").cast("double"))
     )
     def deciles(period: str):

@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
 from .registry import register
-from .text import NON_ALNUM, PUNCT, WORD, _count_matches, _stop_pat
+from .text import NON_ALNUM, PUNCT, WORD, _count_matches, _count_stop, _stop_sql
 
 N_BUCKETS = 2048
 ALPHA = 1  # Laplace smoothing pseudo-count
@@ -52,7 +52,7 @@ def _gopher_keep(d: DataFrame) -> Column:
     n_words = _count_matches(F.col("text"), WORD)
     n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
     n_symbols = _count_matches(F.col("text"), PUNCT)
-    n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
+    n_stop = _count_stop(F.col("text"), "en")
     # greatest(..., 1) guards the division: ANSI mode evaluates the
     # projection eagerly, so a punctuation-only/CJK doc with zero word
     # matches would raise DIVIDE_BY_ZERO despite the n_words >= 5
@@ -193,8 +193,7 @@ _ORACLE_FEAT = f"""
               / GREATEST(n_chars, 1) <= 0.1
           AND length(regexp_replace(text, '{NON_ALNUM}', '', 'g')) * 1.0
               / GREATEST(n_chars, 1) >= 0.6
-          AND len(regexp_extract_all(lower(text),
-                  '\\b(the|a|of|and|in|to|is)\\b')) >= 2
+          AND {_stop_sql('text', 'en')} >= 2
         AS INTEGER) AS y
       FROM base
     ), feat AS (

@@ -1169,6 +1169,10 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b
       ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
+      -- _embeddings quarantines non-finite vectors at the scan
+      -- (similarity.py round-13 contract); mirror it here
+      AND len(list_filter(a.embedding, x -> NOT isfinite(x))) = 0
+      AND len(list_filter(b.embedding, x -> NOT isfinite(x))) = 0
     """,
     doc="Embedding-cosine near-dup, blocked by label: per-block "
     "pairwise cosine as ONE numpy matmul via applyInPandas (the "

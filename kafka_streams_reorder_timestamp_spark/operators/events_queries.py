@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import finite, is_finite
 from ..sources.catalog import load_table
 from .dedup import _audit_bucket_sql
 from .registry import register
@@ -63,7 +64,7 @@ def reorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT epoch_us(date_trunc('hour', ts)) AS hour_us,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value,
+           ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value,
            COUNT(DISTINCT user_id) AS n_users
     FROM events
     WHERE ts IS NOT NULL
@@ -182,8 +183,8 @@ def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT epoch_us(date_trunc('day', ts)) AS day_us,
              event_type,
              COUNT(*) AS n,
-             SUM(CAST(value AS DECIMAL(25,6))) AS sum_exact,
-             CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+             SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(25,6))) AS sum_exact,
+             CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(25,6))) * 1000000 AS BIGINT)
                AS sum_micros
       FROM events
       WHERE ts IS NOT NULL
@@ -244,7 +245,7 @@ def events_daily_from_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
            COUNT(*) AS n,
-           ROUND(SUM(CAST(value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value
+           ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value
     FROM events
     GROUP BY 1
     """,
@@ -497,7 +498,9 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH per_type AS (
       SELECT user_id, event_type,
-             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             CAST(SUM(CAST(round(CASE WHEN isfinite(value)
+                                      THEN value END * 100)
+                           AS BIGINT)) AS BIGINT)
                AS cents
       FROM events WHERE user_id < 100
       GROUP BY 1, 2
@@ -521,7 +524,7 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
-    cents = F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+    cents = F.sum(F.round(finite("value") * 100).cast("bigint")).alias("cents")
     per_type = ev.groupBy("user_id", "event_type").agg(cents)
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(
@@ -553,14 +556,14 @@ def user_type_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT h.event_type, epoch_us(h.h) AS hour_us, h.n,
            CAST(
-             CAST(h.n * t.c - t.s AS DECIMAL(38,0))
-               * CAST(h.n * t.c - t.s AS DECIMAL(38,0))
-             > 9 * CAST(t.c * t.s2 - t.s * t.s AS DECIMAL(38,0))
+             CAST(CASE WHEN isfinite(h.n * t.c - t.s) THEN h.n * t.c - t.s END AS DECIMAL(38,0))
+               * CAST(CASE WHEN isfinite(h.n * t.c - t.s) THEN h.n * t.c - t.s END AS DECIMAL(38,0))
+             > 9 * CAST(CASE WHEN isfinite(t.c * t.s2 - t.s * t.s) THEN t.c * t.s2 - t.s * t.s END AS DECIMAL(38,0))
              AS INTEGER) AS is_anomaly
     FROM hourly h JOIN stats t USING (event_type)
-    WHERE CAST(h.n * t.c - t.s AS DECIMAL(38,0))
-            * CAST(h.n * t.c - t.s AS DECIMAL(38,0))
-          > 4 * CAST(t.c * t.s2 - t.s * t.s AS DECIMAL(38,0))
+    WHERE CAST(CASE WHEN isfinite(h.n * t.c - t.s) THEN h.n * t.c - t.s END AS DECIMAL(38,0))
+            * CAST(CASE WHEN isfinite(h.n * t.c - t.s) THEN h.n * t.c - t.s END AS DECIMAL(38,0))
+          > 4 * CAST(CASE WHEN isfinite(t.c * t.s2 - t.s * t.s) THEN t.c * t.s2 - t.s * t.s END AS DECIMAL(38,0))
     """,
     doc="Hourly volume anomaly detection per event type: flag hours "
     "whose count deviates more than 3 sigma (report from 2 sigma) "
@@ -683,7 +686,13 @@ def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
-           ROUND(AVG(gap_us), 6) AS avg_gap_us,
+           -- exact-sum, cast to DOUBLE, one division, UNROUNDED:
+           -- mirrors Spark's sum/count exactly at every magnitude.
+           -- Not ROUND(,6): DuckDB's x*1e6 round path is lossy past
+           -- 2^53.  Not SUM(g)*1.0: DuckDB parses 1.0 as DECIMAL and
+           -- routes the division through decimal scale rules, which
+           -- disagree with the double two-step in the last ulp.
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
            MIN(gap_us) AS min_gap_us,
            MAX(gap_us) AS max_gap_us
     FROM gaps WHERE gap_us IS NOT NULL
@@ -691,10 +700,11 @@ def top_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Inter-arrival time statistics per event type — the "
     "throughput/burstiness profile. Gaps are exact integer "
-    "microsecond differences from one lag window; AVG is a single "
-    "correctly-rounded division of an exact BIGINT sum, so the "
-    "rounded stats hash-match across engines. One window shuffle on "
-    "event_type + one bounded partial agg.",
+    "microsecond differences from one lag window; the average is a "
+    "single correctly-rounded division of an exact BIGINT sum "
+    "(unrounded — see the in-query note on DuckDB's lossy ROUND at "
+    "large magnitudes), so the stats hash-match across engines. One "
+    "window shuffle on event_type + one bounded partial agg.",
 )
 def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -707,7 +717,13 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("event_type").agg(
         F.count("gap_us").alias("n_gaps"),
-        F.round(F.avg("gap_us"), 6).alias("avg_gap_us"),
+        # Exact BIGINT sum, one final double division, NO rounding:
+        # F.avg's double accumulation drifts by ulps, and a ROUND(,6)
+        # at >= ~1e10 µs magnitudes is lossy inside DuckDB's x*1e6
+        # path (> 2^53) while Spark rounds via BigDecimal — the bare
+        # division of identical exact operands is the only form both
+        # engines compute bit-identically at every gap magnitude.
+        (F.sum("gap_us") / F.count("gap_us")).alias("avg_gap_us"),
         F.min("gap_us").alias("min_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
@@ -1259,7 +1275,7 @@ def events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(last_touch, 'direct') AS channel,
            CAST(COUNT(*) AS BIGINT) AS n_purchases,
-           ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)::DOUBLE
+           ROUND(SUM(CAST(CASE WHEN isfinite(value) THEN value END AS DECIMAL(18,4))), 2)::DOUBLE
              AS attributed_value
     FROM seq
     WHERE event_type = 'purchase'
@@ -1327,7 +1343,7 @@ def purchase_attribution_last_touch(
       SELECT a.arm, e.user_id,
              COUNT(*) FILTER (WHERE e.event_type = 'purchase')
                AS purchases,
-             SUM(CAST(e.value AS DECIMAL(18,4)))
+             SUM(CAST(CASE WHEN isfinite(e.value) THEN e.value END AS DECIMAL(18,4)))
                FILTER (WHERE e.event_type = 'purchase') AS spend
       FROM events e JOIN assigned a USING (user_id)
       GROUP BY 1, 2
@@ -1438,7 +1454,12 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH digits AS (
       SELECT CAST(substr(CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR),
                          1, 1) AS INT) AS d
-      FROM events WHERE value IS NOT NULL AND value * 100 >= 1
+      -- non-finite amounts have no leading digit: NaN passes the
+      -- >=1 filter under both engines' total order (NaN sorts
+      -- largest), then DuckDB's BIGINT cast aborts and Spark's
+      -- floor() maps NaN to digit 0 → ANSI 1/0 — exclude at the scan
+      FROM events WHERE value IS NOT NULL AND isfinite(value)
+        AND value * 100 >= 1
     ), counts AS (
       SELECT d, COUNT(*) AS c FROM digits GROUP BY d
     ), tot AS (SELECT SUM(c) AS n FROM counts)
@@ -1461,8 +1482,11 @@ def events_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-agg shuffle.",
 )
 def events_value_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # is_finite mirrors the oracle's isfinite(value) scan guard: a
+    # NaN amount passes *100>=1 under the engines' shared total order
+    # and then breaks digit extraction on both sides.
     ev = load_table(spark, sf_dir, "events").filter(
-        F.col("value").isNotNull() & (F.col("value") * 100 >= 1)
+        is_finite("value") & (F.col("value") * 100 >= 1)
     )
     digits = ev.select(
         F.substring(

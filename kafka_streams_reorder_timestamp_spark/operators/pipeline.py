@@ -464,7 +464,11 @@ def _sem_decon_dots() -> dict[str, str]:
     "decontaminate_semantic",
     oracle=f"""
     WITH e AS (
+      -- mirror _embeddings' round-13 scan contract: NULL vectors and
+      -- vectors with any non-finite component are quarantined
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), bench AS (
       SELECT vec_id AS probe_id, emb AS probe_emb FROM e WHERE vec_id < 16
     ), corpus AS (

@@ -48,15 +48,13 @@ def _money_sum(expr: F.Column, scale: int = 2) -> F.Column:
     "q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE      AS sum_qty,
-           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))), 2)::DOUBLE AS sum_base_price,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(25,6))), 2)::DOUBLE                 AS sum_disc_price,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                          AS DECIMAL(25,6))), 2)::DOUBLE                 AS sum_charge,
-           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4)      AS avg_qty,
-           ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4) AS avg_price,
-           ROUND(SUM(CAST(l_discount AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4)      AS avg_disc,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6))), 2)::DOUBLE      AS sum_qty,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_base_price,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6))), 2)::DOUBLE                 AS sum_disc_price,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount) * (1 + l_tax)) THEN l_extendedprice * (1 - l_discount) * (1 + l_tax) END AS DECIMAL(25,6))), 2)::DOUBLE                 AS sum_charge,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4)      AS avg_qty,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4) AS avg_price,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_discount) THEN l_discount END AS DECIMAL(25,6)))::DOUBLE / COUNT(*), 4)      AS avg_disc,
            COUNT(*)                                                     AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -88,8 +86,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_segment_revenue",
     oracle="""
     SELECT o.o_orderkey,
-           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount)) THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -133,8 +130,7 @@ def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_nation_revenue",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+           ROUND(SUM(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount)) THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
     FROM region r
       JOIN nation n   ON n.n_regionkey = r.r_regionkey
       JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -180,7 +176,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(25,6))), 2)::DOUBLE
+    SELECT ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice * l_discount) THEN l_extendedprice * l_discount END AS DECIMAL(25,6))), 2)::DOUBLE
              AS revenue,
            COUNT(*) AS n_items
     FROM lineitem
@@ -211,8 +207,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l.l_extendedprice * (1 - l.l_discount)) THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
            ROUND(c.c_acctbal, 2) AS acctbal,
            n.n_name
     FROM customer c
@@ -283,7 +278,7 @@ def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_customer_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+           ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(25,6)))
                    OVER (PARTITION BY o_custkey
                          ORDER BY o_orderdate, o_orderkey
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)::DOUBLE
@@ -357,7 +352,7 @@ def urgent_and_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
-           ROUND(SUM(CAST(l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty,
            COUNT(*) AS n_rows
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -462,7 +457,7 @@ def urgent_not_low_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
            COALESCE(o_orderstatus, 'ALL') AS status,
            COUNT(*) AS n_orders,
-           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))), 2)::DOUBLE AS total_price
+           ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(25,6))), 2)::DOUBLE AS total_price
     FROM orders
     GROUP BY CUBE (o_orderpriority, o_orderstatus)
     HAVING COUNT(*) > 0 -- align empty-input semantics with Spark's
@@ -518,7 +513,7 @@ def top10_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, n.n_name,
            COUNT(o.o_orderkey) AS n_orders,
-           ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))),
+           ROUND(COALESCE(SUM(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(25,6))),
                           0), 2)::DOUBLE AS total_spend
     FROM customer c
       LEFT JOIN orders o ON o.o_custkey = c.c_custkey
@@ -590,10 +585,10 @@ def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- DuckDB rounded.
       SELECT
         CAST(SUM(CASE WHEN p_type = 'PROMO'
-                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
+                 THEN CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6))
                  ELSE CAST(0 AS DECIMAL(25,6)) END) * 10000 AS BIGINT)
           AS promo_e4,
-        CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+        CAST(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6)))
              * 10000 AS BIGINT) AS total_e4
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1995-09-01' AND l_shipdate < DATE '1995-10-01'
@@ -656,8 +651,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            year(l_shipdate) AS l_year,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6))), 2)::DOUBLE AS revenue
     FROM supplier s
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -706,7 +700,7 @@ def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT year(o_orderdate) AS o_year,
-             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)) AS volume,
+             CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6)) AS volume,
              n2.n_name AS supp_nation
       FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
@@ -769,8 +763,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q9_product_profit",
     oracle="""
     SELECT n_name AS nation, year(l_shipdate) AS l_year,
-           ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))
-                     - CAST(p_retailprice * l_quantity * 0.5 AS DECIMAL(25,6))),
+           ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6))
+                     - CAST(CASE WHEN isfinite(p_retailprice * l_quantity * 0.5) THEN p_retailprice * l_quantity * 0.5 END AS DECIMAL(25,6))),
                  2)::DOUBLE AS profit
     FROM lineitem
       JOIN part ON p_partkey = l_partkey
@@ -810,8 +804,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
-                          AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
+    SELECT ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6))), 2)::DOUBLE AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.numeric import is_finite
 from ..functions.vectors import as_double, cosine, dot, l2_norm
 from ..sources.catalog import load_table
 from .registry import register
@@ -32,21 +33,28 @@ DIM = 64  # embeddings table vector width (schemas.EMBEDDINGS)
 
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the embeddings table with NULL vectors excluded.
+    """Load the embeddings table with NULL and non-finite vectors
+    excluded.
 
-    Contract (round 11, degenerate-input hardening): a NULL embedding
-    is not a point in the vector space — it cannot be hashed, bucketed,
-    normalized, or projected — so every similarity-family operator
-    excludes it at the scan (a pushed-down IS NOT NULL predicate, free
-    at any SF). The numpy paths in the Arrow-batched operators would
-    otherwise crash on np.asarray(None) mid-job. The current testdata
-    carries no NULL vectors, so the registered oracles scan `embeddings`
-    unfiltered and hashes are unchanged; if a future fixture adds NULL
-    vectors, parity fails loudly and the oracles take the same
-    one-line WHERE — tests/test_degenerate_inputs.py pins the engine
-    side of the contract."""
+    Contract (round 11, degenerate-input hardening; round 13,
+    adversarial values): a NULL embedding is not a point in the
+    vector space — it cannot be hashed, bucketed, normalized, or
+    projected — and neither is a vector carrying a NaN/±Inf
+    COMPONENT (the broken-encoder shape): one such coordinate
+    poisons every dot product through it, and the engines then
+    disagree — numpy applies IEEE comparisons (NaN > t → false)
+    where the SQL legs apply the NaN-largest total order (NaN > t →
+    true), so rankings and thresholds diverge row by row.  Both are
+    quarantined at the scan: IS NOT NULL pushes down to parquet; the
+    finiteness probe is one JVM-side EXISTS over the array (O(dim)
+    per row, no Python, no shuffle).  NULL *components* stay — they
+    drop out of sums NULL-semantically on both engines.  The oracles
+    carry the same two-clause WHERE (isfinite via list_filter);
+    current testdata is all-finite, so hashes are unchanged.
+    tests/test_adversarial_values.py pins both sides."""
     return load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda x: ~is_finite(x))
     )
 
 
@@ -111,11 +119,13 @@ def knn_brute_force(
     WITH probes AS (
       SELECT vec_id AS probe_id, embedding::DOUBLE[] AS probe_emb
       FROM embeddings WHERE vec_id < 5 AND embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), scored AS (
       SELECT p.probe_id, e.vec_id AS neighbor_id,
              list_cosine_similarity(e.embedding::DOUBLE[], p.probe_emb) AS c
       FROM embeddings e CROSS JOIN probes p
       WHERE e.vec_id <> p.probe_id AND e.embedding IS NOT NULL
+        AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
     )
     SELECT probe_id, neighbor_id, ROUND(c, 6) AS cos_sim,
            CAST(ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY c DESC, neighbor_id)
@@ -322,6 +332,7 @@ def ann_ivf_topk(
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), c AS (
       SELECT label,
              {", ".join(f"AVG(emb[{i}]) AS c{i}" for i in range(1, 65))}
@@ -417,6 +428,7 @@ def _lsh_bucket_cols(col: str) -> str:
       SELECT vec_id, embedding::DOUBLE[] AS emb,
              {_lsh_bucket_cols("(embedding::DOUBLE[])")}
       FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), p AS (
       SELECT vec_id AS probe_id, emb AS pemb,
              bk0 AS pb0, bk1 AS pb1, bk2 AS pb2, bk3 AS pb3,
@@ -474,6 +486,7 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(MAX(list_max(embedding::DOUBLE[])), 6) AS max_component,
            ROUND(MIN(list_min(embedding::DOUBLE[])), 6) AS min_component
     FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     GROUP BY label
     """,
     doc="Array-function scalar surface over embeddings: per-label L2 "
@@ -512,9 +525,11 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), cent AS (
       SELECT vec_id AS cid, embedding::DOUBLE[] AS cemb
       FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), scored AS (
       SELECT e.vec_id, c.cid,
              ROW_NUMBER() OVER (
@@ -574,6 +589,7 @@ def kmeans_assign_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e
       FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), scaled AS (
       SELECT vec_id, label,
              list_min(e) AS lo,
@@ -644,7 +660,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, d.dim,
              CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
       FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings
-            WHERE embedding IS NOT NULL),
+            WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
            (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
     ), lab AS (
       SELECT label, dim, SUM(v) AS s, COUNT(*) AS nv
@@ -787,6 +804,7 @@ def _pq_oracle() -> str:
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
       WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), subs AS (
       SELECT vec_id, m,
              list_slice(e, m * {_PQ_SUBDIM} + 1, m * {_PQ_SUBDIM} + {_PQ_SUBDIM}) AS sub
@@ -937,6 +955,8 @@ _SEMDEDUP_CENT_COS = (
 )
 _SEMDEDUP_CTES = f"""e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     ), corpus AS (
       SELECT vec_id, emb FROM e
       UNION ALL
@@ -1204,12 +1224,14 @@ _PCA_MOMENTS_ORACLE_SQL = f"""
       SELECT vec_id, d.dim AS dim,
              CAST(ROUND(e[d.dim] * 1000000, 0) AS BIGINT) AS v
       FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-            WHERE embedding IS NOT NULL),
+            WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0),
            (SELECT unnest(range(1, {DIM} + 1)) AS dim) d
     )
     SELECT 0 AS dim_i, 0 AS dim_j,
            COUNT(*)::DECIMAL(38,0)::VARCHAR AS moment
     FROM embeddings WHERE embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0
     -- On an empty/all-NULL corpus the engine's mapInPandas emits no
     -- partials at all (empty relation out), so the count arm must
     -- vanish too, not report '0' (round-12 degenerate gate).
@@ -1405,9 +1427,11 @@ def embedding_pca_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT e.vec_id,
                ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
                  (SELECT embedding::DOUBLE[] FROM embeddings
-                  WHERE vec_id = 0 AND embedding IS NOT NULL)), 6) AS c
+                  WHERE vec_id = 0 AND embedding IS NOT NULL
+        AND len(list_filter(embedding, x -> NOT isfinite(x))) = 0)), 6) AS c
         FROM embeddings e
         WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL
+        AND len(list_filter(e.embedding, x -> NOT isfinite(x))) = 0
       ) WHERE c IS NOT NULL QUALIFY r <= 50
     ), fused AS (
       SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,

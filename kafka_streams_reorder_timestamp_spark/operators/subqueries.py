@@ -148,7 +148,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) / 7.0, 2)::DOUBLE
+    SELECT ROUND(SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(25,6))) / 7.0, 2)::DOUBLE
              AS avg_yearly,
            COUNT(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
@@ -193,8 +193,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_custkey, o.o_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
-           ROUND(CAST(o.o_totalprice AS DECIMAL(25,6)), 2)::DOUBLE AS totalprice,
-           ROUND(SUM(CAST(l.l_quantity AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
+           ROUND(CAST(CASE WHEN isfinite(o.o_totalprice) THEN o.o_totalprice END AS DECIMAL(25,6)), 2)::DOUBLE AS totalprice,
+           ROUND(SUM(CAST(CASE WHEN isfinite(l.l_quantity) THEN l.l_quantity END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_qty
     FROM customer c
       JOIN orders o ON o.o_custkey = c.c_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -310,14 +310,14 @@ def q21_sole_failing_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_rich_customers",
     oracle="""
     WITH pos AS (
-      SELECT SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS total, COUNT(*) AS n
+      SELECT SUM(CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(25,6))) AS total, COUNT(*) AS n
       FROM customer WHERE c_acctbal > 0
     )
     SELECT c_mktsegment,
            COUNT(*) AS numcust,
-           ROUND(SUM(CAST(c_acctbal AS DECIMAL(25,6))), 2)::DOUBLE AS totacctbal
+           ROUND(SUM(CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(25,6))), 2)::DOUBLE AS totacctbal
     FROM customer, pos
-    WHERE CAST(c_acctbal AS DECIMAL(25,6)) * pos.n > pos.total
+    WHERE CAST(CASE WHEN isfinite(c_acctbal) THEN c_acctbal END AS DECIMAL(25,6)) * pos.n > pos.total
       AND NOT EXISTS (
         SELECT 1 FROM orders
         WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
@@ -367,8 +367,8 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH unit AS (
       SELECT l_partkey, l_suppkey,
-             SUM(CAST(l_extendedprice AS DECIMAL(25,6)))::DOUBLE
-               / SUM(CAST(l_quantity AS DECIMAL(25,6)))::DOUBLE AS unit_cost
+             SUM(CAST(CASE WHEN isfinite(l_extendedprice) THEN l_extendedprice END AS DECIMAL(25,6)))::DOUBLE
+               / SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6)))::DOUBLE AS unit_cost
       FROM lineitem GROUP BY 1, 2
     )
     SELECT p.p_partkey, s.s_name, n.n_name AS nation,
@@ -437,7 +437,7 @@ def q2_min_unitprice_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH val AS (
       SELECT l_partkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS v
+             SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6))) AS v
       FROM lineitem GROUP BY 1
     ), tot AS (SELECT SUM(v) AS t FROM val)
     SELECT l_partkey, ROUND(v, 2)::DOUBLE AS part_value
@@ -479,7 +479,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_heavy_blue_suppliers",
     oracle="""
     SELECT s_suppkey, s_name,
-           ROUND(CAST(s_acctbal AS DECIMAL(25,6)), 2)::DOUBLE AS acctbal
+           ROUND(CAST(CASE WHEN isfinite(s_acctbal) THEN s_acctbal END AS DECIMAL(25,6)), 2)::DOUBLE AS acctbal
     FROM supplier
     WHERE s_suppkey IN (
       SELECT l_suppkey FROM lineitem
@@ -487,7 +487,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
       )
       GROUP BY l_suppkey
-      HAVING SUM(CAST(l_quantity AS DECIMAL(25,6))) > 2200
+      HAVING SUM(CAST(CASE WHEN isfinite(l_quantity) THEN l_quantity END AS DECIMAL(25,6))) > 2200
     )
     """,
     doc="TPC-H Q20 shape: nested IN subqueries with an aggregate "
@@ -529,7 +529,7 @@ def q20_heavy_blue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey,
-             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6)))
+             SUM(CAST(CASE WHEN isfinite(l_extendedprice * (1 - l_discount)) THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(25,6)))
                AS total
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -45,8 +45,27 @@ STOPWORDS = {
 }
 
 
-def _stop_pat(lang: str) -> str:
-    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+def _count_stop(col: Column, lang: str) -> Column:
+    """Portable stopword count: explicit ASCII-token split + list
+    membership, NOT ``\\b(w1|w2|...)\\b``.  Java's ``\\b`` is
+    Unicode-aware — a combining mark or Arabic letter glued to an
+    ASCII token suppresses the boundary — while RE2's (DuckDB) is
+    ASCII-only, so the regex form diverges on adversarial unicode
+    (round-13 sweep).  The split form pins the token definition to
+    the same alnum class as WORD identically on both engines
+    (oracle mirror: ``_stop_sql``).  Split + higher-order filter
+    stay JVM-side; no Python in the hot path."""
+    toks = F.split(F.lower(col), "[^a-z0-9]+")
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def _stop_sql(expr: str, lang: str) -> str:
+    """DuckDB mirror of ``_count_stop`` for oracle SQL strings."""
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"len(list_filter(regexp_split_to_array(lower({expr}), "
+        f"'[^a-z0-9]+'), t -> t IN ({words})))"
+    )
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
@@ -92,7 +111,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              len(regexp_extract_all(text, '{WORD}')) AS n_tokens,
              len(regexp_extract_all(text, '{PUNCT}')) AS n_punct,
-             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b'))
+             {_stop_sql('text', 'en')}
                AS n_stop,
              n_chars
       FROM documents WHERE text IS NOT NULL
@@ -112,7 +131,7 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     n_tokens = _count_matches(F.col("text"), WORD)
     n_punct = _count_matches(F.col("text"), PUNCT)
-    n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
+    n_stop = _count_stop(F.col("text"), "en")
     punct_ratio = n_punct / F.greatest(F.col("n_chars"), F.lit(1))
     scored = d.select(
         "doc_id",
@@ -132,13 +151,13 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_language_id",
-    oracle="""
+    oracle=f"""
     WITH scored AS (
       SELECT lang,
-             len(regexp_extract_all(lower(text), '\\b(the|a|of|and|in|to|is)\\b')) AS s_en,
-             len(regexp_extract_all(lower(text), '\\b(el|la|de|los|que|por)\\b')) AS s_es,
-             len(regexp_extract_all(lower(text), '\\b(le|la|les|des|une|est)\\b')) AS s_fr,
-             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS s_de
+             {_stop_sql('text', 'en')} AS s_en,
+             {_stop_sql('text', 'es')} AS s_es,
+             {_stop_sql('text', 'fr')} AS s_fr,
+             {_stop_sql('text', 'de')} AS s_de
       FROM documents WHERE text IS NOT NULL
     ), pred AS (
       SELECT lang,
@@ -157,8 +176,7 @@ def text_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    low = F.lower(F.col("text"))
-    s = {k: _count_matches(low, _stop_pat(k)) for k in STOPWORDS}
+    s = {k: _count_stop(F.col("text"), k) for k in STOPWORDS}
     pred = (
         F.when(
             (s["en"] == 0) & (s["es"] == 0) & (s["fr"] == 0) & (s["de"] == 0),
@@ -1229,8 +1247,7 @@ def bpe_merges_local(
                AS n_alnum,
              len(regexp_extract_all(text, '{PUNCT}')) AS n_symbols,
              n_chars,
-             len(regexp_extract_all(lower(text),
-                 '\\b(the|a|of|and|in|to|is)\\b')) AS n_stop
+             {_stop_sql('text', 'en')} AS n_stop
       FROM documents WHERE text IS NOT NULL
     ), rules AS (
       SELECT doc_id, lang, n_words,
@@ -1270,7 +1287,7 @@ def docs_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_words = _count_matches(F.col("text"), WORD)
     n_alnum = F.length(F.regexp_replace(F.col("text"), NON_ALNUM, ""))
     n_symbols = _count_matches(F.col("text"), PUNCT)
-    n_stop = _count_matches(F.lower(F.col("text")), _stop_pat("en"))
+    n_stop = _count_stop(F.col("text"), "en")
     # greatest(..., 1) guards the division: ANSI mode evaluates the
     # projection eagerly, so a doc with zero word matches would raise
     # DIVIDE_BY_ZERO despite the ok_mwl (n_words > 0) conjunct.

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import finite
 from ..functions.skew import salted_join
 from ..sources.catalog import load_table
 from .registry import register
@@ -102,7 +103,7 @@ def events_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_trailing_90d_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER (
+           ROUND(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END AS DECIMAL(25,6))) OVER (
              PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate) // 1000000
              RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW), 2)::DOUBLE
              AS trailing_90d
@@ -225,7 +226,7 @@ def user_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id, user_id % 7 AS tier FROM events
     )
     SELECT d.tier, COUNT(*) AS n_events,
-           ROUND(SUM(CAST(e.value AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value
+           ROUND(SUM(CAST(CASE WHEN isfinite(e.value) THEN e.value END AS DECIMAL(25,6))), 2)::DOUBLE AS sum_value
     FROM events e JOIN dim d ON d.user_id = e.user_id
     GROUP BY d.tier
     """,
@@ -263,7 +264,8 @@ def skew_salted_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           ROUND(SUM(CAST(round(value * 100) AS BIGINT)
+           ROUND(SUM(CAST(round(CASE WHEN isfinite(value)
+                                     THEN value END * 100) AS BIGINT)
                      * CAST(POW(2, 20 - k) AS BIGINT))
                  / (100.0 * 1048576), 6) AS ema_value,
            COUNT(*) AS n_used
@@ -285,7 +287,7 @@ def user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").desc()
     )
     ranked = ev.withColumn("k", F.row_number().over(w)).filter(F.col("k") <= 20)
-    cents = F.round(F.col("value") * 100).cast("bigint")
+    cents = F.round(finite("value") * 100).cast("bigint")
     weight = F.pow(F.lit(2), F.lit(20) - F.col("k")).cast("bigint")
     return ranked.groupBy("user_id").agg(
         F.round(
