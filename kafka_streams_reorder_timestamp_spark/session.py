@@ -64,6 +64,16 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # PySpark's DataFrame-debugging wrapper captures the Python
+        # call site on EVERY DataFrame/Column API call (getActiveSession
+        # + conf.get + JVM origin set/clear ≈ 4 extra py4j round trips
+        # per call). Plan construction runs inside every timed query, so
+        # this is pure driver overhead in the hot path; disabling it
+        # halves builder time on the expression-heavy queries (measured
+        # r13: quality_classifier_scores builder ×5: 6.04s → 3.22s).
+        # Cost: error messages lose the Python call-site line — the
+        # JVM-side error class/context is unaffected.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
