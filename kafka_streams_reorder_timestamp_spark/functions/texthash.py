@@ -231,7 +231,15 @@ def minhash_features(
             shingles.append(h.tolist())
         return pd.DataFrame({"buckets": buckets, "shingles": shingles})
 
-    return _feats(text)
+    # asNondeterministic (guide §4.4): callers filter on the UDF output
+    # (buckets IS NOT NULL), and Catalyst pushes such a filter below the
+    # pre-widen repartition by DUPLICATING the UDF — the r13 before-plans
+    # show a second full-corpus ArrowEvalPython evaluated single-task
+    # under the exchange purely to feed the pushed filter. The function
+    # is pure; the flag only forbids the optimizer from duplicating or
+    # reordering it, so results are unchanged and the signature pass
+    # runs exactly once.
+    return _feats.asNondeterministic()(text)
 
 
 def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
@@ -249,7 +257,8 @@ def shingle_hashes(text: Column, shingle_n: int = 3) -> Column:
             ]
         )
 
-    return _hashes(text)
+    # Same §4.4 duplication guard as minhash_features (pure function).
+    return _hashes.asNondeterministic()(text)
 
 
 def shingle_hashes64(text: Column, shingle_n: int = 3) -> Column:
@@ -275,4 +284,8 @@ def shingle_hashes64(text: Column, shingle_n: int = 3) -> Column:
             ]
         )
 
-    return _hashes(text)
+    # Same §4.4 duplication guard as minhash_features (pure function):
+    # the AllPairs operators filter on size(sh) > 0, and the pushed
+    # filter otherwise re-evaluates this pass single-task under the
+    # widen exchange inside the persisted subtree.
+    return _hashes.asNondeterministic()(text)

@@ -349,7 +349,11 @@ def phash64(payload_col: str = "payload"):
             out.append(v - (1 << 64) if v >= (1 << 63) else v)
         return pd.Series(out, dtype="object")
 
-    return _phash(F.col(payload_col))
+    # asNondeterministic (guide §4.4): media_phash_neardup filters on
+    # _sig IS NOT NULL; without the flag the pushed filter re-evaluates
+    # the pooling pass (and the _bump perturbation under it) a second
+    # time below the widen exchange. Pure function; results unchanged.
+    return _phash.asNondeterministic()(F.col(payload_col))
 
 
 @register(

@@ -92,7 +92,12 @@ def simhash64(text: Column) -> Column:
             out.append(int(sig.astype(np.int64)))  # reinterpret as signed
         return pd.Series(out, dtype="object")
 
-    return _simhash(text)
+    # asNondeterministic (guide §4.4): simhash_near_dups filters on
+    # _sig IS NOT NULL, and Catalyst pushed that filter below the widen
+    # repartition by duplicating the UDF — the r13 before-plan ran the
+    # signature pass TWICE, once single-task under the exchange. The
+    # function is pure; the flag only stops the duplication.
+    return _simhash.asNondeterministic()(text)
 
 
 def simhash_near_dups(
