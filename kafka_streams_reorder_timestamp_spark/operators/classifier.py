@@ -137,6 +137,51 @@ def _doc_features(lab: DataFrame) -> DataFrame:
     return lab.select("doc_id", "y", F.explode(buckets).alias("bucket"))
 
 
+def _labeled_buckets(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, y, bs): weak label + the document's DISTINCT
+    hashed feature buckets, computed in ONE cached pass.
+
+    r13 optimization (guide §1.2/§5): the previous shape cached
+    (doc_id, t, y) and derived the md5 gram buckets downstream, so the
+    hashing (~0.85 s single-task at sf0.1) re-ran once per consumer —
+    twice per train-and-score query (training explode + scoring
+    explode). Hashing in the cached projection runs it exactly once,
+    and the cache payload shrinks from token strings to int arrays.
+    The pre-widen repartition parallelizes the regex label panel + the
+    md5 pass across the session's cores — the local one-row-group scan
+    is single-task (SCALE.md "Scan parallelism note") and now carries
+    the md5 work, which flips the round-7 "widening is neutral"
+    measurement (that predates buckets-in-cache); on production
+    layouts the input already has >= cores partitions and the guard is
+    a no-op. `extra` rides through for the same no-doc_id-join reason
+    as before."""
+    from pyspark import StorageLevel
+
+    from ..functions.texthash import tokens
+
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    lab = d.select(
+        "doc_id",
+        *extra,
+        tokens(F.col("text")).alias("t"),
+        _gopher_keep(d).cast("int").alias("y"),
+    )
+    return lab.select(
+        "doc_id",
+        *extra,
+        "y",
+        F.array_distinct(F.transform(_gram_array(), _bucket)).alias("bs"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def _feat(fb: DataFrame) -> DataFrame:
+    """(doc_id, y, bucket): the training explode off the bucketed
+    cache — identical rows to `_doc_features(lab)`, md5 already paid."""
+    return fb.select("doc_id", "y", F.explode("bs").alias("bucket"))
+
+
 def _weights(feat: DataFrame, totals: DataFrame) -> DataFrame:
     """(bucket, n_keep_docs, n_drop_docs, weight, weight_absent):
     Laplace-smoothed Bernoulli-NB log-odds of feature PRESENCE and
@@ -267,8 +312,8 @@ _ORACLE_MODEL = f"""{_ORACLE_FEAT}, prior AS (
 )
 def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    lab = _labeled_toks(d)
-    return _weights(_doc_features(lab), _totals(lab))
+    fb = _labeled_buckets(d)
+    return _weights(_feat(fb), _totals(fb))
 
 
 @register(
@@ -321,11 +366,15 @@ def _scores_frame(d: DataFrame, extra: tuple = ()) -> DataFrame:
     DECIMAL so downstream thresholds (corpus_curation_pipeline's model
     stage) compare the same value the oracle computes. `extra` columns
     ride through the labeled scan so rollup consumers (confusion,
-    drift) skip a corpus-granularity doc_id join."""
-    lab = _labeled_toks(d, extra)
-    totals = _totals(lab)
-    w = _weights(_doc_features(lab), totals)
-    return apply_quality_model(lab, w, totals, extra)
+    drift) skip a corpus-granularity doc_id join.
+
+    r13: built on the bucketed cache (`_labeled_buckets`) and the
+    join-free scoring shape (`_apply_model_fb`) — one md5 feature pass
+    instead of two, and no doc-granularity reassembly SortMergeJoin."""
+    fb = _labeled_buckets(d, extra)
+    totals = _totals(fb)
+    w = _weights(_feat(fb), totals)
+    return _apply_model_fb(fb, w, totals, extra)
 
 
 def apply_quality_model(
@@ -401,6 +450,86 @@ def apply_quality_model(
                 "logit_dec"
             ),
             "weak_label",
+        )
+    )
+
+
+def _apply_model_fb(
+    fb: DataFrame, w: DataFrame, totals: DataFrame, extra: tuple = ()
+) -> DataFrame:
+    """`apply_quality_model` over the bucketed cache, WITHOUT the
+    doc-granularity reassembly join (r13, guide §2.4).
+
+    The previous shape aggregated feature rows per doc and then
+    LEFT-JOINED the per-doc sums back onto the labeled frame so docs
+    with zero features kept a row — a SortMergeJoin on doc_id costing
+    two exchanges + two sorts at corpus granularity. Here explode_outer
+    carries (doc_id, *extra, y) through the feature rows, so the
+    per-doc sums and the final frame are ONE groupBy (a single
+    doc_id-grain exchange). A zero-feature doc survives as its single
+    null-bucket row: count("bucket") skips it (n_features 0), both
+    conditional sums leave it NULL (coalesced to the same defaults the
+    left join produced), and the weight join cannot match a NULL
+    bucket — bit-identical to the join shape, one shuffle cheaper.
+    Every model expression (prior, oov, absent_sum, the per-row
+    DECIMAL arithmetic) is byte-identical to `apply_quality_model`."""
+    prior = totals.select(
+        F.round(
+            F.log((F.col("n_k") + ALPHA) * F.lit(1.0) / (F.col("n_d") + ALPHA)), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("p")
+    )
+    oov = totals.select(
+        F.round(
+            F.log(ALPHA * F.lit(1.0) / (F.col("n_k") + 2 * ALPHA))
+            - F.log(ALPHA * F.lit(1.0) / (F.col("n_d") + 2 * ALPHA)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w_oov")
+    )
+    absent_sum = w.agg(
+        F.sum(F.col("weight_absent").cast("decimal(18,6)")).alias("c")
+    )
+    known = F.col("weight").isNotNull()
+    feat_all = fb.select(
+        "doc_id", *extra, "y", F.explode_outer("bs").alias("bucket")
+    )
+    doc_sums = (
+        feat_all.join(
+            F.broadcast(w.select("bucket", "weight", "weight_absent")),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(oov))
+        .groupBy("doc_id", *extra, "y")
+        .agg(
+            F.count("bucket").alias("n_features"),
+            F.sum(
+                F.when(known, 1).when(F.col("bucket").isNotNull(), 0)
+            ).alias("n_known"),
+            F.sum(
+                F.when(
+                    known,
+                    F.col("weight").cast("decimal(18,6)")
+                    - F.col("weight_absent").cast("decimal(18,6)"),
+                ).when(F.col("bucket").isNotNull(), F.col("w_oov"))
+            ).alias("s"),
+        )
+    )
+    return (
+        doc_sums.crossJoin(F.broadcast(prior))
+        .crossJoin(F.broadcast(absent_sum))
+        .select(
+            "doc_id",
+            *extra,
+            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
+            F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
+            (F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")).alias(
+                "logit_dec"
+            ),
+            F.col("y").alias("weak_label"),
         )
     )
 
@@ -738,69 +867,19 @@ def _incremental_batch_scores(d: DataFrame, extra: tuple = ()) -> DataFrame:
     shared subplan behind quality_classifier_incremental (per-doc
     serving) and quality_model_drift (the per-source monitoring
     rollup, which passes extra=('source',) so the rollup never joins
-    back on doc_id)."""
-    lab = _labeled_toks(d, extra)
-    train = lab.filter(F.col("doc_id") < CORPUS_MAX_ID)
-    batch = lab.filter(F.col("doc_id") >= CORPUS_MAX_ID)
+    back on doc_id).
+
+    r13: bucketed cache + join-free scoring — the previous tail (oov /
+    prior / absent_sum / bsums / batch reassembly left-join) was
+    expression-for-expression `apply_quality_model(batch, w, ttotals)`,
+    so it now delegates to `_apply_model_fb` and inherits the one-pass
+    md5 and the removed doc_id SortMergeJoin."""
+    fb = _labeled_buckets(d, extra)
+    train = fb.filter(F.col("doc_id") < CORPUS_MAX_ID)
+    batch = fb.filter(F.col("doc_id") >= CORPUS_MAX_ID)
     ttotals = _totals(train)
-    w = _weights(_doc_features(train), ttotals)
-    oov = ttotals.select(
-        F.round(
-            F.log(ALPHA * F.lit(1.0) / (F.col("n_k") + 2 * ALPHA))
-            - F.log(ALPHA * F.lit(1.0) / (F.col("n_d") + 2 * ALPHA)),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("w_oov")
-    )
-    prior = ttotals.select(
-        F.round(
-            F.log((F.col("n_k") + ALPHA) * F.lit(1.0) / (F.col("n_d") + ALPHA)),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("p")
-    )
-    absent_sum = w.agg(
-        F.sum(F.col("weight_absent").cast("decimal(18,6)")).alias("c")
-    )
-    known = F.col("weight").isNotNull()
-    bsums = (
-        _doc_features(batch)
-        .join(
-            F.broadcast(w.select("bucket", "weight", "weight_absent")),
-            "bucket",
-            "left",
-        )
-        .crossJoin(F.broadcast(oov))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum(F.when(known, 1).otherwise(0)).alias("n_known"),
-            F.sum(
-                F.when(
-                    known,
-                    F.col("weight").cast("decimal(18,6)")
-                    - F.col("weight_absent").cast("decimal(18,6)"),
-                ).otherwise(F.col("w_oov"))
-            ).alias("s"),
-        )
-    )
-    logit_dec = F.coalesce(F.col("s"), F.lit(0)) + F.col("p") + F.col("c")
-    return (
-        batch.select("doc_id", *extra, F.col("y").alias("weak_label"))
-        .join(bsums, "doc_id", "left")
-        .crossJoin(F.broadcast(prior))
-        .crossJoin(F.broadcast(absent_sum))
-        .select(
-            "doc_id",
-            *extra,
-            F.coalesce(F.col("n_features"), F.lit(0)).alias("n_features"),
-            F.coalesce(F.col("n_known"), F.lit(0)).alias("n_known"),
-            logit_dec.alias("logit_dec"),
-            "weak_label",
-        )
-    )
+    w = _weights(_feat(train), ttotals)
+    return _apply_model_fb(batch, w, ttotals, extra)
 
 
 @register(

@@ -239,9 +239,13 @@ def test_curation_pipeline_corpus_exchanges_pinned(spark, sf_dir):
 def test_classifier_rollups_carry_source_without_extra_join(spark, sf_dir):
     """The monitoring rollups (confusion, drift) must get `source` by
     riding it THROUGH the labeled scan, not by joining back to
-    documents on doc_id: exactly 2 doc_id-keyed exchanges (the
-    inherent labeled-vs-per-doc-sums join), not 3+. At corpus scale
-    the dropped join is a whole extra shuffle of the corpus."""
+    documents on doc_id — and since r13's join-free scoring shape
+    (`_apply_model_fb`: explode_outer carries doc_id/source/y through
+    the feature rows) the ONLY doc-granularity exchange left is the
+    per-doc-sums groupBy itself. Exactly 1 doc_id-keyed exchange: a
+    second one would mean the reassembly join crept back; a
+    doc_id-join to documents would make it 3+. At corpus scale each
+    extra exchange is a whole shuffle of the corpus."""
     from kafka_streams_reorder_timestamp_spark.operators.classifier import (
         quality_classifier_confusion,
         quality_model_drift,
@@ -250,7 +254,7 @@ def test_classifier_rollups_carry_source_without_extra_join(spark, sf_dir):
     for q in (quality_classifier_confusion, quality_model_drift):
         keys = plans.exchange_partition_keys(q(spark, sf_dir))
         n_doc = sum(1 for k in keys if "doc_id" in k)
-        assert n_doc == 2, (q.__name__, keys)
+        assert n_doc == 1, (q.__name__, keys)
 
 
 def test_runtime_bloom_filter_injection_available(spark, sf_dir):
