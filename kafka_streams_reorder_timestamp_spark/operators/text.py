@@ -69,8 +69,13 @@ def _stop_sql(expr: str, lang: str) -> str:
 
 
 def _count_matches(col: Column, pattern: str) -> Column:
-    # idx=0 → whole match; Spark's default idx=1 requires a group.
-    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0))
+    # regexp_count (r13): same non-overlapping successive-match count
+    # as size(regexp_extract_all(col, pattern, 0)) — both drive one
+    # java.util.regex matcher over the string and NULL in → NULL out —
+    # but without materializing the array of every matched substring,
+    # which for the WORD pattern allocated one string per token of
+    # every document purely to be counted (guide §1.2 per-task work).
+    return F.regexp_count(col, F.lit(pattern))
 
 
 @register(
