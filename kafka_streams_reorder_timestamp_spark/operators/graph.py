@@ -59,9 +59,18 @@ def connected_components(
     per session and is warmed by bench.py's warm-up CC instead.
     """
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the pair plan BEFORE symmetrizing (r13): the two
+    # union branches (forward + swapped) each embed the full pair-
+    # generation subtree, and exchange reuse only dedupes up to its
+    # last exchange — the candidate join / exact-verification work
+    # above it executed TWICE in the old single checkpoint (measured:
+    # the sym materialization cost ~2x the post-exchange pair work at
+    # sf0.1). Checkpointing the directed pairs first makes the
+    # symmetrized checkpoint a cheap scan of cached partitions.
+    e = e.localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    # Materialize the (small) edge list once: the corpus-side plan that
-    # produced the pairs must not re-execute every round.
+    # Materialize the (small) edge list once: rounds must re-read one
+    # flat table, not a union of two scans.
     sym = sym.localCheckpoint(eager=True)
 
     # Seed = identity init + the first neighbor-min FUSED into one agg:
@@ -78,13 +87,22 @@ def connected_components(
 
     for _ in range(max_iter):
         # Neighbor-min: the smallest label among self and all neighbors.
+        # The self branch is tagged (o=true) so the previous label rides
+        # through the aggregation as min(when(o, label)) — each id has
+        # exactly one self row — replacing the old-labels equi-join the
+        # convergence flag used to pay per round (r13: one fewer
+        # label-table shuffle+join every iteration).
         nbr = sym.join(labels, sym["b"] == labels["id"]).select(
-            sym["a"].alias("id"), labels["label"]
+            sym["a"].alias("id"), labels["label"], F.lit(False).alias("o")
         )
         new = (
-            labels.unionByName(nbr)
+            labels.select("id", "label", F.lit(True).alias("o"))
+            .unionByName(nbr)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.min(F.when(F.col("o"), F.col("label"))).alias("old"),
+            )
         )
         # Pointer jump: label <- label(label). Labels are always node
         # ids, so every label resolves in the label table itself. The
@@ -94,10 +112,10 @@ def connected_components(
         l2 = new.select(F.col("id").alias("pid"), F.col("label").alias("plabel"))
         jumped = (
             new.join(l2, new["label"] == l2["pid"])
-            .select("id", F.col("plabel").alias("label"))
-            .join(labels.select("id", F.col("label").alias("old")), "id")
             .select(
-                "id", "label", (F.col("label") != F.col("old")).alias("chg")
+                "id",
+                F.col("plabel").alias("label"),
+                (F.col("plabel") != F.col("old")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
