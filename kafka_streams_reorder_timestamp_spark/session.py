@@ -63,6 +63,19 @@ def get_spark(
         # no nanos timestamp, so read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer hash joins over sort-merge when the per-partition build
+        # side fits (guide §3.1/§9): skips both sort passes. The AQE
+        # threshold lets sort-merge plans rewrite to shuffled-hash at
+        # runtime from REAL partition sizes (safe: AQE only converts
+        # when every build partition is under the cap, and AQE skew
+        # splitting still applies to SHJ). 64 MB per partition matches
+        # the broadcast threshold; scale deployments tune it with
+        # executor memory (conf here, not hard-coded in operators).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.ui.enabled", "false")
         # PySpark's DataFrame-debugging wrapper captures the Python
         # call site on EVERY DataFrame/Column API call (getActiveSession
