@@ -39,6 +39,7 @@ def main() -> int:
     )
     os.makedirs(out_dir, exist_ok=True)
     n_ok = 0
+    n_failed = 0
     for name, builder in registry.all_queries().items():
         if only and name not in only:
             continue
@@ -46,14 +47,17 @@ def main() -> int:
         try:
             df = builder(spark, sf_dir)
             text = df._jdf.queryExecution().explainString(mode)
+            n_ok += 1
         except Exception as e:  # keep dumping the rest
             text = f"EXPLAIN FAILED: {type(e).__name__}: {e}"
             print(f"dump_plans: {name} FAILED: {e}", file=sys.stderr)
+            n_failed += 1
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(text)
-        n_ok += 1
-    print(f"dumped {n_ok} plans to {out_dir} (suffix={suffix})")
-    return 0
+    print(
+        f"dumped {n_ok} ok, {n_failed} failed to {out_dir} (suffix={suffix})"
+    )
+    return 0 if n_failed == 0 else 1
 
 
 if __name__ == "__main__":
