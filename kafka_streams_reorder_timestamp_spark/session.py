@@ -77,6 +77,18 @@ def get_spark(
             str(64 * 1024 * 1024),
         )
         .config("spark.ui.enabled", "false")
+        # Pin BLAS/OpenMP to one thread per Python worker (guide §4):
+        # Spark already supplies the parallelism as one task per core,
+        # so a numpy matmul inside applyInPandas/mapInPandas that
+        # spawns a cores-wide OpenBLAS pool oversubscribes the machine
+        # by ~cores x concurrent-tasks (r13 driver bench: semdedup's
+        # 8 concurrent block-matmul tasks each spinning a 32-thread
+        # pool made it 2.7x SLOWER on 32 cores than on 8). The per-
+        # task matrices here (and per-partition blocks at scale) are
+        # far below the size where multi-threaded BLAS wins anyway.
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         # PySpark's DataFrame-debugging wrapper captures the Python
         # call site on EVERY DataFrame/Column API call (getActiveSession
         # + conf.get + JVM origin set/clear ≈ 4 extra py4j round trips
