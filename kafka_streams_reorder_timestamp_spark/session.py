@@ -63,15 +63,16 @@ def get_spark(
         # no nanos timestamp, so read as long and convert in the catalog.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Prefer hash joins over sort-merge when the per-partition build
-        # side fits (guide §3.1/§9): skips both sort passes. The AQE
-        # threshold lets sort-merge plans rewrite to shuffled-hash at
-        # runtime from REAL partition sizes (safe: AQE only converts
-        # when every build partition is under the cap, and AQE skew
-        # splitting still applies to SHJ). 64 MB per partition matches
-        # the broadcast threshold; scale deployments tune it with
-        # executor memory (conf here, not hard-coded in operators).
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # SMJ -> shuffled-hash conversion is left to AQE ONLY (guide
+        # §3.1): the runtime threshold converts from REAL post-shuffle
+        # partition sizes, so a build side never exceeds the cap, and
+        # AQE skew splitting still applies. The r13 snapshot also
+        # shipped the static spark.sql.join.preferSortMergeJoin=false,
+        # which picks SHJ from pre-runtime ESTIMATES — an executor-OOM
+        # risk at scale (SHJ build does not spill) — and measured
+        # SLOWER (r13 BENCH_AB median 1.095x over the join-heavy set;
+        # r14 revert A/B confirms). Reverted to the default (true);
+        # only the AQE runtime conversion below remains.
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             str(64 * 1024 * 1024),
