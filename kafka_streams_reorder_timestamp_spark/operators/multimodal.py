@@ -451,7 +451,16 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_media(docs)
+    # Pre-filter on the DETERMINISTIC payload length, not on the UDF
+    # output: phash64 is nondeterministic-marked (no duplicate UDF
+    # eval, guide §4.4), which also stops the `_sig IS NOT NULL`
+    # filter from pushing below the pre-widen exchange — so the
+    # null/empty rows it used to drop early were crossing the shuffle
+    # (r13 driver bench: 0.84x). length(payload) > 0 is exactly the
+    # rows where _phash returns non-NULL (and _bump preserves both
+    # NULL and length, so filtering before the perturbation keeps the
+    # same perturbed set) — identical output, pushable filter.
+    media = synthesize_media(docs).filter(F.length("payload") > 0)
 
     @pandas_udf(T.BinaryType())
     def _bump(payloads: pd.Series) -> pd.Series:
