@@ -168,6 +168,10 @@ def _labeled_buckets(d: DataFrame, extra: tuple = ()) -> DataFrame:
         tokens(F.col("text")).alias("t"),
         _gopher_keep(d).cast("int").alias("y"),
     )
+    # Persist stays LAZY here: single-fan-out consumers (the weights
+    # query trains once off this frame) pay nothing extra. The
+    # scoring paths, whose broadcast subqueries convoy on a lazy
+    # cache, materialize it eagerly themselves (see _scores_frame).
     return lab.select(
         "doc_id",
         *extra,
@@ -372,9 +376,31 @@ def _scores_frame(d: DataFrame, extra: tuple = ()) -> DataFrame:
     join-free scoring shape (`_apply_model_fb`) — one md5 feature pass
     instead of two, and no doc-granularity reassembly SortMergeJoin."""
     fb = _labeled_buckets(d, extra)
-    totals = _totals(fb)
-    w = _weights(_feat(fb), totals)
+    totals, w = _train_model(fb)
     return _apply_model_fb(fb, w, totals, extra)
+
+
+def _train_model(fb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Fit (totals, w) off the bucketed cache and MATERIALIZE both
+    (r14, guide §2.4/§2.6): the scoring plan hangs several broadcast
+    subqueries off these two tiny tables (prior, oov, absent_sum, the
+    weight join), and Spark launches those jobs concurrently. Left
+    lazy, every consumer re-executed the corpus-scale subtree under
+    them — the weights explode+agg ran TWICE per scoring query (two
+    identical 377KB exchange writes in the r14 diag of
+    quality_classifier_confusion) — and the racing jobs then convoyed
+    on the shared fb cache's block locks while holding task threads
+    (measured at 32 cores: sum executorRunTime 135s vs 17s CPU before;
+    56s/28s after — the driver's r13 8c-faster-than-32c scaling
+    inversions on this family are this convoy). The totals count also
+    populates the fb cache itself, so the fan-out starts from fully
+    warm cached tables; each duplicate subtree was a full corpus pass
+    at 100 TB."""
+    totals = _totals(fb).persist()
+    totals.count()
+    w = _weights(_feat(fb), totals).persist()
+    w.count()
+    return totals, w
 
 
 def apply_quality_model(
@@ -877,8 +903,9 @@ def _incremental_batch_scores(d: DataFrame, extra: tuple = ()) -> DataFrame:
     fb = _labeled_buckets(d, extra)
     train = fb.filter(F.col("doc_id") < CORPUS_MAX_ID)
     batch = fb.filter(F.col("doc_id") >= CORPUS_MAX_ID)
-    ttotals = _totals(train)
-    w = _weights(_feat(train), ttotals)
+    # Same eager-tiny-tables shape as _scores_frame (see _train_model):
+    # ttotals/w feed several concurrent broadcast subqueries.
+    ttotals, w = _train_model(train)
     return _apply_model_fb(batch, w, ttotals, extra)
 
 
