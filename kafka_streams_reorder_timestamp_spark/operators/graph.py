@@ -103,6 +103,16 @@ def connected_components(
                 F.min("label").alias("label"),
                 F.min(F.when(F.col("o"), F.col("label"))).alias("old"),
             )
+            # Materialize BEFORE the pointer-jump self-join (r14): the
+            # join reads `new` on two different keys (label vs id), so
+            # neither side can reuse the other's exchange and the whole
+            # neighbor-min aggregation executed TWICE per round — the
+            # r14 stage diag showed identical exchange-write stage
+            # pairs (166KB each on dedup_clusters_sampled) in
+            # concurrent broadcast futures. One eager checkpoint makes
+            # both join sides scan cached label rows; at scale the agg
+            # input is |edges|+|labels|, the dominant per-round cost.
+            .localCheckpoint(eager=True)
         )
         # Pointer jump: label <- label(label). Labels are always node
         # ids, so every label resolves in the label table itself. The
