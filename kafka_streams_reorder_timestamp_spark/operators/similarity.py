@@ -1015,7 +1015,24 @@ _SEMDEDUP_PAIRS_SQL = f"""
     "20 planted perturbed copies (ids +1e9) so recall is provable per "
     "round.",
 )
-def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def semdedup_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    n_centroids: int = 8,
+    bucket_cap: int = 4096,
+    max_salt: int = 16,
+) -> DataFrame:
+    """`n_centroids` is the IVF codebook size: a deployment sizes it
+    ~sqrt(N) so buckets stay executor-sized (the registered query keeps
+    the default 8 — changing it changes which pairs share a bucket, so
+    the oracle pins the default). `bucket_cap`/`max_salt` bound the
+    per-task O(bucket^2) matmul WITHOUT changing results: buckets
+    larger than the cap split by a deterministic salt and self-join on
+    the triangle grid of salt pairs (the blocked_jaccard_pairs skew
+    guard), so one fat Voronoi cell never becomes one executor-sized
+    task. At the driver SFs every bucket is far below the cap and the
+    grid degenerates to the single cell (0,0) — bit-identical to the
+    unsalted path."""
     threshold = 0.95
 
     out_schema = T.StructType(
@@ -1028,19 +1045,50 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def block(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        m = np.stack(pdf["emb"].to_numpy()).astype("float64")
-        mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
-        cos = mn @ mn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= threshold
+        cid, i, j = int(key[0]), int(key[1]), int(key[2])
+        if i == j:
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["emb"].to_numpy()).astype("float64")
+            mn = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+            cos = mn @ mn.T
+            ia, ib = np.triu_indices(len(ids), k=1)
+            keep = cos[ia, ib] >= threshold
+            va, vb = ids[ia[keep]], ids[ib[keep]]
+            cs = cos[ia[keep], ib[keep]]
+        else:
+            # Cross cell (i, j), i < j: every unordered pair whose salts
+            # are {i, j} meets here exactly once. Rectangular matmul of
+            # the two normalized sides; per-pair cosine is the same
+            # length-DIM dot product as the square path.
+            a = pdf[pdf["_u"] == i].sort_values("vec_id")
+            b = pdf[pdf["_u"] == j].sort_values("vec_id")
+            aid, bid = a["vec_id"].to_numpy(), b["vec_id"].to_numpy()
+            if len(aid) == 0 or len(bid) == 0:
+                ka = np.zeros(0, dtype="int64")
+                return pd.DataFrame(
+                    {
+                        "cluster_id": ka,
+                        "vec_a": ka,
+                        "vec_b": ka,
+                        "cos_sim": np.zeros(0, dtype="float64"),
+                    }
+                )
+            ma = np.stack(a["emb"].to_numpy()).astype("float64")
+            mb = np.stack(b["emb"].to_numpy()).astype("float64")
+            man = ma / np.sqrt((ma * ma).sum(axis=1, keepdims=True))
+            mbn = mb / np.sqrt((mb * mb).sum(axis=1, keepdims=True))
+            cos = man @ mbn.T
+            ia, ib = np.nonzero(cos >= threshold)
+            xa, xb = aid[ia], bid[ib]
+            va, vb = np.minimum(xa, xb), np.maximum(xa, xb)
+            cs = cos[ia, ib]
         return pd.DataFrame(
             {
-                "cluster_id": np.full(int(keep.sum()), key[0], dtype="int64"),
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "cos_sim": np.round(cos[ia[keep], ib[keep]], 6),
+                "cluster_id": np.full(len(va), cid, dtype="int64"),
+                "vec_a": va,
+                "vec_b": vb,
+                "cos_sim": np.round(cs, 6),
             }
         )
 
@@ -1049,7 +1097,7 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = _planted_embeddings(e).withColumn("_n", l2_norm("emb", dim=DIM))
     cent = (
-        e.filter(F.col("vec_id") < 8)
+        e.filter(F.col("vec_id") < n_centroids)
         .select(F.col("vec_id").alias("cid"), F.col("emb").alias("cemb"))
         .withColumn("_cn", l2_norm("cemb", dim=DIM))
     )
@@ -1077,7 +1125,56 @@ def semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "emb", F.explode("top2").alias("t"))
         .select("vec_id", "emb", (-F.col("t.nc")).alias("cid"))
     )
-    pairs = assigned.groupBy("cid").applyInPandas(block, schema=out_schema)
+    # Skew/size guard for the per-bucket matmul (r14): per-cid counts
+    # (one tiny agg, k rows, broadcast back) derive each bucket's salt
+    # count S = ceil(n/cap) capped at max_salt; rows replicate to the
+    # triangle-grid cells (min(u,t), max(u,t)) so every unordered
+    # in-bucket pair meets in exactly one cell and the O(bucket^2)
+    # work spreads over S(S+1)/2 bounded tasks. S=1 below the cap —
+    # the grid is then the single (0,0) cell per cid, the same rows
+    # through the same square-matmul path as before.
+    # The bucket-size probe and the grid both consume the assignment;
+    # materialize it once or the crossJoin+agg subtree runs twice.
+    assigned = assigned.localCheckpoint(eager=True)
+    counts = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("_bn"))
+    salted = (
+        assigned.join(F.broadcast(counts), "cid")
+        .withColumn(
+            "_s",
+            F.least(
+                F.lit(max_salt),
+                F.ceil(F.col("_bn") / F.lit(bucket_cap)).cast("int"),
+            ),
+        )
+        .withColumn(
+            "_u", F.pmod(F.xxhash64("vec_id"), F.col("_s")).cast("int")
+        )
+    )
+    grid = salted.select(
+        "cid",
+        "vec_id",
+        "emb",
+        "_u",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_s") - 1),
+                lambda t: F.struct(
+                    F.least(F.col("_u"), t).alias("i"),
+                    F.greatest(F.col("_u"), t).alias("j"),
+                ),
+            )
+        ).alias("c"),
+    ).select(
+        "cid",
+        "vec_id",
+        "emb",
+        "_u",
+        F.col("c.i").alias("_i"),
+        F.col("c.j").alias("_j"),
+    )
+    pairs = grid.groupBy("cid", "_i", "_j").applyInPandas(
+        block, schema=out_schema
+    )
     # A pair found in both of its shared probe buckets appears twice —
     # collapse to one row (cos_sim is identical, cluster_id -> lowest).
     return (

@@ -567,6 +567,29 @@ def test_semdedup_planted_pairs_recovered(spark, sf_dir):
     assert (pdf.cos_sim >= 0.95).all()
 
 
+def test_semdedup_salted_grid_identical_to_unsalted(spark, sf_dir):
+    """The r14 bucket-size guard (triangle-grid salting of oversized
+    centroid buckets, mirroring blocked_jaccard_pairs) must be
+    result-invariant: forcing every bucket over the cap exercises both
+    the diagonal (i==j square matmul) and cross (i<j rectangular
+    matmul) cells, and the pair set + rounded cosines must equal the
+    unsalted path bit-for-bit."""
+    from kafka_streams_reorder_timestamp_spark.operators.similarity import (
+        semdedup_pairs,
+    )
+
+    base = sorted(map(tuple, semdedup_pairs(spark, sf_dir).collect()))
+    salted = sorted(
+        map(
+            tuple,
+            semdedup_pairs(
+                spark, sf_dir, bucket_cap=16, max_salt=4
+            ).collect(),
+        )
+    )
+    assert base == salted
+
+
 def test_semdedup_clusters_canonical_sources(spark, sf_dir):
     """SemDeDup clusters: every planted copy co-clusters with its
     source, the source (lowest id) is the canonical survivor, and the
