@@ -239,6 +239,11 @@ def minhash_features(
     # is pure; the flag only forbids the optimizer from duplicating or
     # reordering it, so results are unchanged and the signature pass
     # runs exactly once.
+    # CONTRACT for callers (applies to every asNondeterministic column
+    # in this module): nondeterministic expressions are only allowed in
+    # Project/Filter/Aggregate/Window — using this column DIRECTLY in a
+    # join condition, groupBy key, or generator fails analysis. Alias
+    # it in a select() first and operate on the materialized column.
     return _feats.asNondeterministic()(text)
 
 

@@ -77,6 +77,23 @@ def _bucket(gram: Column) -> Column:
     return F.conv(F.substring(F.md5(gram), 1, 15), 16, 10).cast("long") % N_BUCKETS
 
 
+def _labeled_projection(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """(doc_id, *extra, t, y) UNPERSISTED: the weak-label regex panel +
+    tokenization, the single source of truth for the labeled scan —
+    `_labeled_toks` (token-level cache, streaming/scoring twin) and
+    `_labeled_buckets` (bucket-level cache, batch scoring) both build
+    on this so the label/tokenization logic cannot drift between the
+    batch and streaming paths (ADVICE r13)."""
+    from ..functions.texthash import tokens
+
+    return d.select(
+        "doc_id",
+        *extra,
+        tokens(F.col("text")).alias("t"),
+        _gopher_keep(d).cast("int").alias("y"),
+    )
+
+
 def _labeled_toks(d: DataFrame, extra: tuple = ()) -> DataFrame:
     """(doc_id, *extra, t, y): token arrays + weak label, LAZILY
     persisted — the regex label panel and tokenization are the
@@ -95,8 +112,6 @@ def _labeled_toks(d: DataFrame, extra: tuple = ()) -> DataFrame:
     driver runs."""
     from pyspark import StorageLevel
 
-    from ..functions.texthash import tokens
-
     # NO pre-widen here, unlike the LSH operators: their Arrow
     # signature passes are CPU-heavy enough that buying parallelism
     # with a repartition wins even at sf0.1, but this scan's per-doc
@@ -107,12 +122,9 @@ def _labeled_toks(d: DataFrame, extra: tuple = ()) -> DataFrame:
     # local-testdata artifact (one row group per file — SCALE.md
     # "Scan parallelism note"); production layouts scan wide without
     # help.
-    return d.select(
-        "doc_id",
-        *extra,
-        tokens(F.col("text")).alias("t"),
-        _gopher_keep(d).cast("int").alias("y"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _labeled_projection(d, extra).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 def _gram_array() -> Column:
@@ -157,17 +169,10 @@ def _labeled_buckets(d: DataFrame, extra: tuple = ()) -> DataFrame:
     as before."""
     from pyspark import StorageLevel
 
-    from ..functions.texthash import tokens
-
     par = d.sparkSession.sparkContext.defaultParallelism
     if d.rdd.getNumPartitions() < par:
         d = d.repartition(par)
-    lab = d.select(
-        "doc_id",
-        *extra,
-        tokens(F.col("text")).alias("t"),
-        _gopher_keep(d).cast("int").alias("y"),
-    )
+    lab = _labeled_projection(d, extra)
     # Persist stays LAZY here: single-fan-out consumers (the weights
     # query trains once off this frame) pay nothing extra. The
     # scoring paths, whose broadcast subqueries convoy on a lazy

@@ -67,6 +67,11 @@ def connected_components(
     # the sym materialization cost ~2x the post-exchange pair work at
     # sf0.1). Checkpointing the directed pairs first makes the
     # symmetrized checkpoint a cheap scan of cached partitions.
+    # Memory note (ADVICE r13): the directed blocks stay pinned
+    # alongside sym's (~1.5x the edge list) until the builder's frames
+    # are garbage-collected and the ContextCleaner reclaims them; edge
+    # lists are id-only pairs, orders of magnitude below corpus size,
+    # so the transient overlap is bounded by design, not by config.
     e = e.localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # Materialize the (small) edge list once: rounds must re-read one

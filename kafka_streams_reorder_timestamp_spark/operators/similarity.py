@@ -1003,9 +1003,14 @@ _SEMDEDUP_PAIRS_SQL = f"""
     "(applyInPandas) and keep pairs >= 0.95. Near-identical vectors "
     "share an argmax centroid, so semantic dups are found without the "
     "all-pairs join: total work is sum(bucket^2), bounded by bucket "
-    "size, and at 100 TB k grows ~sqrt(N) (IVF codebook sizing) so "
-    "buckets stay executor-sized while the assignment stays one "
-    "broadcast scan. Assignment is MULTI-PROBE (each vector lands in "
+    "size. At 100 TB the codebook size is the builder's n_centroids "
+    "knob (~sqrt(N), IVF sizing; the registered query pins the "
+    "default 8 because the oracle pins that bucketing), and buckets "
+    "over bucket_cap rows additionally split on a deterministic "
+    "triangle salt grid (result-invariant, pytest-pinned) so one fat "
+    "Voronoi cell never becomes one executor-sized task while the "
+    "assignment stays one broadcast scan. Assignment is MULTI-PROBE "
+    "(each vector lands in "
     "its top-2 centroid buckets): a pair sitting on a Voronoi boundary "
     "can argmax to different centroids and a single-probe pass loses "
     "it — with two probes the pair is found whenever the two top-2 "

@@ -228,10 +228,42 @@ def nodes_outside_cache(df: DataFrame, needle: str) -> list[str]:
     is meaningless; ancestry is the invariant. (A query whose only
     cache is the upstream labeled-tokens persist still shows its
     scoring join outside any cache — which is exactly how this
-    distinguishes the fused report from a standalone rollup.)"""
-    return _nodes_outside_cache_lines(
-        physical_plan(df, "simple").splitlines(), needle
-    )
+    distinguishes the fused report from a standalone rollup.)
+
+    Implementation (r14): walks the physical-plan TREE via the JVM
+    objects instead of parsing explain() text. The text walk
+    (_nodes_outside_cache_lines below, kept for its documented indent
+    semantics + unit test) breaks on nested EXECUTED caches: an
+    InMemoryRelation whose cachedPlan is `AdaptiveSparkPlan
+    isFinalPlan=true` (now produced by the classifier's eager tiny-
+    table materialization) prints its `== Final/Initial Plan ==`
+    sections at indents tied to an outer ancestor — Spark interleaves
+    them across sibling relations — so cached FileScans popped the
+    indent-ancestry stack and were mis-flagged. The tree walk stops at
+    InMemoryTableScanExec (everything beneath reads from the cache),
+    descends AdaptiveSparkPlanExec via executedPlan(), and follows
+    expression subqueries (broadcast/scalar) via QueryPlan.subqueries."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls.startswith("InMemoryTableScan"):
+            return
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        else:
+            line = node.simpleString(100)
+            if needle in line:
+                out.append(line)
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+        sq = node.subqueries()
+        for i in range(sq.size()):
+            walk(sq.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
 
 
 def _nodes_outside_cache_lines(lines: list[str], needle: str) -> list[str]:
