@@ -51,6 +51,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# Exhaustive sweep tier: deselected from the default run (tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 from kafka_streams_reorder_timestamp_spark.operators.registry import REGISTRY
 
 from test_degenerate_inputs import (  # noqa: F401  (shared sweep plumbing)

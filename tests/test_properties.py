@@ -9,8 +9,12 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+
+# Exhaustive sweep tier: deselected from the default run (tests/conftest.py)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from kafka_streams_reorder_timestamp_spark.operators.reorder import reorder_batch

@@ -51,6 +51,9 @@ from decimal import ROUND_HALF_UP, Decimal
 import numpy as np
 import pytest
 
+# Exhaustive sweep tier: deselected from the default run (tests/conftest.py)
+pytestmark = pytest.mark.slow
+
 from kafka_streams_reorder_timestamp_spark.operators.dedup import (
     minhash_lsh_pairs,
 )
